@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 (or a
+training-data-pipeline op) run over the driver testdata; ``oracle_sql()``
+holds the equivalent DuckDB SQL. Column names are aliased identically on
+both sides (the driver hashes values after sorting columns by name).
 """
 
 from __future__ import annotations
@@ -12,27 +11,162 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_analysis_spark.demo import (
+    DEMO_KEYWORD_REGEX,
+    DEMO_ONTOLOGY_SQL,
+    demo_ontology_df,
+    load_table,
+)
+from dss_plugin_nlp_analysis_spark.operators.ontology import TagOptions, clean_ontology
+from dss_plugin_nlp_analysis_spark.operators.tagger import tag_documents
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: ontology tagging, one row per match, over sf0.001 docs."""
+    return _q_tag_match(spark, SF0001)
+
+
+# --- tagging pipeline (SURVEY.md §2.6, M1/M2 + J1/J4 + S1) ---------------
+
+def _q_tag_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = tag_documents(docs, demo_ontology_df(spark), text_col="text", lang_col="lang")
+    return out.select("doc_id", "tag", "tag_keyword", "tag_sentence")
+
+
+def _q_tag_match_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = tag_documents(
+        docs,
+        demo_ontology_df(spark, with_category=True),
+        text_col="text",
+        lang_col="lang",
+        category_col="category",
+    )
+    return out.select("doc_id", "tag_category", "tag", "tag_keyword")
+
+
+def _q_tag_doc_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = tag_documents(
+        docs, demo_ontology_df(spark), text_col="text", lang_col="lang",
+        output_format="one_row_per_doc",
+    )
+    return out.select("doc_id", "tag_list", "tag_keywords")
+
+
+# --- ontology prep (P1, P2) ----------------------------------------------
+
+def _q_ontology_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.createDataFrame(
+        [
+            ("tag1", "keyword1", ""),
+            ("tag2", "keyword2", None),
+            ("tag3", None, "cat"),
+            ("", "keyword4", "cat"),
+            ("tag5", "keyword5", "catX"),
+        ],
+        "tag string, keyword string, category string",
+    )
+    return clean_ontology(raw, "tag", "keyword", "category")
+
+
+# --- language ops (A6, P8) -------------------------------------------------
+
+def _q_distinct_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("lang").where(F.col("lang").isNotNull()).distinct()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tag_match": _q_tag_match,
+        "tag_match_category": _q_tag_match_category,
+        "tag_doc_list": _q_tag_doc_list,
+        "ontology_clean": _q_ontology_clean,
+        "distinct_langs": _q_distinct_langs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pat = DEMO_KEYWORD_REGEX
+    onto = DEMO_ONTOLOGY_SQL
+    return {
+        "tag_match": f"""
+            WITH {onto},
+            m AS (
+              SELECT doc_id, unnest(regexp_extract_all(trim(text), '{pat}')) AS kw
+              FROM documents
+            ),
+            md AS (SELECT DISTINCT doc_id, kw FROM m)
+            SELECT d.doc_id,
+                   o.tag AS tag,
+                   md.kw AS tag_keyword,
+                   CASE WHEN md.kw IS NOT NULL THEN trim(d.text) END AS tag_sentence
+            FROM documents d
+            LEFT JOIN md ON d.doc_id = md.doc_id
+            LEFT JOIN onto o ON o.keyword = md.kw
+        """,
+        "tag_match_category": f"""
+            WITH {onto},
+            m AS (
+              SELECT doc_id, unnest(regexp_extract_all(trim(text), '{pat}')) AS kw
+              FROM documents
+            ),
+            md AS (SELECT DISTINCT doc_id, kw FROM m)
+            SELECT d.doc_id,
+                   o.category AS tag_category,
+                   o.tag AS tag,
+                   md.kw AS tag_keyword
+            FROM documents d
+            LEFT JOIN md ON d.doc_id = md.doc_id
+            LEFT JOIN onto o ON o.keyword = md.kw
+        """,
+        "tag_doc_list": f"""
+            WITH {onto},
+            m AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(trim(text), '{pat}')) AS kw,
+                     generate_subscripts(regexp_extract_all(trim(text), '{pat}'), 1) AS pos
+              FROM documents
+            ),
+            mt AS (
+              SELECT m.doc_id, o.tag, min(m.pos) AS fp
+              FROM m JOIN onto o ON o.keyword = m.kw
+              GROUP BY 1, 2
+            ),
+            mk AS (
+              SELECT doc_id, kw, min(pos) AS fp FROM m GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT doc_id, to_json(list(tag ORDER BY fp))::VARCHAR AS tag_list
+              FROM mt GROUP BY 1
+            ),
+            aggk AS (
+              SELECT doc_id, to_json(list(kw ORDER BY fp))::VARCHAR AS tag_keywords
+              FROM mk GROUP BY 1
+            )
+            SELECT d.doc_id, agg.tag_list, aggk.tag_keywords
+            FROM documents d
+            LEFT JOIN agg ON d.doc_id = agg.doc_id
+            LEFT JOIN aggk ON d.doc_id = aggk.doc_id
+        """,
+        "ontology_clean": """
+            WITH raw(tag, keyword, category) AS (VALUES
+              ('tag1', 'keyword1', ''),
+              ('tag2', 'keyword2', NULL),
+              ('tag3', NULL, 'cat'),
+              ('', 'keyword4', 'cat'),
+              ('tag5', 'keyword5', 'catX'))
+            SELECT nullif(tag, '') AS tag,
+                   nullif(keyword, '') AS keyword,
+                   coalesce(nullif(category, ''), 'uncategorized') AS category
+            FROM raw
+            WHERE nullif(tag, '') IS NOT NULL AND nullif(keyword, '') IS NOT NULL
+        """,
+        "distinct_langs": "SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL",
+    }

@@ -1,0 +1,241 @@
+"""Rule-based multilingual tokenizer with char offsets (pure Python, UDF-side).
+
+Re-implements, natively, the token-boundary behaviors the reference gets
+from spaCy's rule tokenizer (spaCy is not installed in this environment —
+SURVEY.md preamble). Pinned behaviors and their reference evidence:
+
+- ``N.Y`` / ``1.1.1.1`` stay single tokens
+  (tests/python/unit/test_ontology_tagger.py:43-65)
+- hashtags are one token (python-lib/nlp/spacy_tokenizer.py:316-327)
+- emoji (incl. skin-tone modifiers, ZWJ sequences) are single tokens
+  (test_ontology_tagger.py:133-158, test_spacy_tokenizer.py:15-21)
+- whitespace runs other than a single space become *space tokens* so the
+  sentencizer can key on ``"\\n"`` (ontology_tagger.py:71-74)
+- CJK/Thai fall back to char-level tokens (SURVEY.md §7.3 — the reference
+  pulls dictionary segmenters via spaCy extras; divergence absorbed by the
+  P/R bar, SEMANTICS.md §3).
+
+Design: regex pre-segmentation (C speed) + cheap per-chunk refinement.
+All tables are module-level so executor processes compile them once.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple
+
+__all__ = ["Token", "tokenize", "is_punct_token"]
+
+
+class Token(NamedTuple):
+    text: str
+    start: int  # char offset in the input string
+    end: int
+    is_space: bool
+
+
+# --- character classes -------------------------------------------------
+
+_SEG_RE = re.compile(r"\s+|\S+")
+
+# full-chunk token patterns (checked before any splitting)
+_TOKEN_MATCH_RE = re.compile(
+    r"""(?:
+        \#\w+                                  # hashtag kept whole
+      | @\w+                                   # @username kept whole
+      | (?:https?://|www\.)[^\s]+              # URL
+      | [\w.+-]+@[\w-]+\.[\w.-]+               # email
+      | \d+(?:[.,:/\-]\d+)+                    # 1.1.1.1, 12:30, 1,000
+    )$""",
+    re.VERBOSE | re.UNICODE,
+)
+
+_OPEN_PUNCT = set("([{<\"'`«‹„“‘¿¡$€£¥§#@*")
+_CLOSE_PUNCT = set(")]}>\"'`»›”’!?,;:%…&*")
+_ELLIPSIS_RE = re.compile(r"\.{2,}$")
+
+# CJK + fullwidth punctuation → char-level tokens
+_CJK_RANGES = (
+    (0x1100, 0x11FF),   # Hangul Jamo
+    (0x2E80, 0x2EFF),   # CJK radicals
+    (0x3000, 0x303F),   # CJK symbols & punctuation
+    (0x3040, 0x30FF),   # Hiragana + Katakana
+    (0x3130, 0x318F),   # Hangul compat Jamo
+    (0x3400, 0x4DBF),   # CJK ext A
+    (0x4E00, 0x9FFF),   # CJK unified
+    (0xAC00, 0xD7AF),   # Hangul syllables
+    (0xF900, 0xFAFF),   # CJK compat
+    (0xFF00, 0xFFEF),   # full/half-width forms
+    (0x0E00, 0x0E7F),   # Thai (no-space script; char fallback)
+)
+
+_EMOJI_RANGES = (
+    (0x1F000, 0x1FAFF),
+    (0x2600, 0x27BF),
+    (0x2B00, 0x2BFF),
+    (0x1F900, 0x1F9FF),
+    (0xFE00, 0xFE0F),
+)
+_EMOJI_MODIFIERS = frozenset(
+    list(range(0x1F3FB, 0x1F400))  # skin tones
+    + [0xFE0F, 0xFE0E, 0x20E3]     # variation selectors, keycap
+)
+_ZWJ = 0x200D
+_REGIONAL = (0x1F1E6, 0x1F1FF)
+
+
+def _is_cjk(ch: str) -> bool:
+    cp = ord(ch)
+    for lo, hi in _CJK_RANGES:
+        if lo <= cp <= hi:
+            return True
+    return False
+
+
+def _is_emoji(ch: str) -> bool:
+    cp = ord(ch)
+    for lo, hi in _EMOJI_RANGES:
+        if lo <= cp <= hi:
+            return True
+    return False
+
+
+# English clitic suffixes (spaCy-style exceptions, lowercased compare)
+_EN_CLITICS = ("n't", "n’t", "'s", "’s", "'re", "’re", "'ve", "’ve",
+               "'ll", "’ll", "'d", "’d", "'m", "’m")
+_ELISION_RE = re.compile(r"^([djlmnstc]['’]|qu['’])(?=\w)", re.IGNORECASE)
+_ELISION_LANGS = frozenset({"fr", "it", "ca", "lb"})
+_HYPHEN_SPLIT_RE = re.compile(r"(?<=[^\W\d_])(-|–|—)(?=[^\W\d_])")
+
+_PUNCT_CATEGORIES = ("P",)  # unicodedata categories counting as punctuation
+
+import unicodedata as _ud
+
+
+def is_punct_token(text: str) -> bool:
+    """True when every char is unicode punctuation (spaCy Token.is_punct)."""
+    return bool(text) and all(_ud.category(c).startswith("P") for c in text)
+
+
+def _split_word_run(run: str, base: int, lang: str, out: list[Token]) -> None:
+    """Split a letters/digits run on elision, English clitics, and hyphens."""
+    # hyphen infixes first: well-known → well | - | known
+    pieces: list[tuple[str, int]] = []
+    pos = 0
+    for m in _HYPHEN_SPLIT_RE.finditer(run):
+        pieces.append((run[pos:m.start(1)], pos))
+        pieces.append((m.group(1), m.start(1)))
+        pos = m.end(1)
+    pieces.append((run[pos:], pos))
+    for piece, off in pieces:
+        if not piece:
+            continue
+        start = base + off
+        if lang in _ELISION_LANGS:
+            m = _ELISION_RE.match(piece)
+            if m:
+                cut = m.end(1)
+                out.append(Token(piece[:cut], start, start + cut, False))
+                out.append(Token(piece[cut:], start + cut, start + len(piece), False))
+                continue
+        if lang == "en":
+            low = piece.lower()
+            clit = next((c for c in _EN_CLITICS if low.endswith(c) and len(piece) > len(c)), None)
+            if clit:
+                cut = len(piece) - len(clit)
+                out.append(Token(piece[:cut], start, start + cut, False))
+                out.append(Token(piece[cut:], start + cut, start + len(piece), False))
+                continue
+        out.append(Token(piece, start, start + len(piece), False))
+
+
+def _split_core(core: str, base: int, lang: str, out: list[Token]) -> None:
+    """Emit tokens for a chunk core: CJK chars and emoji sequences become
+    their own tokens; remaining runs go through word-level rules."""
+    i, n = 0, len(core)
+    run_start = -1
+    while i < n:
+        ch = core[i]
+        if _is_cjk(ch):
+            if run_start >= 0:
+                _split_word_run(core[run_start:i], base + run_start, lang, out)
+                run_start = -1
+            out.append(Token(ch, base + i, base + i + 1, False))
+            i += 1
+        elif _is_emoji(ch):
+            if run_start >= 0:
+                _split_word_run(core[run_start:i], base + run_start, lang, out)
+                run_start = -1
+            j = i + 1
+            # absorb modifiers / ZWJ-joined continuation
+            while j < n:
+                cp = ord(core[j])
+                if cp in _EMOJI_MODIFIERS or (_REGIONAL[0] <= cp <= _REGIONAL[1] and i == j - 1):
+                    j += 1
+                elif cp == _ZWJ and j + 1 < n and _is_emoji(core[j + 1]):
+                    j += 2
+                else:
+                    break
+            out.append(Token(core[i:j], base + i, base + j, False))
+            i = j
+        else:
+            if run_start < 0:
+                run_start = i
+            i += 1
+    if run_start >= 0:
+        _split_word_run(core[run_start:], base + run_start, lang, out)
+
+
+def _refine_chunk(chunk: str, base: int, lang: str, out: list[Token]) -> None:
+    if _TOKEN_MATCH_RE.match(chunk):
+        out.append(Token(chunk, base, base + len(chunk), False))
+        return
+    start, end = 0, len(chunk)
+    prefix_tokens: list[Token] = []
+    while end - start > 1 and chunk[start] in _OPEN_PUNCT:
+        if chunk[start] in "#@" and _TOKEN_MATCH_RE.match(chunk[start:end]):
+            break
+        prefix_tokens.append(Token(chunk[start], base + start, base + start + 1, False))
+        start += 1
+    suffix_tokens: list[Token] = []
+    while end - start > 1:
+        seg = chunk[start:end]
+        m = _ELLIPSIS_RE.search(seg)
+        if m and m.start() > 0:
+            s = start + m.start()
+            suffix_tokens.append(Token(seg[m.start():], base + s, base + end, False))
+            end = s
+        elif chunk[end - 1] in _CLOSE_PUNCT:
+            suffix_tokens.append(Token(chunk[end - 1], base + end - 1, base + end, False))
+            end -= 1
+        elif chunk[end - 1] == "." and "." not in chunk[start:end - 1]:
+            suffix_tokens.append(Token(".", base + end - 1, base + end, False))
+            end -= 1
+        else:
+            break
+    core = chunk[start:end]
+    out.extend(prefix_tokens)
+    if _TOKEN_MATCH_RE.match(core):
+        out.append(Token(core, base + start, base + end, False))
+    elif core:
+        _split_core(core, base + start, lang, out)
+    out.extend(reversed(suffix_tokens))
+
+
+def tokenize(text: str, lang: str = "en") -> list[Token]:
+    """Tokenize ``text`` with char offsets (SEMANTICS.md §3).
+
+    Whitespace runs other than a single ``" "`` are emitted as space
+    tokens (``is_space=True``); a single space is a silent separator.
+    """
+    out: list[Token] = []
+    if not text:
+        return out
+    for m in _SEG_RE.finditer(text):
+        seg = m.group(0)
+        if seg.isspace():
+            if seg != " ":
+                out.append(Token(seg, m.start(), m.end(), True))
+        else:
+            _refine_chunk(seg, m.start(), lang, out)
+    return out

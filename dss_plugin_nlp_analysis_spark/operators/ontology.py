@@ -1,0 +1,142 @@
+"""Ontology preparation: cleaning (native Spark) + pattern compilation.
+
+Reference semantics (SEMANTICS.md §5):
+- python-lib/nlp/ontology_tagging/ontology_tagger.py:145-154 — "" → NULL,
+  drop rows with NULL keyword/tag, error when empty (P1 in SURVEY.md §2.2).
+- ontology_tagger.py:156-160 — NULL/"" category → "uncategorized" (P2).
+- ontology_tagger.py:162-232 — keyword normalization + tokenization into
+  per-language match patterns (J1/J2 build side).
+
+The ontology is broadcast-sized by design (SURVEY.md §1.4): cleaning runs
+as native Catalyst ops; compilation collects the cleaned rows to the driver
+and builds per-language token patterns to ship via ``sc.broadcast``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.lemmas import lemma_table, lemmatize_tokens
+from ..functions.textnorm import normalize_text
+from ..functions.tokenizer import tokenize
+from .automaton import TokenAutomaton
+
+__all__ = ["TagOptions", "CompiledOntology", "clean_ontology", "compile_ontology"]
+
+UNCATEGORIZED = "uncategorized"
+
+
+@dataclass(frozen=True)
+class TagOptions:
+    """Matching options (recipe.json:348-383 of the reference)."""
+
+    ignore_case: bool = False
+    lemmatization: bool = False
+    ignore_diacritics: bool = False
+
+
+def clean_ontology(
+    df: DataFrame,
+    tag_col: str = "tag",
+    keyword_col: str = "keyword",
+    category_col: str | None = None,
+) -> DataFrame:
+    """P1 + P2 as native Catalyst ops; returns columns (tag, keyword[, category])."""
+    tag = F.nullif(F.col(tag_col), F.lit(""))
+    keyword = F.nullif(F.col(keyword_col), F.lit(""))
+    cols = [tag.alias("tag"), keyword.alias("keyword")]
+    if category_col:
+        cols.append(
+            F.coalesce(F.nullif(F.col(category_col), F.lit("")), F.lit(UNCATEGORIZED)).alias("category")
+        )
+    return df.select(*cols).where(F.col("tag").isNotNull() & F.col("keyword").isNotNull())
+
+
+@dataclass
+class CompiledOntology:
+    """Driver-built, picklable match spec: per-language patterns + payloads.
+
+    ``payloads[i] = (tag, category)`` for ontology row i (post-clean order —
+    order carries the dup-keyword tie rules, SEMANTICS.md §5).
+    ``patterns[lang][i]`` is row i's match-key token tuple for ``lang``.
+    Automata are built lazily per process and memoized (pickling ships only
+    the compact pattern lists to executors).
+    """
+
+    payloads: list[tuple[str, str | None]]
+    patterns: dict[str, list[tuple[str, ...]]]
+    lemma_tables: dict[str, dict[str, str]]
+    options: TagOptions
+    has_category: bool
+    _automata: dict[str, TokenAutomaton] = field(default_factory=dict, repr=False)
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_automata"] = {}  # rebuild on the executor
+        return state
+
+    def automaton_for(self, lang: str) -> TokenAutomaton:
+        auto = self._automata.get(lang)
+        if auto is None:
+            auto = TokenAutomaton()
+            for idx, toks in enumerate(self.patterns[lang]):
+                auto.add(toks, idx)
+            auto.build()
+            self._automata[lang] = auto
+        return auto
+
+    def languages(self) -> list[str]:
+        return list(self.patterns)
+
+
+def keyword_match_tokens(
+    keyword: str, lang: str, options: TagOptions, table: dict[str, str]
+) -> tuple[str, ...]:
+    """Normalize + tokenize (+ lemmatize) one keyword into its match-key
+    token tuple (ontology_tagger.py:196-232 semantics)."""
+    norm = normalize_text(
+        keyword,
+        ignore_case=options.ignore_case,
+        lemmatization=options.lemmatization,
+        ignore_diacritics=options.ignore_diacritics,
+    )
+    toks = [t.text for t in tokenize(norm, lang)]
+    if options.lemmatization:
+        toks = lemmatize_tokens(toks, table)
+    return tuple(toks)
+
+
+def compile_ontology(
+    rows: list[tuple[str, str, str | None]],
+    languages: list[str],
+    options: TagOptions,
+    has_category: bool,
+    lemma_lookup_dir: str | None = None,
+) -> CompiledOntology:
+    """Compile cleaned ontology rows ``(tag, keyword, category)`` into a
+    broadcastable match spec for each document language."""
+    if not rows:
+        raise ValueError(
+            "No valid tags were found: the ontology must contain at least "
+            "one row with both a keyword and a tag (reference "
+            "ontology_tagger.py:151-154)."
+        )
+    payloads = [(tag, category) for tag, _kw, category in rows]
+    tables = {
+        lang: (lemma_table(lang, lemma_lookup_dir) if options.lemmatization else {})
+        for lang in languages
+    }
+    patterns = {
+        lang: [keyword_match_tokens(kw, lang, options, tables[lang]) for _t, kw, _c in rows]
+        for lang in languages
+    }
+    return CompiledOntology(
+        payloads=payloads,
+        patterns=patterns,
+        lemma_tables=tables,
+        options=options,
+        has_category=has_category,
+    )

@@ -1,0 +1,464 @@
+"""The tagging dataflow: mention extraction + output formatting, Spark-first.
+
+Physical plan (SURVEY.md §3, stage boundaries):
+
+    scan → [Arrow UDF: clean → sentencize → normalize → tokenize → AC probe]
+         → native Catalyst array ops / explode / to_json → sink
+
+One vectorized pandas UDF does ALL per-document text work in a single pass
+(the reference tokenizes every sentence twice — SURVEY.md §4.3 pathology not
+ported) and returns ``struct<sentences, matches>``. Every output format is
+then a **per-row native transform of the matches array — zero shuffle**:
+the reference's per-document "aggregations" (A1-A4) group by the document
+itself, so keeping matches as an array column makes groupBy/pivot
+unnecessary (the A3 pivot's category universe is ontology-known and becomes
+direct column synthesis).
+
+Reference parity map:
+- extraction      → ontology_tagger.py:94-137, sentence_splitter.py:46-118,
+                    formatting/base.py:85-99 (normalize-per-sentence)
+- one_row_per_match → formatter_by_match.py:42-151 (+ base.py:107 dedup)
+- one_row_per_doc   → formatter_by_document.py:30-222
+- one_row_per_doc_json → formatter_by_document.py:225-384
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.lemmas import lemmatize_tokens
+from ..functions.naming import ordered_with_new_after, unique_names
+from ..functions.sentencizer import sentence_token_spans
+from ..functions.textnorm import clean_linebreaks, normalize_text
+from ..functions.tokenizer import tokenize
+from .automaton import filter_leftmost_longest
+from .ontology import CompiledOntology, TagOptions, clean_ontology, compile_ontology
+
+__all__ = [
+    "MATCH_SCHEMA",
+    "TAGGING_SCHEMA",
+    "OUTPUT_FORMATS",
+    "extract_mentions",
+    "tag_documents",
+    "process_document",
+]
+
+MATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("sent_idx", T.IntegerType()),
+        T.StructField("tok_start", T.IntegerType()),
+        T.StructField("tok_end", T.IntegerType()),
+        T.StructField("char_start", T.IntegerType()),
+        T.StructField("char_end", T.IntegerType()),
+        T.StructField("tag", T.StringType()),
+        T.StructField("category", T.StringType()),
+        T.StructField("keyword", T.StringType()),
+    ]
+)
+
+TAGGING_SCHEMA = T.StructType(
+    [
+        T.StructField("sentences", T.ArrayType(T.StringType())),
+        T.StructField("matches", T.ArrayType(MATCH_SCHEMA)),
+    ]
+)
+
+OUTPUT_FORMATS = ("one_row_per_match", "one_row_per_doc", "one_row_per_doc_json")
+
+
+def process_document(
+    compiled: CompiledOntology, text: str | None, lang: str
+) -> tuple[list[str], list[dict]]:
+    """Pure-Python per-document kernel (unit-testable without Spark).
+
+    Single pass: linebreak clean → tokenize once → sentence spans →
+    per-sentence normalize (token reuse when normalization is identity) →
+    AC probe (all-overlaps, or leftmost-longest when categories exist).
+    """
+    clean = clean_linebreaks(text)
+    if not clean:
+        return [], []
+    opts = compiled.options
+    doc_tokens = tokenize(clean, lang)
+    spans = sentence_token_spans(doc_tokens)
+    auto = compiled.automaton_for(lang)
+    table = compiled.lemma_tables.get(lang, {})
+    sentences: list[str] = []
+    matches: list[dict] = []
+    for s_idx, (a, b) in enumerate(spans):
+        off = doc_tokens[a].start
+        sent_text = clean[off:doc_tokens[b - 1].end]
+        sentences.append(sent_text)
+        norm = normalize_text(
+            sent_text,
+            ignore_case=opts.ignore_case,
+            lemmatization=opts.lemmatization,
+            ignore_diacritics=opts.ignore_diacritics,
+        )
+        if norm == sent_text:  # fast path: reuse the doc-level tokens
+            keys = [t.text for t in doc_tokens[a:b]]
+            starts = [t.start - off for t in doc_tokens[a:b]]
+            ends = [t.end - off for t in doc_tokens[a:b]]
+        else:
+            toks = tokenize(norm, lang)
+            keys = [t.text for t in toks]
+            starts = [t.start for t in toks]
+            ends = [t.end for t in toks]
+        if opts.lemmatization:
+            keys = lemmatize_tokens(keys, table)
+        hits = auto.find_all(keys)
+        if compiled.has_category:
+            hits = filter_leftmost_longest(hits)
+        for ts, te, first, last in hits:
+            # dup-keyword resolution: EntityRuler keeps the first-added
+            # pattern, the no-category dict keeps the last (SEMANTICS.md §5)
+            tag, category = compiled.payloads[first if compiled.has_category else last]
+            cs, ce = starts[ts], ends[te - 1]
+            matches.append(
+                {
+                    "sent_idx": s_idx,
+                    "tok_start": ts,
+                    "tok_end": te,
+                    "char_start": cs,
+                    "char_end": ce,
+                    "tag": tag,
+                    "category": category,
+                    "keyword": norm[cs:ce],
+                }
+            )
+    return sentences, matches
+
+
+def _tagging_udf(compiled_ref, default_lang: str, skip_unknown: bool):
+    """Arrow-batched extraction UDF. ``compiled_ref`` is a Broadcast or a
+    plain CompiledOntology (duck-typed via ``.value``)."""
+
+    @F.pandas_udf(TAGGING_SCHEMA)
+    def extract(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
+        compiled: CompiledOntology = getattr(compiled_ref, "value", compiled_ref)
+        known = set(compiled.patterns)
+        for text_s, lang_s in it:
+            sents_out, matches_out = [], []
+            for text, lang in zip(text_s, lang_s):
+                lang = lang if isinstance(lang, str) and lang else default_lang
+                if lang not in known:
+                    if skip_unknown:
+                        sents_out.append([])
+                        matches_out.append([])
+                        continue
+                    raise ValueError(f"Unsupported language code: '{lang}'")
+                sentences, matches = process_document(compiled, text, lang)
+                sents_out.append(sentences)
+                matches_out.append(matches)
+            yield pd.DataFrame({"sentences": sents_out, "matches": matches_out})
+
+    return extract
+
+
+@dataclass
+class TaggerResult:
+    df: DataFrame
+    column_descriptions: dict[str, str]
+
+
+def extract_mentions(
+    docs_df: DataFrame,
+    compiled: CompiledOntology,
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    language: str = "en",
+    result_col: str = "_tagging",
+    skip_unknown: bool = False,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Add ``result_col: struct<sentences, matches>`` to ``docs_df``."""
+    spark = docs_df.sparkSession
+    ref = spark.sparkContext.broadcast(compiled) if broadcast else compiled
+    udf = _tagging_udf(ref, language, skip_unknown)
+    lang_expr = F.col(lang_col) if lang_col else F.lit(language)
+    return docs_df.withColumn(result_col, udf(F.col(text_col), lang_expr))
+
+
+# --- formatters (native Catalyst ops over the matches array) -------------
+
+def _m(res: str) -> Column:
+    return F.col(res)["matches"]
+
+
+def _sentence_of(res: str, m: Column) -> Column:
+    return F.element_at(F.col(res)["sentences"], m["sent_idx"] + 1)
+
+
+def _json_or_null(arr: Column) -> Column:
+    return F.when(F.size(arr) > 0, F.to_json(arr))
+
+
+def format_per_match(
+    df: DataFrame, res: str, has_category: bool, names: dict[str, str]
+) -> DataFrame:
+    """one_row_per_match: project → dedup within doc → explode_outer.
+
+    The reference's whole-row drop_duplicates (formatting/base.py:107)
+    becomes an array_distinct *within* each document — same visible rows
+    (input rows are unique by key), no shuffle (SEMANTICS.md §7 DIV).
+    No-match docs yield one all-NULL row (formatter_by_match.py:94-98).
+    """
+    fields = []
+    if has_category:
+        fields.append(("tag_category", lambda m: m["category"]))
+    fields += [
+        ("tag", lambda m: m["tag"]),
+        ("tag_keyword", lambda m: m["keyword"]),
+        ("tag_sentence", None),  # resolved against sentences array
+    ]
+    proj = F.transform(
+        _m(res),
+        lambda m: F.struct(
+            *[
+                (f(m) if f is not None else _sentence_of(res, m)).alias(names[name])
+                for name, f in fields
+            ]
+        ),
+    )
+    out = df.withColumn("_match", F.explode_outer(F.array_distinct(proj)))
+    for name, _ in fields:
+        out = out.withColumn(names[name], F.col("_match")[names[name]])
+    return out.drop("_match", res)
+
+
+def format_per_doc(
+    df: DataFrame,
+    res: str,
+    has_category: bool,
+    names: dict[str, str],
+    categories: list[str] | None = None,
+) -> DataFrame:
+    """one_row_per_doc — per-row native aggregates, zero shuffle.
+
+    No category (formatter_by_document.py:54-86): tag_list / tag_keywords =
+    JSON arrays of first-appearance distinct values; tag_sentences = concat
+    of (matched sentence + "\\n") per sentence-with-a-match, doc order.
+    With category (formatter_by_document.py:143-222): one
+    tag_list_<NFC(category)> column per ontology category (NULL when the
+    doc has none), text-deduped sentences joined with " " (empty string
+    when no match — reference wart preserved).
+    """
+    m = _m(res)
+    if not has_category:
+        tags = F.transform(m, lambda x: x["tag"])
+        kws = F.transform(m, lambda x: x["keyword"])
+        sent_idxs = F.array_distinct(F.transform(m, lambda x: x["sent_idx"]))
+        sent_texts = F.transform(
+            sent_idxs, lambda i: F.element_at(F.col(res)["sentences"], i + 1)
+        )
+        out = (
+            df.withColumn(names["tag_list"], _json_or_null(F.array_distinct(tags)))
+            .withColumn(names["tag_keywords"], _json_or_null(F.array_distinct(kws)))
+            .withColumn(
+                names["tag_sentences"],
+                F.when(
+                    F.size(sent_idxs) > 0,
+                    F.concat(F.array_join(sent_texts, "\n"), F.lit("\n")),
+                ),
+            )
+        )
+        return out.drop(res)
+    # category path
+    out = df
+    for cat in categories or []:
+        cat_tags = F.array_distinct(
+            F.transform(
+                F.filter(m, lambda x: x["category"] == F.lit(cat)), lambda x: x["tag"]
+            )
+        )
+        out = out.withColumn(names[f"tag_list_{cat}"], _json_or_null(cat_tags))
+    kws = F.array_distinct(F.transform(m, lambda x: x["keyword"]))
+    sents = F.array_distinct(F.transform(m, lambda x: _sentence_of(res, x)))
+    out = out.withColumn(names["tag_keywords"], _json_or_null(kws)).withColumn(
+        names["tag_sentences"],
+        F.array_join(F.transform(sents, lambda s: F.concat(s, F.lit("\n"))), " "),
+    )
+    return out.drop(res)
+
+
+def _doc_json_udf(has_category: bool):
+    """one_row_per_doc_json: per-doc dict assembly + json.dumps — byte
+    format mirrors the reference (ensure_ascii=False, ", " separators)."""
+
+    def build_no_cat(matches, sentences) -> str | None:
+        full: dict[str, dict] = {}
+        for mt in matches:
+            tag, kw = mt["tag"], mt["keyword"]
+            sent = sentences[mt["sent_idx"]]
+            slot = full.get(tag)
+            if slot is None:
+                full[tag] = {"count": 1, "sentences": [sent], "keywords": [kw]}
+            else:
+                slot["count"] += 1
+                if sent not in slot["sentences"]:
+                    slot["sentences"].append(sent)
+                if kw not in slot["keywords"]:
+                    slot["keywords"].append(kw)
+        return json.dumps(full, ensure_ascii=False) if full else None
+
+    def build_cat(matches, sentences) -> tuple[str | None, str | None]:
+        cats: dict[str, list] = {}
+        full: dict[str, dict] = {}
+        for mt in matches:
+            tag, kw, cat = mt["tag"], mt["keyword"], mt["category"]
+            sent = sentences[mt["sent_idx"]]
+            by_tag = full.setdefault(cat, {})
+            slot = by_tag.get(tag)
+            if slot is None:
+                by_tag[tag] = {"count": 1, "sentences": [sent], "keywords": [kw]}
+                cats.setdefault(cat, []).append(tag)
+            else:
+                slot["count"] += 1
+                if sent not in slot["sentences"]:
+                    slot["sentences"].append(sent)
+                if kw not in slot["keywords"]:
+                    slot["keywords"].append(kw)
+        if not full:
+            return None, None
+        return (
+            json.dumps(cats, ensure_ascii=False),
+            json.dumps(full, ensure_ascii=False),
+        )
+
+    if not has_category:
+        schema = T.StructType([T.StructField("tag_json_full", T.StringType())])
+    else:
+        schema = T.StructType(
+            [
+                T.StructField("tag_json_categories", T.StringType()),
+                T.StructField("tag_json_full", T.StringType()),
+            ]
+        )
+
+    def _pairs(batch):
+        # a StructType argument may arrive as a DataFrame (fields as
+        # columns) or as a Series of dicts depending on the Arrow path
+        if isinstance(batch, pd.DataFrame):
+            yield from zip(batch["matches"], batch["sentences"])
+        else:
+            for res in batch:
+                if res is None:
+                    yield None, None
+                else:
+                    yield res["matches"], res["sentences"]
+
+    @F.pandas_udf(schema)
+    def to_doc_json(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            rows = []
+            for matches, sentences in _pairs(batch):
+                matches = list(matches) if matches is not None else []
+                sentences = list(sentences) if sentences is not None else []
+                if has_category:
+                    cats, full = build_cat(matches, sentences)
+                    rows.append({"tag_json_categories": cats, "tag_json_full": full})
+                else:
+                    rows.append({"tag_json_full": build_no_cat(matches, sentences)})
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return to_doc_json
+
+
+def format_per_doc_json(
+    df: DataFrame, res: str, has_category: bool, names: dict[str, str]
+) -> DataFrame:
+    udf = _doc_json_udf(has_category)
+    out = df.withColumn("_json", udf(F.col(res)))
+    cols = (["tag_json_categories"] if has_category else []) + ["tag_json_full"]
+    for c in cols:
+        out = out.withColumn(names[c], F.col("_json")[c])
+    return out.drop("_json", res)
+
+
+# --- end-to-end entry -----------------------------------------------------
+
+def tag_documents(
+    docs_df: DataFrame,
+    ontology_df: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    language: str = "en",
+    tag_col: str = "tag",
+    keyword_col: str = "keyword",
+    category_col: str | None = None,
+    output_format: str = "one_row_per_match",
+    options: TagOptions = TagOptions(),
+    languages: list[str] | None = None,
+    skip_unknown: bool = False,
+    lemma_lookup_dir: str | None = None,
+) -> DataFrame:
+    """Full reference-recipe equivalent (recipe.py:1-42 semantics).
+
+    ``languages``: pass explicitly at scale to avoid the distinct-languages
+    pre-scan (the reference derives it from the data, recipe.py:14-18).
+    """
+    if output_format not in OUTPUT_FORMATS:
+        raise ValueError(f"unknown output_format '{output_format}'")
+    clean = clean_ontology(ontology_df, tag_col, keyword_col, category_col)
+    rows = [(r["tag"], r["keyword"], r["category"] if category_col else None)
+            for r in clean.collect()]
+    if languages is None:
+        if lang_col:
+            languages = [
+                r[0]
+                for r in docs_df.select(lang_col).where(F.col(lang_col).isNotNull()).distinct().collect()
+            ]
+        else:
+            languages = [language]
+    has_category = category_col is not None
+    compiled = compile_ontology(
+        rows, languages, options, has_category, lemma_lookup_dir
+    )
+    res = "_tagging"
+    tagged = extract_mentions(
+        docs_df, compiled, text_col, lang_col, language, res, skip_unknown
+    )
+
+    input_cols = docs_df.columns
+    categories = None
+    if output_format == "one_row_per_match":
+        base_names = (["tag_category"] if has_category else []) + [
+            "tag", "tag_keyword", "tag_sentence",
+        ]
+    elif output_format == "one_row_per_doc":
+        if has_category:
+            categories = []
+            for _t, c in compiled.payloads:  # first-appearance category order
+                if c not in categories:
+                    categories.append(c)
+            # NFD-normalized category in the column name (the reference calls
+            # unicode_normalize_text with its default form — formatter_by_document.py:198-205)
+            base_names = [
+                f"tag_list_{normalize_text(c)}" for c in categories
+            ] + ["tag_keywords", "tag_sentences"]
+        else:
+            base_names = ["tag_list", "tag_keywords", "tag_sentences"]
+    else:
+        base_names = (["tag_json_categories"] if has_category else []) + ["tag_json_full"]
+
+    finals = unique_names(base_names, input_cols)
+    names = dict(zip(base_names, finals))
+    if output_format == "one_row_per_doc" and has_category:
+        # per-category columns keyed by raw category for the formatter
+        for c in categories:
+            names[f"tag_list_{c}"] = names[f"tag_list_{normalize_text(c)}"]
+
+    if output_format == "one_row_per_match":
+        out = format_per_match(tagged, res, has_category, names)
+    elif output_format == "one_row_per_doc":
+        out = format_per_doc(tagged, res, has_category, names, categories)
+    else:
+        out = format_per_doc_json(tagged, res, has_category, names)
+    return out.select(*ordered_with_new_after(out.columns, finals, text_col))
