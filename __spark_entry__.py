@@ -17,10 +17,17 @@ from dss_plugin_nlp_analysis_spark.demo import (
     DEMO_KEYWORD_REGEX,
     DEMO_ONTOLOGY_SQL,
     demo_ontology_df,
+    kg_oracle_ontology_df,
     load_table,
 )
+from dss_plugin_nlp_analysis_spark.operators.kg import build_triples
 from dss_plugin_nlp_analysis_spark.operators.ontology import TagOptions, clean_ontology
 from dss_plugin_nlp_analysis_spark.operators.tagger import tag_documents
+from dss_plugin_nlp_analysis_spark.operators.textprep import (
+    clean_linebreaks_col,
+    extract_text_udf,
+    split_sentences_udf,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -75,6 +82,56 @@ def _q_ontology_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_ontology(raw, "tag", "keyword", "category")
 
 
+# --- KG materialization (SEMANTICS.md §8, north_star) ---------------------
+
+def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = build_triples(
+        docs,
+        kg_oracle_ontology_df(spark),
+        url_col="doc_id",
+        text_col="text",
+        lang_col="lang",
+        ts_col=None,
+        category_col=None,
+    )
+    return t.select("subj", "pred", "obj", "keyword", "sentence", "sent_idx", "category", "lang")
+
+
+# --- text prep (P3/P4 native, T1 UDF, HTML extraction) --------------------
+
+def _q_linebreak_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    derived = F.replace(
+        F.replace(
+            F.replace(F.trim(F.col("text")), F.lit(" agg "), F.lit("\n\n")),
+            F.lit(" sort "), F.lit("\n"),
+        ),
+        F.lit(" key "), F.lit("\r"),
+    )
+    return docs.select("doc_id", clean_linebreaks_col(derived).alias("clean_text"))
+
+
+def _q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    derived = F.replace(F.trim(F.col("text")), F.lit(" merge "), F.lit(". "))
+    split = split_sentences_udf()
+    return docs.select(
+        "doc_id", F.size(split(derived, F.col("lang"))).alias("n_sentences")
+    )
+
+
+def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><style>p{}</style></head><body><h1>Doc</h1><p>"),
+        F.col("text"),
+        F.lit("</p><script>var x=1;</script></body></html>"),
+    )
+    extract = extract_text_udf()
+    return docs.select("doc_id", extract(html).alias("extracted"))
+
+
 # --- language ops (A6, P8) -------------------------------------------------
 
 def _q_distinct_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,6 +146,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_doc_list": _q_tag_doc_list,
         "ontology_clean": _q_ontology_clean,
         "distinct_langs": _q_distinct_langs,
+        "kg_triples": _q_kg_triples,
+        "linebreak_norm": _q_linebreak_norm,
+        "sentence_split": _q_sentence_split,
+        "html_extract": _q_html_extract,
     }
 
 
@@ -169,4 +230,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE nullif(tag, '') IS NOT NULL AND nullif(keyword, '') IS NOT NULL
         """,
         "distinct_langs": "SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL",
+        "kg_triples": r"""
+            WITH m AS (
+              SELECT doc_id, lang, trim(text) AS sentence,
+                     unnest(regexp_extract_all(trim(text), '\b(window|stream|table scan)\b')) AS kw
+              FROM documents
+            )
+            SELECT doc_id AS subj,
+                   CASE kw WHEN 'window' THEN 'alpha_op'
+                           WHEN 'stream' THEN 'zeta_op'
+                           ELSE 'scan_op' END AS pred,
+                   CASE kw WHEN 'table scan' THEN 'scan_op'
+                           ELSE 'alpha_op' END AS obj,
+                   kw AS keyword,
+                   sentence,
+                   0 AS sent_idx,
+                   NULL::VARCHAR AS category,
+                   lang
+            FROM m
+        """,
+        "linebreak_norm": r"""
+            SELECT doc_id,
+                   array_to_string(
+                     list_transform(
+                       list_filter(
+                         string_split_regex(
+                           replace(replace(replace(trim(text), ' agg ', chr(10) || chr(10)),
+                                           ' sort ', chr(10)),
+                                   ' key ', chr(13)),
+                           '\r\n|\r|\n'),
+                         x -> x <> ''),
+                       x -> trim(x)),
+                     chr(10)) AS clean_text
+            FROM documents
+        """,
+        "sentence_split": """
+            SELECT doc_id,
+                   len(string_split(replace(trim(text), ' merge ', '. '), '. '))::INT AS n_sentences
+            FROM documents
+        """,
+        "html_extract": """
+            SELECT doc_id, 'Doc' || chr(10) || trim(text) AS extracted
+            FROM documents
+        """,
     }

@@ -34,6 +34,23 @@ DEMO_ONTOLOGY_SQL = (
 )
 
 
+# KG-oracle ontology: 'window' is an ambiguous alias shared by two tags
+# (zeta_op resolves to canonical alpha_op via the alias graph); the expected
+# pred/obj mapping is statically derivable for the DuckDB oracle.
+KG_ORACLE_ONTOLOGY = [
+    ("zeta_op", "window"),
+    ("alpha_op", "window"),
+    ("zeta_op", "stream"),
+    ("scan_op", "table scan"),
+]
+
+KG_KEYWORD_REGEX = r"\b(window|stream|table scan)\b"
+
+
+def kg_oracle_ontology_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(KG_ORACLE_ONTOLOGY, "tag string, keyword string")
+
+
 def demo_ontology_df(spark: SparkSession, with_category: bool = False) -> DataFrame:
     if with_category:
         return spark.createDataFrame(DEMO_ONTOLOGY, "tag string, keyword string, category string")

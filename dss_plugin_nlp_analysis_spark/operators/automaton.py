@@ -32,8 +32,9 @@ class TokenAutomaton:
     """Aho-Corasick over token sequences.
 
     Patterns are sequences of hashable tokens; ``payload`` is the pattern's
-    ontology row index (or any id). Duplicate token sequences keep both the
-    first and last payload for the two tie rules above.
+    ontology row index (or any id). Duplicate token sequences accumulate all
+    payloads in add order (consumers apply the tie rules above, or score
+    all candidates for entity linking).
     """
 
     __slots__ = ("_vocab", "_goto", "_fail", "_out", "_built")
@@ -41,8 +42,8 @@ class TokenAutomaton:
     def __init__(self) -> None:
         self._vocab: dict[Hashable, int] = {}
         self._goto: list[dict[int, int]] = [{}]
-        # node -> list of (pattern_len, first_payload, last_payload)
-        self._out: list[list[tuple[int, int, int]]] = [[]]
+        # node -> list of (pattern_len, payload_ids_in_add_order)
+        self._out: list[list[tuple[int, tuple[int, ...]]]] = [[]]
         self._fail: list[int] = [0]
         self._built = False
 
@@ -63,11 +64,11 @@ class TokenAutomaton:
                 self._fail.append(0)
             node = nxt
         n = len(tokens)
-        for i, (ln, first, _last) in enumerate(self._out[node]):
+        for i, (ln, payloads) in enumerate(self._out[node]):
             if ln == n:
-                self._out[node][i] = (ln, first, payload)  # last wins
+                self._out[node][i] = (ln, payloads + (payload,))
                 return
-        self._out[node].append((n, payload, payload))
+        self._out[node].append((n, (payload,)))
 
     def build(self) -> "TokenAutomaton":
         """Compute failure links + output merging (classic BFS)."""
@@ -90,14 +91,18 @@ class TokenAutomaton:
         self._built = True
         return self
 
-    def find_all(self, tokens: Sequence[Hashable]) -> list[tuple[int, int, int, int]]:
-        """All matches: list of (start, end_exclusive, first_payload,
-        last_payload) in (start, end) order."""
+    def find_all(
+        self, tokens: Sequence[Hashable]
+    ) -> list[tuple[int, int, tuple[int, ...]]]:
+        """All matches: list of (start, end_exclusive, payload_ids) in
+        (start, end) order. ``payload_ids`` is in pattern-add order — the
+        consumer picks first (EntityRuler tie rule), last (dict-overwrite
+        rule), or scores all (entity linking)."""
         vocab = self._vocab
         goto = self._goto
         fail = self._fail
         out = self._out
-        hits: list[tuple[int, int, int, int]] = []
+        hits: list[tuple[int, int, tuple[int, ...]]] = []
         node = 0
         for i, tok in enumerate(tokens):
             tid = vocab.get(tok)
@@ -108,19 +113,17 @@ class TokenAutomaton:
                 node = fail[node]
             node = goto[node].get(tid, 0)
             if out[node]:
-                for ln, first, last in out[node]:
-                    hits.append((i - ln + 1, i + 1, first, last))
+                for ln, payloads in out[node]:
+                    hits.append((i - ln + 1, i + 1, payloads))
         hits.sort(key=lambda h: (h[0], h[1]))
         return hits
 
 
-def filter_leftmost_longest(
-    hits: list[tuple[int, int, int, int]]
-) -> list[tuple[int, int, int, int]]:
+def filter_leftmost_longest(hits: list) -> list:
     """spaCy ``filter_spans`` semantics: prefer longer spans, then earlier
     start; keep non-overlapping; return in positional order."""
     ordered = sorted(hits, key=lambda h: (-(h[1] - h[0]), h[0]))
-    taken: list[tuple[int, int, int, int]] = []
+    taken: list = []
     occupied: list[tuple[int, int]] = []
     for h in ordered:
         s, e = h[0], h[1]

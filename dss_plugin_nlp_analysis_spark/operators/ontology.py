@@ -31,11 +31,17 @@ UNCATEGORIZED = "uncategorized"
 
 @dataclass(frozen=True)
 class TagOptions:
-    """Matching options (recipe.json:348-383 of the reference)."""
+    """Matching options (recipe.json:348-383 of the reference).
+
+    ``link_entities`` is new surface (SEMANTICS.md §8): when a keyword maps
+    to several tags, score candidates by context-token overlap with each
+    tag's other keywords instead of the reference's dict-order tie rules.
+    """
 
     ignore_case: bool = False
     lemmatization: bool = False
     ignore_diacritics: bool = False
+    link_entities: bool = False
 
 
 def clean_ontology(
@@ -71,6 +77,9 @@ class CompiledOntology:
     lemma_tables: dict[str, dict[str, str]]
     options: TagOptions
     has_category: bool
+    # entity-linking context profiles: lang -> payload_idx -> frozenset of
+    # tokens from the same tag's OTHER keywords (SEMANTICS.md §8)
+    profiles: dict[str, dict[int, frozenset[str]]] = field(default_factory=dict)
     _automata: dict[str, TokenAutomaton] = field(default_factory=dict, repr=False)
 
     def __getstate__(self):
@@ -133,10 +142,21 @@ def compile_ontology(
         lang: [keyword_match_tokens(kw, lang, options, tables[lang]) for _t, kw, _c in rows]
         for lang in languages
     }
+    profiles: dict[str, dict[int, frozenset[str]]] = {}
+    if options.link_entities:
+        for lang in languages:
+            by_tag: dict[str, set[str]] = {}
+            for idx, (tag, _cat) in enumerate(payloads):
+                by_tag.setdefault(tag, set()).update(patterns[lang][idx])
+            profiles[lang] = {
+                idx: frozenset(by_tag[tag] - set(patterns[lang][idx]))
+                for idx, (tag, _cat) in enumerate(payloads)
+            }
     return CompiledOntology(
         payloads=payloads,
         patterns=patterns,
         lemma_tables=tables,
         options=options,
         has_category=has_category,
+        profiles=profiles,
     )

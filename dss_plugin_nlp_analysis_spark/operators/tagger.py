@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.langsupport import validate_languages
 from ..functions.lemmas import lemmatize_tokens
 from ..functions.naming import ordered_with_new_after, unique_names
 from ..functions.sentencizer import sentence_token_spans
@@ -116,10 +117,22 @@ def process_document(
         hits = auto.find_all(keys)
         if compiled.has_category:
             hits = filter_leftmost_longest(hits)
-        for ts, te, first, last in hits:
-            # dup-keyword resolution: EntityRuler keeps the first-added
-            # pattern, the no-category dict keeps the last (SEMANTICS.md §5)
-            tag, category = compiled.payloads[first if compiled.has_category else last]
+        lang_profiles = compiled.profiles.get(lang, {})
+        for ts, te, payloads in hits:
+            if opts.link_entities and len(payloads) > 1:
+                # context-window scoring (SEMANTICS.md §8): overlap between
+                # the sentence's other tokens and each candidate tag's
+                # other keywords; ties keep add order
+                context = set(keys[:ts]) | set(keys[te:])
+                idx = max(
+                    payloads,
+                    key=lambda p: (len(context & lang_profiles.get(p, frozenset())), -p),
+                )
+            else:
+                # dup-keyword resolution: EntityRuler keeps the first-added
+                # pattern, the no-category dict keeps the last (SEMANTICS.md §5)
+                idx = payloads[0] if compiled.has_category else payloads[-1]
+            tag, category = compiled.payloads[idx]
             cs, ce = starts[ts], ends[te - 1]
             matches.append(
                 {
@@ -417,6 +430,9 @@ def tag_documents(
             ]
         else:
             languages = [language]
+    # P8 guard (dku_plugin_config_loading.py:153-159): unsupported codes
+    # raise, unless the caller opts into skip-and-continue
+    languages = validate_languages(languages, skip_unknown)
     has_category = category_col is not None
     compiled = compile_ontology(
         rows, languages, options, has_category, lemma_lookup_dir

@@ -17,7 +17,7 @@ def build(patterns):
 
 
 def spans(hits):
-    return [(s, e) for s, e, _f, _l in hits]
+    return [(s, e) for s, e, _p in hits]
 
 
 def test_all_overlaps_nested():
@@ -32,10 +32,10 @@ def test_leftmost_longest():
     assert spans(hits) == [(2, 5)]
 
 
-def test_duplicate_pattern_first_and_last_payload():
+def test_duplicate_pattern_payloads_in_add_order():
     auto = build(["merge", "merge"])
     hits = auto.find_all(["merge"])
-    assert hits == [(0, 1, 0, 1)]  # first=row0, last=row1
+    assert hits == [(0, 1, (0, 1))]  # all payloads, add order
 
 
 def test_unknown_tokens_reset_state():
@@ -74,7 +74,7 @@ def test_matches_equal_naive_scan(patterns, text):
     for i, p in enumerate(patterns):
         auto.add(p, i)
     auto.build()
-    got = {(s, e) for s, e, _f, _l in auto.find_all(text)}
+    got = {(s, e) for s, e, _p in auto.find_all(text)}
     expected = set()
     uniq = set(patterns)
     for p in uniq:

@@ -1,0 +1,130 @@
+"""KG materialization tests: triples, canonicalization, entity linking,
+checkpoint resumability (SEMANTICS.md §8, north rule)."""
+
+import pytest
+
+from dss_plugin_nlp_analysis_spark.functions.html_text import extract_text
+from dss_plugin_nlp_analysis_spark.operators.kg import build_triples, canonical_map
+from dss_plugin_nlp_analysis_spark.operators.ontology import TagOptions
+from dss_plugin_nlp_analysis_spark.sources.webpages import (
+    demo_kg_ontology,
+    generate_pages,
+    pages_df,
+)
+
+
+def test_canonical_map_unions_by_shared_keyword():
+    rows = [
+        ("nyc", "new york", None),
+        ("new_york_city", "new york", None),
+        ("paris", "paris", None),
+    ]
+    cmap = canonical_map(rows)
+    assert cmap["nyc"] == cmap["new_york_city"] == "new_york_city"  # min tag
+    assert cmap["paris"] == "paris"
+
+
+def test_canonical_map_case_insensitive_aliases():
+    rows = [("a_tag", "Engine", None), ("b_tag", "engine", None)]
+    cmap = canonical_map(rows)
+    assert cmap["a_tag"] == cmap["b_tag"] == "a_tag"
+
+
+def test_pages_corpus_text_invariant():
+    # FIXTURES.md §1: text == extract_text(html) byte-for-byte per url
+    for url, _ts, html, text, _lang in generate_pages(200, seed=42):
+        if html is None:
+            assert text is None
+        else:
+            assert extract_text(html) == text, url
+
+
+def test_pages_corpus_deterministic():
+    assert generate_pages(50, seed=42) == generate_pages(50, seed=42)
+
+
+def test_build_triples_end_to_end(spark):
+    docs = pages_df(spark, 120, seed=42)
+    onto = demo_kg_ontology(spark)
+    triples = build_triples(docs, onto).collect()
+    assert len(triples) > 0
+    preds = {t["pred"] for t in triples}
+    assert "spark_engine" in preds
+    t0 = triples[0]
+    assert t0["subj"].startswith("https://")
+    assert t0["sentence"] is not None and t0["keyword"] is not None
+    # canonicalization: spark_engine and analytics_engine share keyword
+    # 'engine' → both map to the min tag
+    for t in triples:
+        if t["pred"] in ("spark_engine", "analytics_engine"):
+            assert t["obj"] == "analytics_engine"
+
+
+def test_build_triples_unsupported_lang_skipped(spark):
+    docs = pages_df(spark, 200, seed=42)
+    onto = demo_kg_ontology(spark)
+    langs = {t["lang"] for t in build_triples(docs, onto).collect()}
+    assert "xx" not in langs  # skip_unknown default for KG builds
+
+
+def test_entity_linking_context_scoring(spark):
+    # ambiguous keyword 'bank': river_bank's other keyword 'river' appears
+    # in context → linking resolves to river_bank; default resolves to the
+    # last ontology row (dict-overwrite reference rule)
+    onto_rows = [
+        ("river_bank", "bank", None),
+        ("river_bank", "river", None),
+        ("money_bank", "bank", None),
+        ("money_bank", "money", None),
+    ]
+    onto = spark.createDataFrame(onto_rows, "tag string, keyword string, category string")
+    docs = spark.createDataFrame(
+        [("u1", "the river flows past the bank", "en")],
+        "url string, text string, lang string",
+    )
+    linked = build_triples(
+        docs, onto, ts_col=None, category_col=None,
+        options=TagOptions(link_entities=True), canonicalize=False,
+    ).collect()
+    by_kw = {t["keyword"]: t["pred"] for t in linked}
+    assert by_kw["bank"] == "river_bank"
+    # default (no linking): no-category path → last ontology row wins
+    unlinked = build_triples(
+        docs, onto, ts_col=None, category_col=None, canonicalize=False
+    ).collect()
+    assert {t["pred"] for t in unlinked if t["keyword"] == "bank"} == {"money_bank"}
+    # category path (EntityRuler): first ontology row wins
+    with_cat = build_triples(docs, onto, ts_col=None, canonicalize=False).collect()
+    assert {t["pred"] for t in with_cat if t["keyword"] == "bank"} == {"river_bank"}
+
+
+def test_checkpointed_build_resumes(spark, tmp_path):
+    from dss_plugin_nlp_analysis_spark.plans.checkpoint import (
+        read_manifest,
+        run_checkpointed_build,
+    )
+
+    docs = pages_df(spark, 100, seed=42)
+    onto = demo_kg_ontology(spark)
+
+    def triple_fn(part):
+        return build_triples(part, onto, languages=["en", "fr", "es", "de"])
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    r1 = run_checkpointed_build(
+        spark, docs, triple_fn, out, ckpt, num_buckets=4, buckets_per_job=2
+    )
+    assert sorted(r1.processed_buckets) == [0, 1, 2, 3]
+    m = read_manifest(spark, ckpt).collect()
+    assert len(m) == 4
+    assert sum(r["input_rows"] for r in m) == 100
+    # second run: everything skipped
+    r2 = run_checkpointed_build(
+        spark, docs, triple_fn, out, ckpt, num_buckets=4, buckets_per_job=2
+    )
+    assert r2.processed_buckets == []
+    assert r2.skipped_buckets == [0, 1, 2, 3]
+    # output is complete and readable
+    total = spark.read.parquet(out).count()
+    assert total == r1.total_triples > 0

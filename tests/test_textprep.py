@@ -1,0 +1,37 @@
+"""Native Catalyst clean_linebreaks_col vs the Python kernel: equivalence
+on the web-text linebreak classes (\\r\\n, \\r, \\n)."""
+
+import pytest
+
+from dss_plugin_nlp_analysis_spark.functions.textnorm import clean_linebreaks
+from dss_plugin_nlp_analysis_spark.operators.textprep import clean_linebreaks_col
+
+CASES = [
+    "plain text",
+    "a\nb",
+    "a\r\nb\rc",
+    "  padded  \n\n  lines  ",
+    "a\n  \nb",          # space-only line wart
+    "\n\nleading",
+    "trailing\n\n",
+    "",
+    None,
+]
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_native_equals_kernel(spark, case):
+    df = spark.createDataFrame([(case,)], "text string")
+    from pyspark.sql import functions as F
+
+    got = df.select(clean_linebreaks_col(F.col("text")).alias("c")).collect()[0]["c"]
+    assert got == clean_linebreaks(case)
+
+
+def test_native_is_codegen_not_udf(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a\nb",)], "text string")
+    plan = df.select(clean_linebreaks_col(F.col("text"))).queryExecution if False else None
+    explained = df.select(clean_linebreaks_col(F.col("text")))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in explained and "ArrowEvalPython" not in explained
