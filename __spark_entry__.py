@@ -20,13 +20,31 @@ from dss_plugin_nlp_analysis_spark.demo import (
     kg_oracle_ontology_df,
     load_table,
 )
+from dss_plugin_nlp_analysis_spark.operators.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    normalized_text,
+    simhash_buckets,
+)
 from dss_plugin_nlp_analysis_spark.operators.kg import build_triples
+from dss_plugin_nlp_analysis_spark.operators.multimodal import (
+    decode_image_meta,
+    fake_image_binary,
+)
 from dss_plugin_nlp_analysis_spark.operators.ontology import TagOptions, clean_ontology
+from dss_plugin_nlp_analysis_spark.operators.similarity import cosine_topk, lsh_ann_topk
 from dss_plugin_nlp_analysis_spark.operators.tagger import tag_documents
 from dss_plugin_nlp_analysis_spark.operators.textprep import (
     clean_linebreaks_col,
     extract_text_udf,
     split_sentences_udf,
+)
+from dss_plugin_nlp_analysis_spark.operators.textstats import (
+    marker_langid,
+    quality_features,
+    regex_token_count,
+    token_count,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -132,6 +150,84 @@ def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", extract(html).alias("extracted"))
 
 
+# --- training-data ops: dedup / similarity / text analysis ----------------
+
+def _dup_corpus(spark: SparkSession, sf_dir: str, mutate: bool) -> DataFrame:
+    """Derived corpus with planted (near-)duplicates: base docs ∪ copies at
+    id+1e6 (exact copies, or truncated by 4 words when ``mutate``)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), normalized_text(F.col("text")).alias("t")
+    )
+    if mutate:
+        words = F.split(F.col("t"), " ")
+        t2 = F.array_join(
+            F.slice(words, 1, F.greatest(F.size(words) - 4, F.lit(1))), " "
+        )
+    else:
+        t2 = F.col("t")
+    copies = docs.select((F.col("id") + 1000000).alias("id"), t2.alias("t"))
+    return docs.union(copies)
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_dup_corpus(spark, sf_dir, mutate=False), "id", "t")
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_candidate_pairs(
+        _dup_corpus(spark, sf_dir, mutate=True), "id", "t", num_hashes=8, bands=4, n=3
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _dup_corpus(spark, sf_dir, mutate=True), "id", "t", n=3, threshold=0.5
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_buckets(
+        _dup_corpus(spark, sf_dir, mutate=True), "id", "t", n=2, prefix_bits=8
+    )
+
+
+def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def _q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate path: no SQL oracle (rows-only check); exactness of the
+    # brute-force baseline is oracle-checked by embedding_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, emb.where(F.col("vec_id") < 10), k=5, num_planes=6)
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_features(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        regex_token_count(F.col("text")).alias("n_regex_tokens"),
+    )
+
+
+def _q_langid_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return marker_langid(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    img = fake_image_binary(
+        ((F.col("n_chars") % 640) + 1).cast("int"), F.lit(480), F.col("text")
+    )
+    return decode_image_meta(docs.select("doc_id", img.alias("img")), "doc_id", "img")
+
+
 # --- language ops (A6, P8) -------------------------------------------------
 
 def _q_distinct_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,7 +246,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linebreak_norm": _q_linebreak_norm,
         "sentence_split": _q_sentence_split,
         "html_extract": _q_html_extract,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash": _q_simhash,
+        "embedding_topk": _q_embedding_topk,
+        "embedding_ann": _q_embedding_ann,
+        "quality": _q_quality,
+        "token_stats": _q_token_stats,
+        "langid_markers": _q_langid_markers,
+        "multimodal_meta": _q_multimodal_meta,
     }
+
+
+# shared oracle fragments: normalized text, derived dup corpora, shingles
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+_CORPUS_EXACT = f"""
+    corpus AS (
+      SELECT doc_id AS id, {_NORM} AS t FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, {_NORM} FROM documents
+    )
+"""
+
+_CORPUS_MUT = f"""
+    base AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),
+    corpus AS (
+      SELECT id, t FROM base
+      UNION ALL
+      SELECT id + 1000000,
+             array_to_string(
+               list_slice(string_split(t, ' '), 1,
+                          greatest(len(string_split(t, ' ')) - 4, 1)), ' ')
+      FROM base
+    )
+"""
+
+# word shingles (n=3 'tri' / n=2 'bi') with whole-text fallback for short docs
+_SHINGLES = """
+    words AS (SELECT id, t, string_split(t, ' ') AS w FROM corpus),
+    tok AS (SELECT id, unnest(w) AS wd, generate_subscripts(w, 1) AS pos FROM words),
+    tri AS (
+      SELECT a.id, a.wd || ' ' || b.wd || ' ' || c.wd AS g
+      FROM tok a
+      JOIN tok b ON b.id = a.id AND b.pos = a.pos + 1
+      JOIN tok c ON c.id = a.id AND c.pos = a.pos + 2
+    ),
+    sh3 AS (SELECT id, g FROM tri UNION ALL SELECT id, t FROM words WHERE len(w) < 3)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -271,6 +415,163 @@ def oracle_sql() -> dict[str, str]:
         """,
         "html_extract": """
             SELECT doc_id, 'Doc' || chr(10) || trim(text) AS extracted
+            FROM documents
+        """,
+        "dedup_exact": f"""
+            WITH {_CORPUS_EXACT},
+            f AS (SELECT id, md5(t) AS fingerprint FROM corpus)
+            SELECT id, fingerprint,
+                   min(id) OVER (PARTITION BY fingerprint) AS canonical_id,
+                   id != min(id) OVER (PARTITION BY fingerprint) AS is_duplicate
+            FROM f
+        """,
+        "dedup_minhash": f"""
+            WITH {_CORPUS_MUT},
+            {_SHINGLES},
+            mh AS (
+              SELECT s.id, seeds.seed, min(md5(seeds.seed || '|' || s.g)) AS mn
+              FROM sh3 s CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+              GROUP BY 1, 2
+            ),
+            sig AS (SELECT id, list(mn ORDER BY seed) AS sg FROM mh GROUP BY 1),
+            bk AS (
+              SELECT id, unnest([
+                md5(0 || '|' || sg[1] || '|' || sg[2]),
+                md5(1 || '|' || sg[3] || '|' || sg[4]),
+                md5(2 || '|' || sg[5] || '|' || sg[6]),
+                md5(3 || '|' || sg[7] || '|' || sg[8])]) AS band_key
+              FROM sig
+            )
+            SELECT DISTINCT x.id AS id_a, y.id AS id_b
+            FROM bk x JOIN bk y ON x.band_key = y.band_key AND x.id < y.id
+        """,
+        "ngram_jaccard": f"""
+            WITH {_CORPUS_MUT},
+            {_SHINGLES},
+            inv AS (SELECT DISTINCT id, g FROM sh3),
+            sz AS (SELECT id, count(*) AS s FROM inv GROUP BY 1),
+            it AS (
+              SELECT x.id AS id_a, y.id AS id_b, count(*) AS i
+              FROM inv x JOIN inv y ON x.g = y.g AND x.id < y.id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(i::DOUBLE / (sa.s + sb.s - i), 6) AS jaccard
+            FROM it
+            JOIN sz sa ON sa.id = it.id_a
+            JOIN sz sb ON sb.id = it.id_b
+            WHERE i::DOUBLE / (sa.s + sb.s - i) >= 0.5
+        """,
+        "simhash": f"""
+            WITH {_CORPUS_MUT},
+            words AS (SELECT id, t, string_split(t, ' ') AS w FROM corpus),
+            tok AS (SELECT id, unnest(w) AS wd, generate_subscripts(w, 1) AS pos FROM words),
+            bi AS (
+              SELECT a.id, a.wd || ' ' || b.wd AS g
+              FROM tok a JOIN tok b ON b.id = a.id AND b.pos = a.pos + 1
+            ),
+            sh2 AS (SELECT id, g FROM bi UNION ALL SELECT id, t FROM words WHERE len(w) < 2),
+            hv AS (SELECT id, ('0x' || substr(md5(g), 1, 15))::UBIGINT AS h FROM sh2),
+            votes AS (
+              SELECT id, bits.j,
+                     sum(CASE WHEN (h >> bits.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM hv CROSS JOIN (SELECT unnest(range(60)) AS j) bits
+              GROUP BY 1, 2
+            ),
+            sim AS (
+              SELECT id,
+                     sum(CASE WHEN v > 0 THEN (1::UBIGINT << j) ELSE 0 END)::BIGINT AS simhash
+              FROM votes GROUP BY 1
+            )
+            SELECT id, simhash, (simhash >> 52)::BIGINT AS bucket FROM sim
+        """,
+        "embedding_topk": """
+            SELECT query_id, neighbor_id, rank::INT AS rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                       c.embedding::DOUBLE[]) DESC,
+                                c.vec_id
+                     ) AS rank
+              FROM embeddings q
+              JOIN embeddings c ON c.vec_id != q.vec_id
+              WHERE q.vec_id < 10
+            ) WHERE rank <= 5
+        """,
+        "quality": f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+            w AS (
+              SELECT doc_id, norm,
+                     CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS toks,
+                     length(norm) AS nc
+              FROM n
+            ),
+            f AS (
+              SELECT doc_id, norm, nc,
+                     CASE WHEN norm = '' THEN 0 ELSE len(toks) END AS nt,
+                     length(array_to_string(toks, '')) AS charsum,
+                     len(list_filter(toks, x -> x IN
+                         ('the','a','an','of','and','to','in','is','it','that'))) AS nstop,
+                     len(regexp_extract_all(norm, '[^\\w\\s]')) AS npunct
+              FROM w
+            ),
+            r AS (
+              SELECT doc_id, nc, nt,
+                     CASE WHEN nt > 0 THEN charsum::DOUBLE / nt ELSE 0.0 END AS avg_len,
+                     CASE WHEN nt > 0 THEN nstop::DOUBLE / nt ELSE 0.0 END AS stop_r,
+                     CASE WHEN nc > 0 THEN npunct::DOUBLE / nc ELSE 0.0 END AS punct_r,
+                     md5(norm) AS fingerprint
+              FROM f
+            )
+            SELECT doc_id AS id, nc::INT AS n_chars, nt::INT AS n_tokens,
+                   round(avg_len, 6) AS avg_token_len,
+                   round(stop_r, 6) AS stopword_ratio,
+                   round(punct_r, 6) AS punct_ratio,
+                   round(least(1.0, greatest(0.0,
+                         (0.5 + stop_r) * least(1.0, nt / 20.0) - punct_r)), 6)
+                     AS quality_score,
+                   fingerprint
+            FROM r
+        """,
+        "token_stats": f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents)
+            SELECT doc_id,
+                   (CASE WHEN norm = '' THEN 0
+                         ELSE len(string_split(norm, ' ')) END)::INT AS n_ws_tokens,
+                   len(regexp_extract_all(norm, '[a-z0-9]+|[^a-z0-9\\s]'))::INT AS n_regex_tokens
+            FROM n
+        """,
+        "langid_markers": f"""
+            WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+            h AS (
+              SELECT doc_id,
+                     len(list_filter(toks, x -> x IN ('der','die','und','das','mit'))) AS de_h,
+                     len(list_filter(toks, x -> x IN ('the','and','of','is','with'))) AS en_h,
+                     len(list_filter(toks, x -> x IN ('el','los','las','y','una'))) AS es_h,
+                     len(list_filter(toks, x -> x IN ('le','la','les','et','des'))) AS fr_h
+              FROM w
+            ),
+            m1 AS (SELECT doc_id, es_h, fr_h,
+                          CASE WHEN en_h > de_h THEN en_h ELSE de_h END AS b,
+                          CASE WHEN en_h > de_h THEN 'en' ELSE 'de' END AS l FROM h),
+            m2 AS (SELECT doc_id, fr_h,
+                          CASE WHEN es_h > b THEN es_h ELSE b END AS b,
+                          CASE WHEN es_h > b THEN 'es' ELSE l END AS l FROM m1),
+            m3 AS (SELECT doc_id,
+                          CASE WHEN fr_h > b THEN fr_h ELSE b END AS b,
+                          CASE WHEN fr_h > b THEN 'fr' ELSE l END AS l FROM m2)
+            SELECT doc_id AS id,
+                   CASE WHEN b > 0 THEN l ELSE 'xx' END AS pred_lang,
+                   b::INT AS marker_hits
+            FROM m3
+        """,
+        "multimodal_meta": """
+            SELECT doc_id AS id,
+                   ((n_chars % 640) + 1)::INT AS width,
+                   480::INT AS height,
+                   'raw' AS fmt,
+                   length(text)::INT AS payload_bytes
             FROM documents
         """,
     }

@@ -1,0 +1,211 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All-native Catalyst implementations (no UDFs in any hot path): the hash
+functions are md5-over-strings so every step is reproducible in ANSI SQL —
+the DuckDB oracle computes the *same* signatures, which makes these ops
+fully value-checkable, not just row-countable.
+
+Scale notes (100 TB):
+- exact_dedup shuffles once on the 32-hex-char fingerprint (not the text).
+- minhash signatures are computed map-side per document; only
+  (doc_id, band_key) pairs — a few dozen bytes/doc — reach the shuffle.
+- LSH band-bucket join is a self-equi-join on band_key; hot buckets (boiler-
+  plate) are capped via ``max_bucket_size`` to bound quadratic blowup, the
+  standard web-dedup guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalized_text",
+    "fingerprint",
+    "exact_dedup",
+    "shingles",
+    "minhash_signature",
+    "minhash_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_buckets",
+]
+
+
+def normalized_text(col: Column) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace runs, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint = md5 of normalized text (SQL-reproducible)."""
+    return F.md5(normalized_text(col))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact near-identity dedup: one canonical (min id) per fingerprint.
+
+    Returns (id, fingerprint, canonical_id, is_duplicate). Single shuffle
+    on the fingerprint; AQE handles skewed empty-text groups.
+    """
+    from pyspark.sql import Window as W
+
+    fp = fingerprint(F.col(text_col)).alias("fingerprint")
+    w = W.partitionBy("fingerprint")
+    return (
+        df.select(F.col(id_col).alias("id"), fp)
+        .withColumn("canonical_id", F.min("id").over(w))
+        .withColumn("is_duplicate", F.col("id") != F.col("canonical_id"))
+    )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of normalized text (array<string>).
+
+    Documents shorter than n words yield a single whole-text shingle so
+    they still participate in hashing.
+    """
+    words = F.split(normalized_text(col), " ")
+    k = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array(F.array_join(words, " "))
+    )
+
+
+def minhash_signature(col: Column, num_hashes: int = 16, n: int = 3) -> Column:
+    """MinHash signature as array<string> of hex minima.
+
+    hash_i(shingle) = md5(i || '|' || shingle); the minimum hex string per
+    seed approximates the Jaccard permutation minimum. Pure expression —
+    identical math in DuckDB (md5 of the same bytes).
+    """
+    sh = shingles(col, n)
+
+    def seed_min(i: int):
+        prefix = F.lit(f"{i}|")
+        # NB: the lambda must stay unary — a second parameter would make
+        # F.transform bind the array index to it
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(prefix, s))))
+
+    return F.array(*[seed_min(i) for i in range(num_hashes)])
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the MinHash signature become a
+    candidate pair (id_a < id_b, distinct).
+
+    Shuffle payload is (id, band_key) only. ``max_bucket_size`` drops
+    degenerate buckets (boilerplate text) before the quadratic pair step.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, n).alias("sig")
+    with_sig = df.select(F.col(id_col).alias("id"), sig)
+    banded = with_sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(b),
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    counts = banded.groupBy("band_key").agg(F.count("*").alias("_n"))
+    small = banded.join(
+        counts.where(F.col("_n") <= max_bucket_size).select("band_key"), "band_key"
+    )
+    a = small.alias("a")
+    b = small.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via an inverted shingle index
+    (only pairs sharing ≥1 shingle are scored — never all-pairs).
+
+    Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
+    )
+    sizes = sh.select("id", F.size("sh").alias("sz"))
+    inv = sh.select("id", F.explode("sh").alias("g"))
+    inter = (
+        inv.alias("x")
+        .join(inv.alias("y"), (F.col("x.g") == F.col("y.g")) & (F.col("x.id") < F.col("y.id")))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_buckets(df: DataFrame, id_col: str, text_col: str, n: int = 2, prefix_bits: int = 16) -> DataFrame:
+    """60-bit SimHash near-dup blocking: per shingle, 60 hash bits from the
+    first 15 hex chars of md5 (conv→bigint); each bit votes +1/-1 across
+    shingles; the sign vector is the simhash. Docs whose top
+    ``prefix_bits`` agree share a bucket (recall-oriented blocking).
+    All native aggregates. Returns (id, simhash, bucket).
+    """
+    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+    hashed = sh.select(
+        "id",
+        F.explode("sh").alias("g"),
+    ).withColumn("h", F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long"))
+    votes = hashed.select(
+        "id",
+        *[
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{j}")
+            for j in range(60)
+        ],
+    ).groupBy("id").agg(*[F.sum(f"b{j}").alias(f"b{j}") for j in range(60)])
+    sim = votes.select(
+        "id",
+        sum(
+            [
+                F.when(F.col(f"b{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+                for j in range(60)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sim.withColumn("bucket", F.shiftright(F.col("simhash"), 60 - prefix_bits))

@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- ``cosine_topk`` — exact brute-force: broadcast the (small) query set,
+  score every corpus vector with a native ``F.aggregate``/``F.zip_with``
+  dot product (whole-stage codegen, no Python), window top-k. This is the
+  correctness baseline and is oracle-checkable (DuckDB
+  list_cosine_similarity computes the same doubles).
+- ``lsh_ann_topk`` — scale path: random-hyperplane LSH. Hyperplane
+  components are derived deterministically from md5 (no RNG — resumable
+  and seed-stable across engines). Candidates = vectors sharing the
+  sign-bucket; exact re-rank within bucket. At 100 TB the bucket join
+  replaces the full cross product; recall tunes via ``num_planes`` and
+  multi-probe ``probes``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "hyperplane_buckets", "lsh_ann_topk"]
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query (excluding self): broadcast query
+    set × corpus, native cosine, window rank. Returns
+    (query_id, neighbor_id, rank) — ids only, so the oracle compare is
+    float-robust (ranking by the same doubles on both sides)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = c.crossJoin(F.broadcast(q)).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = cosine(
+        F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")
+    ).alias("sim")
+    ranked = scored.select("query_id", "neighbor_id", sim).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select("query_id", "neighbor_id", "rank")
+
+
+def _plane_vector(plane: int, dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane in [-1, 1)^dim: each component
+    derived from md5(seed|plane|d) — no RNG state, identical on any engine.
+    Computed driver-side so the Spark plan carries one array literal per
+    plane (a per-component md5 expression tree would bloat codegen)."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"{seed}|{plane}|{d}".encode()).hexdigest()[:15], 16)
+        out.append(h / float(2 ** 60) * 2.0 - 1.0)
+    return out
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    vec_col: str,
+    num_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    out_col: str = "bucket",
+    tables: int = 1,
+) -> DataFrame:
+    """Sign-bucket ids from deterministic hyperplanes.
+
+    ``tables`` independent hash tables (plane sets seeded by table index)
+    raise recall multiplicatively — the standard LSH trade; the output is
+    an array of per-table bucket ids (table index encoded in the high bits
+    so buckets never collide across tables)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    v = F.col(vec_col).cast("array<double>")
+    buckets = []
+    for t in range(tables):
+        bits = []
+        for p in range(num_planes):
+            plane = F.lit(_plane_vector(t * 10_000 + p, dim, seed))
+            proj = dot(v, plane)
+            bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        buckets.append((sum(bits[1:], bits[0]) + F.lit(t << num_planes)).cast("int"))
+    return df.withColumn(out_col, F.array(*buckets))
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 8,
+    seed: int = 42,
+    tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates share any table's sign-bucket, exact
+    cosine re-rank over the deduped candidate set. Equi-join on bucket
+    replaces the cross product (the 100 TB path); ``tables`` trades
+    compute for recall."""
+    dim = len(corpus.select(vec_col).first()[0])
+    c = hyperplane_buckets(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        "_cv", num_planes, seed, dim, tables=tables,
+    ).withColumn("bucket", F.explode("bucket"))
+    q = hyperplane_buckets(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        "_qv", num_planes, seed, dim, tables=tables,
+    ).withColumn("bucket", F.explode("bucket"))
+    cand = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sim = cosine(
+        F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")
+    ).alias("sim")
+    ranked = cand.select("query_id", "neighbor_id", sim).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select("query_id", "neighbor_id", "rank")

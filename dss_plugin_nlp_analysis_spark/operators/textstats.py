@@ -1,0 +1,117 @@
+"""Text analysis for training-data curation: token counts, quality
+scoring, language-marker ID, document fingerprints.
+
+All native Catalyst expressions (SQL-reproducible for the DuckDB oracle).
+A richer char-trigram language identifier lives in ``functions.langid``
+(UDF path, pytest-verified); the marker-word variant here is the
+shuffle-free native approximation that scales to 100 TB as a pure map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import fingerprint, normalized_text
+
+__all__ = [
+    "word_tokens",
+    "token_count",
+    "regex_token_count",
+    "quality_features",
+    "marker_langid",
+    "EN_STOPWORDS",
+]
+
+# small fixed stopword list (order matters nowhere; frozen for oracles)
+EN_STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "that"]
+
+_TOKEN_REGEX = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def word_tokens(col: Column) -> Column:
+    return F.split(normalized_text(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count of normalized text."""
+    return F.when(normalized_text(col) == "", 0).otherwise(F.size(word_tokens(col)))
+
+
+def regex_token_count(col: Column) -> Column:
+    """BPE-ish token count: alnum runs + individual punctuation marks
+    (regexp-based; identical regex runs in the DuckDB oracle)."""
+    return F.size(F.regexp_extract_all(normalized_text(col), F.lit(_TOKEN_REGEX), 0))
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features + composite score.
+
+    Features (frozen formula, SEMANTICS-stable for regression):
+    n_chars, n_tokens, avg_token_len, stopword_ratio, punct_ratio;
+    score = stopword-signal × length-signal, clipped to [0, 1].
+    """
+    t = F.col(text_col)
+    toks = word_tokens(t)
+    n_tokens = token_count(t)
+    norm = normalized_text(t)
+    n_chars = F.length(norm)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_punct = F.size(F.regexp_extract_all(norm, F.lit(r"[^\w\s]"), 0))
+    avg_len = F.when(n_tokens > 0, (F.length(F.array_join(toks, "")) / n_tokens)).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    score = F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(0.0),
+            (F.lit(0.5) + stop_ratio) * F.least(F.lit(1.0), n_tokens / F.lit(20.0))
+            - punct_ratio,
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+        fingerprint(t).alias("fingerprint"),
+    )
+
+
+# language marker words (tiny frozen profiles; native path)
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "with"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "es": ["el", "los", "las", "y", "una"],
+    "de": ["der", "die", "und", "das", "mit"],
+}
+
+
+def marker_langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Predict language by marker-word hits; deterministic tiebreak by
+    language code order ('xx' when no marker hits). Pure map — no shuffle."""
+    toks = word_tokens(F.col(text_col))
+    scores = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda x: F.array_contains(arr, x))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # pick max hits; ties resolve to the lexicographically smallest code —
+    # invert lang ordering inside the struct comparison via array_max over
+    # (hits, negated-rank) is messy, so use a fold with strict '>'
+    best = scores[0]
+    for s in scores[1:]:
+        best = F.when(s["hits"] > best["hits"], s).otherwise(best)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("xx")).alias("pred_lang"),
+        best["hits"].alias("marker_hits"),
+    )

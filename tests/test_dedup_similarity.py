@@ -1,0 +1,167 @@
+"""Property tests for dedup / similarity / textstats / multimodal ops
+(the value-level math is oracle-checked in test_entry.py; these pin the
+semantic properties)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_analysis_spark.operators.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+from dss_plugin_nlp_analysis_spark.operators.multimodal import (
+    decode_image_meta,
+    fake_image_binary,
+    frame_sample_plan,
+)
+from dss_plugin_nlp_analysis_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from dss_plugin_nlp_analysis_spark.operators.textstats import marker_langid, quality_features
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river"),  # near-dup of 1
+        (3, "completely different text about spark execution engines and shuffles"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+        (5, "short doc"),
+    ]
+    return spark.createDataFrame(rows, "id long, t string")
+
+
+def test_exact_dedup_groups(corpus):
+    rows = {r["id"]: r for r in exact_dedup(corpus, "id", "t").collect()}
+    assert rows[4]["canonical_id"] == 1 and rows[4]["is_duplicate"]
+    assert rows[1]["canonical_id"] == 1 and not rows[1]["is_duplicate"]
+    assert rows[2]["canonical_id"] == 2  # near-dup is NOT an exact dup
+    assert rows[1]["fingerprint"] == rows[4]["fingerprint"]
+
+
+def test_minhash_finds_near_dups(corpus):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_candidate_pairs(corpus, "id", "t", 8, 4).collect()}
+    assert (1, 4) in pairs          # exact dups always collide
+    assert (1, 2) in pairs          # near-dup shares bands
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_jaccard_scores(corpus):
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+            ngram_jaccard_pairs(corpus, "id", "t", 3, 0.5).collect()}
+    assert rows[(1, 4)] == 1.0
+    assert 0.5 <= rows[(1, 2)] < 1.0
+    assert (1, 3) not in rows
+
+
+def test_simhash_exact_dups_same_bucket(corpus):
+    rows = {r["id"]: r for r in simhash_buckets(corpus, "id", "t").collect()}
+    assert rows[1]["simhash"] == rows[4]["simhash"]
+    assert rows[1]["bucket"] == rows[4]["bucket"]
+    # near-dup: small hamming distance
+    ham = bin(rows[1]["simhash"] ^ rows[2]["simhash"]).count("1")
+    assert ham < 15
+    assert bin(rows[1]["simhash"] ^ rows[3]["simhash"]).count("1") > ham
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # closest to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = cosine_topk(emb, emb.where("vec_id = 1"), k=2).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in sorted(got, key=lambda r: r["rank"])] == [
+        (2, 1), (3, 2),
+    ]
+
+
+def test_lsh_ann_finds_planted_near_dups(spark):
+    # the honest ANN use case: queries are (positively scaled) copies of
+    # corpus vectors — cosine 1.0, identical sign buckets in every table,
+    # so rank-1 must be the original vector
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = (
+        emb.where(F.col("vec_id") < 8)
+        .select(
+            (F.col("vec_id") + 9000).alias("vec_id"),
+            F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)).alias("embedding"),
+        )
+    )
+    got = lsh_ann_topk(emb, q, k=1, num_planes=6, tables=2).collect()
+    assert len(got) == 8
+    for r in got:
+        assert r["neighbor_id"] == r["query_id"] - 9000
+
+
+def test_lsh_ann_recall_vs_exact_on_random(spark):
+    # random vectors: multi-table LSH recovers a reasonable share of true
+    # neighbors (recall floor is loose — data is near-orthogonal noise)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in
+              lsh_ann_topk(emb, q, k=3, num_planes=3, tables=6).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"recall {recall}"
+
+
+def test_quality_features_ranges(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it is that good"), (2, "x"), (3, "!!! ??? ...")],
+        "id long, t string",
+    )
+    rows = {r["id"]: r for r in quality_features(docs, "id", "t").collect()}
+    assert rows[1]["quality_score"] > rows[2]["quality_score"]
+    assert rows[3]["punct_ratio"] > 0.5
+    for r in rows.values():
+        assert 0.0 <= r["quality_score"] <= 1.0
+
+
+def test_marker_langid(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog with food"),
+            (2, "le chat et la maison des amis"),
+            (3, "el perro y los gatos con una casa"),
+            (4, "der Hund und die Katze mit das Haus"),
+            (5, "zzz qqq www"),
+        ],
+        "id long, t string",
+    )
+    rows = {r["id"]: r["pred_lang"] for r in marker_langid(docs, "id", "t").collect()}
+    assert rows == {1: "en", 2: "fr", 3: "es", 4: "de", 5: "xx"}
+
+
+def test_trigram_langid_kernel():
+    from dss_plugin_nlp_analysis_spark.functions.langid import detect_language
+
+    assert detect_language("the engine is running and the data is flowing") == "en"
+    assert detect_language("le moteur de la machine est dans les données") == "fr"
+    assert detect_language("子曰學而不思則罔思而不學則殆") == "zh"
+    assert detect_language("") == "xx"
+
+
+def test_multimodal_decode_roundtrip(spark):
+    docs = spark.createDataFrame([(1, 320, "payload-bytes-here")], "id long, w int, p string")
+    df = docs.select("id", fake_image_binary(F.col("w"), F.lit(240), F.col("p")).alias("img"))
+    row = decode_image_meta(df, "id", "img").collect()[0]
+    assert (row["width"], row["height"], row["fmt"], row["payload_bytes"]) == (320, 240, "raw", 18)
+
+
+def test_multimodal_decode_stub_raises_on_real_data(spark):
+    df = spark.createDataFrame([(1, bytearray(b"\x89PNG\r\n"))], "id long, img binary")
+    import pyspark
+
+    with pytest.raises(Exception, match="NotImplementedError|stubbed"):
+        decode_image_meta(df, "id", "img").collect()
+
+
+def test_frame_sample_plan(spark):
+    vids = spark.createDataFrame([(1, 25), (2, 3)], "id long, n_frames int")
+    rows = frame_sample_plan(vids, "id", "n_frames", every=10).collect()
+    got = sorted((r["id"], r["frame_idx"]) for r in rows)
+    assert got == [(1, 0), (1, 10), (1, 20), (2, 0)]
