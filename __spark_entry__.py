@@ -428,18 +428,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": f"""
             WITH {_CORPUS_MUT},
             {_SHINGLES},
-            mh AS (
-              SELECT s.id, seeds.seed, min(md5(seeds.seed || '|' || s.g)) AS mn
-              FROM sh3 s CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
-              GROUP BY 1, 2
+            hx AS (SELECT id, md5(g) AS h FROM sh3),
+            sig AS (
+              SELECT id,
+                     min(substr(h,  1, 4)) AS s0, min(substr(h,  5, 4)) AS s1,
+                     min(substr(h,  9, 4)) AS s2, min(substr(h, 13, 4)) AS s3,
+                     min(substr(h, 17, 4)) AS s4, min(substr(h, 21, 4)) AS s5,
+                     min(substr(h, 25, 4)) AS s6, min(substr(h, 29, 4)) AS s7
+              FROM hx GROUP BY id
             ),
-            sig AS (SELECT id, list(mn ORDER BY seed) AS sg FROM mh GROUP BY 1),
             bk AS (
               SELECT id, unnest([
-                md5(0 || '|' || sg[1] || '|' || sg[2]),
-                md5(1 || '|' || sg[3] || '|' || sg[4]),
-                md5(2 || '|' || sg[5] || '|' || sg[6]),
-                md5(3 || '|' || sg[7] || '|' || sg[8])]) AS band_key
+                md5(0 || '|' || s0 || '|' || s1),
+                md5(1 || '|' || s2 || '|' || s3),
+                md5(2 || '|' || s4 || '|' || s5),
+                md5(3 || '|' || s6 || '|' || s7)]) AS band_key
               FROM sig
             )
             SELECT DISTINCT x.id AS id_a, y.id AS id_b

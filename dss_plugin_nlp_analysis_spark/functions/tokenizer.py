@@ -107,7 +107,8 @@ _ELISION_RE = re.compile(r"^([djlmnstc]['’]|qu['’])(?=\w)", re.IGNORECASE)
 _ELISION_LANGS = frozenset({"fr", "it", "ca", "lb"})
 _HYPHEN_SPLIT_RE = re.compile(r"(?<=[^\W\d_])(-|–|—)(?=[^\W\d_])")
 
-_PUNCT_CATEGORIES = ("P",)  # unicodedata categories counting as punctuation
+# bare alnum chunk — no prefix/suffix/infix/CJK/emoji handling needed
+_PLAIN_WORD_RE = re.compile(r"[A-Za-z0-9]+$").match
 
 import unicodedata as _ud
 
@@ -120,38 +121,49 @@ def is_punct_token(text: str) -> bool:
 def _split_word_run(run: str, base: int, lang: str, out: list[Token]) -> None:
     """Split a letters/digits run on elision, English clitics, and hyphens."""
     # hyphen infixes first: well-known → well | - | known
-    pieces: list[tuple[str, int]] = []
-    pos = 0
-    for m in _HYPHEN_SPLIT_RE.finditer(run):
-        pieces.append((run[pos:m.start(1)], pos))
-        pieces.append((m.group(1), m.start(1)))
-        pos = m.end(1)
-    pieces.append((run[pos:], pos))
+    if "-" in run or "–" in run or "—" in run:
+        pieces: list[tuple[str, int]] = []
+        pos = 0
+        for m in _HYPHEN_SPLIT_RE.finditer(run):
+            pieces.append((run[pos:m.start(1)], pos))
+            pieces.append((m.group(1), m.start(1)))
+            pos = m.end(1)
+        pieces.append((run[pos:], pos))
+    else:
+        pieces = [(run, 0)]
+    has_apos = "'" in run or "’" in run
     for piece, off in pieces:
         if not piece:
             continue
         start = base + off
-        if lang in _ELISION_LANGS:
-            m = _ELISION_RE.match(piece)
-            if m:
-                cut = m.end(1)
-                out.append(Token(piece[:cut], start, start + cut, False))
-                out.append(Token(piece[cut:], start + cut, start + len(piece), False))
-                continue
-        if lang == "en":
-            low = piece.lower()
-            clit = next((c for c in _EN_CLITICS if low.endswith(c) and len(piece) > len(c)), None)
-            if clit:
-                cut = len(piece) - len(clit)
-                out.append(Token(piece[:cut], start, start + cut, False))
-                out.append(Token(piece[cut:], start + cut, start + len(piece), False))
-                continue
+        if has_apos:
+            if lang in _ELISION_LANGS:
+                m = _ELISION_RE.match(piece)
+                if m:
+                    cut = m.end(1)
+                    out.append(Token(piece[:cut], start, start + cut, False))
+                    out.append(Token(piece[cut:], start + cut, start + len(piece), False))
+                    continue
+            if lang == "en":
+                low = piece.lower()
+                clit = next(
+                    (c for c in _EN_CLITICS if low.endswith(c) and len(piece) > len(c)),
+                    None,
+                )
+                if clit:
+                    cut = len(piece) - len(clit)
+                    out.append(Token(piece[:cut], start, start + cut, False))
+                    out.append(Token(piece[cut:], start + cut, start + len(piece), False))
+                    continue
         out.append(Token(piece, start, start + len(piece), False))
 
 
 def _split_core(core: str, base: int, lang: str, out: list[Token]) -> None:
     """Emit tokens for a chunk core: CJK chars and emoji sequences become
     their own tokens; remaining runs go through word-level rules."""
+    if core.isascii():  # fast path: ASCII has no CJK/emoji codepoints
+        _split_word_run(core, base, lang, out)
+        return
     i, n = 0, len(core)
     run_start = -1
     while i < n:
@@ -231,9 +243,12 @@ def tokenize(text: str, lang: str = "en") -> list[Token]:
     out: list[Token] = []
     if not text:
         return out
+    plain = _PLAIN_WORD_RE
     for m in _SEG_RE.finditer(text):
         seg = m.group(0)
-        if seg.isspace():
+        if plain(seg):  # fast path: bare alnum word (the common web-text case)
+            out.append(Token(seg, m.start(), m.end(), False))
+        elif seg.isspace():
             if seg != " ":
                 out.append(Token(seg, m.start(), m.end(), True))
         else:

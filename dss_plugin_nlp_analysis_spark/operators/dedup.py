@@ -75,29 +75,34 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(col: Column, num_hashes: int = 16, n: int = 3) -> Column:
-    """MinHash signature as array<string> of hex minima.
+def minhash_signature(col: Column, num_hashes: int = 8, n: int = 3) -> Column:
+    """MinHash signature as array<string> of hex minima (b-bit MinHash).
 
-    hash_i(shingle) = md5(i || '|' || shingle); the minimum hex string per
-    seed approximates the Jaccard permutation minimum. Pure expression —
-    identical math in DuckDB (md5 of the same bytes).
+    ONE md5 per shingle; hash_i(shingle) = hex window ``md5(s)[4i : 4i+4]``
+    (16-bit minwise hashes, Li & König b-bit MinHash) — so the expensive
+    digest is not repeated per seed. num_hashes ≤ 8 (32 hex chars / 4).
+    Identical math in DuckDB (md5 + substr of the same bytes).
+
+    NOTE: as a single Column expression, Catalyst does not CSE the
+    higher-order subtrees, so prefer ``minhash_candidate_pairs`` (exploded
+    plan, digest computed exactly once) for bulk work.
     """
-    sh = shingles(col, n)
-
-    def seed_min(i: int):
-        prefix = F.lit(f"{i}|")
-        # NB: the lambda must stay unary — a second parameter would make
-        # F.transform bind the array index to it
-        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(prefix, s))))
-
-    return F.array(*[seed_min(i) for i in range(num_hashes)])
+    if num_hashes > 8:
+        raise ValueError("substring scheme supports at most 8 hashes")
+    hexes = F.transform(shingles(col, n), lambda s: F.md5(s))
+    return F.array(
+        *[
+            F.array_min(F.transform(hexes, lambda h: F.substring(h, 1 + 4 * i, 4)))
+            for i in range(num_hashes)
+        ]
+    )
 
 
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_hashes: int = 16,
+    num_hashes: int = 8,
     bands: int = 4,
     n: int = 3,
     max_bucket_size: int = 1000,
@@ -105,13 +110,23 @@ def minhash_candidate_pairs(
     """LSH banding: docs sharing any band of the MinHash signature become a
     candidate pair (id_a < id_b, distinct).
 
-    Shuffle payload is (id, band_key) only. ``max_bucket_size`` drops
-    degenerate buckets (boilerplate text) before the quadratic pair step.
+    Physical plan: explode shingles → md5 ONCE per shingle → groupBy(id)
+    with map-side partial MIN aggregation of the per-seed hex windows (the
+    shuffle carries one tiny signature row per doc per partition), then
+    band-key explode + self-equi-join. ``max_bucket_size`` drops degenerate
+    buckets (boilerplate text) before the quadratic pair step.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, n).alias("sig")
-    with_sig = df.select(F.col(id_col).alias("id"), sig)
-    banded = with_sig.select(
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("g")
+    ).withColumn("h", F.md5("g"))
+    sig = ex.groupBy("id").agg(
+        *[
+            F.min(F.substring("h", 1 + 4 * i, 4)).alias(f"s{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    banded = sig.select(
         "id",
         F.explode(
             F.array(
@@ -120,7 +135,7 @@ def minhash_candidate_pairs(
                         F.concat_ws(
                             "|",
                             F.lit(b),
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+                            *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)],
                         )
                     )
                     for b in range(bands)

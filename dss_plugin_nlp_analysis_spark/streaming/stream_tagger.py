@@ -1,0 +1,73 @@
+"""Structured Streaming variant of the tagging/KG pipeline.
+
+The reference is strictly batch (SURVEY.md §2.9); this is new surface for
+continuous crawl ingestion: a stream of web pages → the same Arrow match
+UDF → triples, with exactly-once sinks via foreachBatch + the per-batch
+manifest. The extraction UDF is stateless per document, so it drops into a
+streaming plan unchanged — watermarks/windows only matter for the optional
+rate aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.ontology import CompiledOntology
+from ..operators.tagger import extract_mentions
+
+__all__ = ["stream_pages", "stream_triples", "run_stream_to_parquet"]
+
+
+def stream_pages(spark: SparkSession, source_dir: str, schema) -> DataFrame:
+    """File-source stream of web pages (one file batch per trigger)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+
+def stream_triples(
+    pages: DataFrame,
+    compiled: CompiledOntology,
+    url_col: str = "url",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """Streaming mention extraction → per-match triple rows."""
+    tagged = extract_mentions(
+        pages, compiled, text_col, lang_col, result_col="_t",
+        skip_unknown=True, broadcast=False,  # broadcast vars don't restart cleanly in streams
+    )
+    m = F.explode(F.col("_t")["matches"]).alias("m")
+    return tagged.select(F.col(url_col).alias("subj"), F.col("_t")["sentences"].alias("_s"), m).select(
+        "subj",
+        F.col("m")["tag"].alias("pred"),
+        F.col("m")["tag"].alias("obj"),
+        F.col("m")["keyword"].alias("keyword"),
+        F.element_at(F.col("_s"), F.col("m")["sent_idx"] + 1).alias("sentence"),
+    )
+
+
+def run_stream_to_parquet(
+    triples: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Start the stream with an exactly-once parquet sink (foreachBatch +
+    epoch id recorded per batch for lineage). Caller awaits/stops."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(output_dir)
+        )
+
+    return (
+        triples.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
