@@ -100,6 +100,140 @@ def _q_ontology_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_ontology(raw, "tag", "keyword", "category")
 
 
+# --- matching options exercised through the driver gate -------------------
+# (ignore_case / lemmatization / ignore_diacritics — recipe.json:348-383)
+
+def _q_tag_match_lemma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.replace(F.trim(F.col("text")), F.lit(" merge "), F.lit(" merged "))
+    )
+    out = tag_documents(
+        docs, demo_ontology_df(spark), lang_col="lang",
+        options=TagOptions(lemmatization=True),
+    )
+    return out.select("doc_id", "tag", "tag_keyword")
+
+
+def _q_tag_match_ignorecase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.replace(F.trim(F.col("text")), F.lit(" spark "), F.lit(" SPARK "))
+    )
+    out = tag_documents(
+        docs, demo_ontology_df(spark), lang_col="lang",
+        options=TagOptions(ignore_case=True),
+    )
+    return out.select("doc_id", "tag", "tag_keyword")
+
+
+def _q_tag_match_diacritics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.replace(F.trim(F.col("text")), F.lit(" slow "), F.lit(" slów "))
+    )
+    out = tag_documents(
+        docs, demo_ontology_df(spark), lang_col="lang",
+        options=TagOptions(ignore_diacritics=True),
+    )
+    return out.select("doc_id", "tag", "tag_keyword")
+
+
+# --- events analytics (windows, sessionization, JSON props) ---------------
+
+def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    with_breaks = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn("session_seq", F.sum("is_new").over(run))
+    return (
+        with_breaks.groupBy("user_id", "session_seq")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
+    )
+
+
+def _q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_k")
+    )
+
+
+# --- relational breadth: aggregation + broadcast join ----------------------
+
+def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def _q_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# --- stopwords (T5) + token classifiers (T4) -------------------------------
+
+def _q_remove_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dss_plugin_nlp_analysis_spark.operators.textstats import remove_stopwords
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = remove_stopwords(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, " ").alias("kept_text"),
+    )
+
+
+def _q_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dss_plugin_nlp_analysis_spark.functions.tokclass import classify_token_col
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.replace(F.trim(F.col("text")), F.lit(" spark "), F.lit(" #spark "))
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    return (
+        toks.withColumn("cls", classify_token_col(F.col("tok")))
+        .groupBy("cls")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 # --- KG materialization (SEMANTICS.md §8, north_star) ---------------------
 
 def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,6 +390,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "langid_markers": _q_langid_markers,
         "multimodal_meta": _q_multimodal_meta,
+        "tag_match_lemma": _q_tag_match_lemma,
+        "tag_match_ignorecase": _q_tag_match_ignorecase,
+        "tag_match_diacritics": _q_tag_match_diacritics,
+        "events_window": _q_events_window,
+        "events_sessionize": _q_events_sessionize,
+        "events_props_json": _q_events_props_json,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "orders_by_segment": _q_orders_by_segment,
+        "remove_stopwords": _q_remove_stopwords,
+        "token_classes": _q_token_classes,
     }
 
 
@@ -576,5 +720,133 @@ def oracle_sql() -> dict[str, str]:
                    'raw' AS fmt,
                    length(text)::INT AS payload_bytes
             FROM documents
+        """,
+        # lemmatization: 'merged' lemmatizes to 'merge' only under the en
+        # lookup table (non-en tables have no entry → identity), so the
+        # derived-token match is lang-dependent
+        "tag_match_lemma": r"""
+            WITH d AS (SELECT doc_id, lang,
+                              replace(trim(text), ' merge ', ' merged ') AS t
+                       FROM documents),
+            m AS (
+              SELECT doc_id, lang,
+                     unnest(regexp_extract_all(t, '\b(table scan|merged|merge|slow|window|customer|spark)\b')) AS kw
+              FROM d
+            ),
+            mf AS (
+              SELECT DISTINCT doc_id, kw FROM m
+              WHERE kw != 'merged' OR lang = 'en'
+            )
+            SELECT d.doc_id,
+                   CASE mf.kw WHEN 'table scan' THEN 'scan_op'
+                              WHEN 'merged' THEN 'merge_op'
+                              WHEN 'merge' THEN 'merge_op'
+                              WHEN 'slow' THEN 'merge_op'
+                              WHEN 'window' THEN 'window_op'
+                              WHEN 'customer' THEN 'customer_ent'
+                              WHEN 'spark' THEN 'spark_ent' END AS tag,
+                   mf.kw AS tag_keyword
+            FROM d LEFT JOIN mf ON d.doc_id = mf.doc_id
+        """,
+        # ignore_case: lowering the derived text restores the original, so
+        # the match set equals the base query's; surfaces are lowercase
+        "tag_match_ignorecase": f"""
+            WITH {onto},
+            m AS (
+              SELECT doc_id, unnest(regexp_extract_all(trim(text), '{pat}')) AS kw
+              FROM documents
+            ),
+            md AS (SELECT DISTINCT doc_id, kw FROM m)
+            SELECT d.doc_id, o.tag AS tag, md.kw AS tag_keyword
+            FROM documents d
+            LEFT JOIN md ON d.doc_id = md.doc_id
+            LEFT JOIN onto o ON o.keyword = md.kw
+        """,
+        # ignore_diacritics: stripping combining marks restores 'slow'
+        "tag_match_diacritics": f"""
+            WITH {onto},
+            m AS (
+              SELECT doc_id, unnest(regexp_extract_all(trim(text), '{pat}')) AS kw
+              FROM documents
+            ),
+            md AS (SELECT DISTINCT doc_id, kw FROM m)
+            SELECT d.doc_id, o.tag AS tag, md.kw AS tag_keyword
+            FROM documents d
+            LEFT JOIN md ON d.doc_id = md.doc_id
+            LEFT JOIN onto o ON o.keyword = md.kw
+        """,
+        "events_window": """
+            SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH e AS (SELECT user_id, event_id, ts, floor(epoch(ts)) AS sec FROM events),
+            g AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM g
+            )
+            SELECT user_id, session_seq::BIGINT AS session_seq,
+                   count(*) AS n_events, min(ts) AS session_start
+            FROM s GROUP BY 1, 2
+        """,
+        "events_props_json": r"""
+            SELECT event_type,
+                   sum(regexp_extract(props, '"k": (\d+)', 1)::BIGINT)::BIGINT AS sum_k,
+                   count(regexp_extract(props, '"k": (\d+)', 1)) AS n_k
+            FROM events GROUP BY 1
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2
+        """,
+        "orders_by_segment": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "remove_stopwords": f"""
+            WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+            k AS (
+              SELECT doc_id,
+                     list_filter(toks, x -> x NOT IN
+                       ('the','a','an','of','and','to','in','is','it','that')) AS kept
+              FROM w
+            )
+            SELECT doc_id, len(kept)::INT AS n_kept,
+                   array_to_string(kept, ' ') AS kept_text
+            FROM k
+        """,
+        "token_classes": r"""
+            WITH toks AS (
+              SELECT unnest(string_split(replace(trim(text), ' spark ', ' #spark '), ' ')) AS tok
+              FROM documents
+            )
+            SELECT CASE
+                     WHEN regexp_matches(tok, '^#\w+$') THEN 'hashtag'
+                     WHEN regexp_matches(tok, '^@\w+$') THEN 'username'
+                     WHEN regexp_matches(tok, '^\d{1,4}[-/.]\d{1,2}[-/.]\d{1,4}$')
+                       OR regexp_matches(tok, '^\d{1,2}:\d{2}(:\d{2})?$') THEN 'datetime'
+                     WHEN regexp_matches(lower(tok), '^\d+(\.\d+)?(km|m|cm|mm|kg|g|mg|lb|oz|mi|ft|in|%|°c|°f|°)$') THEN 'measure'
+                     WHEN regexp_matches(tok, '^[$€£¥%©®™§±×÷=+<>^~|]+$') THEN 'symbol'
+                     WHEN regexp_matches(tok, '^\s+$') THEN 'space'
+                     ELSE 'word'
+                   END AS cls,
+                   count(*) AS n
+            FROM toks GROUP BY 1
         """,
     }

@@ -20,6 +20,7 @@ __all__ = [
     "regex_token_count",
     "quality_features",
     "marker_langid",
+    "remove_stopwords",
     "EN_STOPWORDS",
 ]
 
@@ -80,6 +81,14 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(score, 6).alias("quality_score"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def remove_stopwords(col: Column, stopwords: list[str] | None = None) -> Column:
+    """Order-preserving stopword filter over normalized tokens (reference
+    T5 surface, spacy_tokenizer.py:335-365 — broadcastable set + filter;
+    F.array_except would lose duplicates/order, so use F.filter)."""
+    stop_arr = F.array(*[F.lit(s) for s in (stopwords or EN_STOPWORDS)])
+    return F.filter(word_tokens(col), lambda x: ~F.array_contains(stop_arr, x))
 
 
 # language marker words (tiny frozen profiles; native path)
