@@ -20,7 +20,26 @@ from pyspark.sql import functions as F
 from ..functions.sentencizer import split_sentences
 from ..functions.textnorm import clean_linebreaks
 
-__all__ = ["clean_linebreaks_col", "split_sentences_udf", "extract_text_udf"]
+__all__ = [
+    "clean_linebreaks_col",
+    "clean_text_rows",
+    "split_sentences_udf",
+    "extract_text_udf",
+]
+
+
+def clean_text_rows(df, columns: list[str]):
+    """P7 — generic text-column cleaner (reference
+    utils/cleaning_utils.py:43-57, unused by the recipe path): strip each
+    column, empty → NULL, drop rows where any cleaned column is NULL."""
+    out = df
+    for c in columns:
+        out = out.withColumn(c, F.nullif(F.trim(F.col(c)), F.lit("")))
+    cond = None
+    for c in columns:
+        cnd = F.col(c).isNotNull()
+        cond = cnd if cond is None else (cond & cnd)
+    return out.where(cond)
 
 
 def clean_linebreaks_col(col: Column) -> Column:
