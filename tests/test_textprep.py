@@ -35,3 +35,15 @@ def test_native_is_codegen_not_udf(spark):
     plan = df.select(clean_linebreaks_col(F.col("text"))).queryExecution if False else None
     explained = df.select(clean_linebreaks_col(F.col("text")))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in explained and "ArrowEvalPython" not in explained
+
+
+def test_clean_text_rows(spark):
+    # P7 (reference cleaning_utils.py:43-57): strip, ""→NULL, drop rows
+    df = spark.createDataFrame(
+        [("  a  ", "x"), ("", "y"), ("   ", "z"), ("b", None)],
+        "t string, u string",
+    )
+    from dss_plugin_nlp_analysis_spark.operators.textprep import clean_text_rows
+
+    got = [(r["t"], r["u"]) for r in clean_text_rows(df, ["t", "u"]).collect()]
+    assert got == [("a", "x")]
