@@ -234,6 +234,26 @@ def _q_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dss_plugin_nlp_analysis_spark.operators.skew import salted_distinct_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_distinct_stats(ev, "user_id", "event_type", buckets=8)
+
+
+def _q_tag_doc_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = tag_documents(
+        docs,
+        demo_ontology_df(spark, with_category=True),
+        text_col="text",
+        lang_col="lang",
+        category_col="category",
+        output_format="one_row_per_doc",
+    )
+    return out.select("doc_id", "tag_list_operator", "tag_list_entity", "tag_keywords")
+
+
 # --- KG materialization (SEMANTICS.md §8, north_star) ---------------------
 
 def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,6 +420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_segment": _q_orders_by_segment,
         "remove_stopwords": _q_remove_stopwords,
         "token_classes": _q_token_classes,
+        "salted_user_stats": _q_salted_user_stats,
+        "tag_doc_pivot": _q_tag_doc_pivot,
     }
 
 
@@ -830,6 +852,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(kept)::INT AS n_kept,
                    array_to_string(kept, ' ') AS kept_text
             FROM k
+        """,
+        "salted_user_stats": """
+            SELECT user_id, count(*) AS n_rows,
+                   count(DISTINCT event_type)::INT AS n_distinct
+            FROM events GROUP BY 1
+        """,
+        # per-category pivot columns: first-appearance-ordered distinct tags
+        # per (doc, category), JSON arrays, NULL when the doc has none
+        "tag_doc_pivot": f"""
+            WITH {onto},
+            m AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(trim(text), '{pat}')) AS kw,
+                     generate_subscripts(regexp_extract_all(trim(text), '{pat}'), 1) AS pos
+              FROM documents
+            ),
+            mt AS (
+              SELECT m.doc_id, o.category, o.tag, min(m.pos) AS fp
+              FROM m JOIN onto o ON o.keyword = m.kw
+              GROUP BY 1, 2, 3
+            ),
+            mk AS (SELECT doc_id, kw, min(pos) AS fp FROM m GROUP BY 1, 2),
+            op AS (
+              SELECT doc_id, to_json(list(tag ORDER BY fp))::VARCHAR AS tag_list_operator
+              FROM mt WHERE category = 'operator' GROUP BY 1
+            ),
+            en AS (
+              SELECT doc_id, to_json(list(tag ORDER BY fp))::VARCHAR AS tag_list_entity
+              FROM mt WHERE category = 'entity' GROUP BY 1
+            ),
+            kws AS (
+              SELECT doc_id, to_json(list(kw ORDER BY fp))::VARCHAR AS tag_keywords
+              FROM mk GROUP BY 1
+            )
+            SELECT d.doc_id, op.tag_list_operator, en.tag_list_entity, kws.tag_keywords
+            FROM documents d
+            LEFT JOIN op ON d.doc_id = op.doc_id
+            LEFT JOIN en ON d.doc_id = en.doc_id
+            LEFT JOIN kws ON d.doc_id = kws.doc_id
         """,
         "token_classes": r"""
             WITH toks AS (
