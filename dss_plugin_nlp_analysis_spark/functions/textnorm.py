@@ -48,6 +48,10 @@ def normalize_text(
     """
     if ignore_case:
         text = text.lower()
+    if text.isascii():
+        # NFC/NFD are identity on ASCII and ASCII has no combining marks —
+        # the dominant web-text fast path
+        return text
     form = "NFC" if use_nfc(lemmatization, ignore_diacritics) else "NFD"
     text = unicodedata.normalize(form, text)
     if ignore_diacritics:

@@ -103,18 +103,18 @@ def process_document(
             lemmatization=opts.lemmatization,
             ignore_diacritics=opts.ignore_diacritics,
         )
-        if norm == sent_text:  # fast path: reuse the doc-level tokens
-            keys = [t.text for t in doc_tokens[a:b]]
-            starts = [t.start - off for t in doc_tokens[a:b]]
-            ends = [t.end - off for t in doc_tokens[a:b]]
-        else:
-            toks = tokenize(norm, lang)
-            keys = [t.text for t in toks]
-            starts = [t.start for t in toks]
-            ends = [t.end for t in toks]
+        reused = norm == sent_text  # fast path: reuse the doc-level tokens
+        toks = doc_tokens[a:b] if reused else tokenize(norm, lang)
+        keys = [t.text for t in toks]
         if opts.lemmatization:
             keys = lemmatize_tokens(keys, table)
         hits = auto.find_all(keys)
+        if not hits:
+            continue
+        # char offsets are only needed once something matched
+        shift = off if reused else 0
+        starts = [t.start - shift for t in toks]
+        ends = [t.end - shift for t in toks]
         if compiled.has_category:
             hits = filter_leftmost_longest(hits)
         lang_profiles = compiled.profiles.get(lang, {})
