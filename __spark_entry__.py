@@ -357,6 +357,15 @@ def _q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, emb.where(F.col("vec_id") < 10), k=5, num_planes=6)
 
 
+def _q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dss_plugin_nlp_analysis_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=4
+    )
+
+
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_features(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -406,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_ann": _q_embedding_ann,
+        "embedding_ivf": _q_embedding_ivf,
         "quality": _q_quality,
         "token_stats": _q_token_stats,
         "langid_markers": _q_langid_markers,
@@ -666,6 +676,43 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q
               JOIN embeddings c ON c.vec_id != q.vec_id
               WHERE q.vec_id < 10
+            ) WHERE rank <= 5
+        """,
+        "embedding_ivf": """
+            WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16),
+            asgn AS (
+              SELECT nid, cid FROM (
+                SELECT e.vec_id AS nid, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                                         c.embedding::DOUBLE[]) DESC,
+                                  c.cid) AS r
+                FROM embeddings e CROSS JOIN cent c
+              ) WHERE r = 1
+            ),
+            probe AS (
+              SELECT qid, cid FROM (
+                SELECT q.vec_id AS qid, c.cid,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                         c.embedding::DOUBLE[]) DESC,
+                                  c.cid) AS r
+                FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10
+              ) WHERE r <= 4
+            ),
+            cand AS (
+              SELECT p.qid, a.nid FROM probe p JOIN asgn a ON a.cid = p.cid
+              WHERE a.nid != p.qid
+            )
+            SELECT query_id, neighbor_id, rank::INT AS rank FROM (
+              SELECT c.qid AS query_id, c.nid AS neighbor_id,
+                     row_number() OVER (PARTITION BY c.qid
+                       ORDER BY list_cosine_similarity(eq.embedding::DOUBLE[],
+                                                       en.embedding::DOUBLE[]) DESC,
+                                c.nid) AS rank
+              FROM cand c
+              JOIN embeddings eq ON eq.vec_id = c.qid
+              JOIN embeddings en ON en.vec_id = c.nid
             ) WHERE rank <= 5
         """,
         "quality": f"""

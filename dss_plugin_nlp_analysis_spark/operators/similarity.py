@@ -20,7 +20,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "hyperplane_buckets", "lsh_ann_topk"]
+__all__ = [
+    "dot", "l2_norm", "cosine", "cosine_topk",
+    "hyperplane_buckets", "lsh_ann_topk", "ivf_topk",
+]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -140,6 +143,72 @@ def lsh_ann_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    sim = cosine(
+        F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")
+    ).alias("sim")
+    ranked = cand.select("query_id", "neighbor_id", sim).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select("query_id", "neighbor_id", "rank")
+
+
+def _centroid_sims(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<neg_sim, cid>> sorted ascending = cosine desc, cid asc
+    (deterministic tie rule shared with the SQL oracle)."""
+    entries = [
+        F.struct(
+            (-cosine(vec, F.lit(cvec))).alias("neg_sim"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, cvec in centroids
+    ]
+    return F.array_sort(F.array(*entries))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus to its nearest centroid,
+    probe the query's ``n_probe`` nearest centroid lists, exact re-rank.
+
+    Centroids are the first ``n_centroids`` corpus vectors in id order —
+    deterministic and engine-reproducible (a k-means refinement would drop
+    in here without changing the dataflow). The corpus scan is a pure map
+    (centroid sims are literal-array expressions); the only shuffle is the
+    candidate equi-join on centroid id — the 100 TB path, like LSH but with
+    data-adaptive cells.
+    """
+    cent_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _centroid_sims(F.col(vec_col).cast("array<double>"), centroids)[0]["cid"].alias("cid"),
+    )
+    q_sims = _centroid_sims(F.col(vec_col).cast("array<double>"), centroids)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(
+            F.transform(F.slice(q_sims, 1, n_probe), lambda s: s["cid"])
+        ).alias("cid"),
+    )
+    cand = c.join(F.broadcast(q), "cid").where(F.col("neighbor_id") != F.col("query_id"))
     sim = cosine(
         F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")
     ).alias("sim")
