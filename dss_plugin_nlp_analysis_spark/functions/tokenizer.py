@@ -34,6 +34,12 @@ class Token(NamedTuple):
     is_space: bool
 
 
+# hot-path constructor: tuple.__new__ skips the namedtuple __new__ wrapper
+# (2x cheaper; identical instances)
+def _tok(text, start, end, is_space):
+    return tuple.__new__(Token, (text, start, end, is_space))
+
+
 # --- character classes -------------------------------------------------
 
 _SEG_RE = re.compile(r"\s+|\S+")
@@ -141,8 +147,8 @@ def _split_word_run(run: str, base: int, lang: str, out: list[Token]) -> None:
                 m = _ELISION_RE.match(piece)
                 if m:
                     cut = m.end(1)
-                    out.append(Token(piece[:cut], start, start + cut, False))
-                    out.append(Token(piece[cut:], start + cut, start + len(piece), False))
+                    out.append(_tok(piece[:cut], start, start + cut, False))
+                    out.append(_tok(piece[cut:], start + cut, start + len(piece), False))
                     continue
             if lang == "en":
                 low = piece.lower()
@@ -152,10 +158,10 @@ def _split_word_run(run: str, base: int, lang: str, out: list[Token]) -> None:
                 )
                 if clit:
                     cut = len(piece) - len(clit)
-                    out.append(Token(piece[:cut], start, start + cut, False))
-                    out.append(Token(piece[cut:], start + cut, start + len(piece), False))
+                    out.append(_tok(piece[:cut], start, start + cut, False))
+                    out.append(_tok(piece[cut:], start + cut, start + len(piece), False))
                     continue
-        out.append(Token(piece, start, start + len(piece), False))
+        out.append(_tok(piece, start, start + len(piece), False))
 
 
 def _split_core(core: str, base: int, lang: str, out: list[Token]) -> None:
@@ -172,7 +178,7 @@ def _split_core(core: str, base: int, lang: str, out: list[Token]) -> None:
             if run_start >= 0:
                 _split_word_run(core[run_start:i], base + run_start, lang, out)
                 run_start = -1
-            out.append(Token(ch, base + i, base + i + 1, False))
+            out.append(_tok(ch, base + i, base + i + 1, False))
             i += 1
         elif _is_emoji(ch):
             if run_start >= 0:
@@ -188,7 +194,7 @@ def _split_core(core: str, base: int, lang: str, out: list[Token]) -> None:
                     j += 2
                 else:
                     break
-            out.append(Token(core[i:j], base + i, base + j, False))
+            out.append(_tok(core[i:j], base + i, base + j, False))
             i = j
         else:
             if run_start < 0:
@@ -200,14 +206,14 @@ def _split_core(core: str, base: int, lang: str, out: list[Token]) -> None:
 
 def _refine_chunk(chunk: str, base: int, lang: str, out: list[Token]) -> None:
     if _TOKEN_MATCH_RE.match(chunk):
-        out.append(Token(chunk, base, base + len(chunk), False))
+        out.append(_tok(chunk, base, base + len(chunk), False))
         return
     start, end = 0, len(chunk)
     prefix_tokens: list[Token] = []
     while end - start > 1 and chunk[start] in _OPEN_PUNCT:
         if chunk[start] in "#@" and _TOKEN_MATCH_RE.match(chunk[start:end]):
             break
-        prefix_tokens.append(Token(chunk[start], base + start, base + start + 1, False))
+        prefix_tokens.append(_tok(chunk[start], base + start, base + start + 1, False))
         start += 1
     suffix_tokens: list[Token] = []
     while end - start > 1:
@@ -215,20 +221,20 @@ def _refine_chunk(chunk: str, base: int, lang: str, out: list[Token]) -> None:
         m = _ELLIPSIS_RE.search(seg)
         if m and m.start() > 0:
             s = start + m.start()
-            suffix_tokens.append(Token(seg[m.start():], base + s, base + end, False))
+            suffix_tokens.append(_tok(seg[m.start():], base + s, base + end, False))
             end = s
         elif chunk[end - 1] in _CLOSE_PUNCT:
-            suffix_tokens.append(Token(chunk[end - 1], base + end - 1, base + end, False))
+            suffix_tokens.append(_tok(chunk[end - 1], base + end - 1, base + end, False))
             end -= 1
         elif chunk[end - 1] == "." and "." not in chunk[start:end - 1]:
-            suffix_tokens.append(Token(".", base + end - 1, base + end, False))
+            suffix_tokens.append(_tok(".", base + end - 1, base + end, False))
             end -= 1
         else:
             break
     core = chunk[start:end]
     out.extend(prefix_tokens)
     if _TOKEN_MATCH_RE.match(core):
-        out.append(Token(core, base + start, base + end, False))
+        out.append(_tok(core, base + start, base + end, False))
     elif core:
         _split_core(core, base + start, lang, out)
     out.extend(reversed(suffix_tokens))
@@ -247,10 +253,10 @@ def tokenize(text: str, lang: str = "en") -> list[Token]:
     for m in _SEG_RE.finditer(text):
         seg = m.group(0)
         if plain(seg):  # fast path: bare alnum word (the common web-text case)
-            out.append(Token(seg, m.start(), m.end(), False))
+            out.append(_tok(seg, m.start(), m.end(), False))
         elif seg.isspace():
             if seg != " ":
-                out.append(Token(seg, m.start(), m.end(), True))
+                out.append(_tok(seg, m.start(), m.end(), True))
         else:
             _refine_chunk(seg, m.start(), lang, out)
     return out
