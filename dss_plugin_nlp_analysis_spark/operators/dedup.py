@@ -32,8 +32,9 @@ __all__ = [
 
 
 def normalized_text(col: Column) -> Column:
-    """Dedup normalization: lowercase, collapse whitespace runs, trim."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    """Dedup normalization: lowercase, collapse whitespace runs, trim.
+    NULL-safe (web corpora carry NULL text): NULL → ''."""
+    return F.trim(F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), r"\s+", " "))
 
 
 def fingerprint(col: Column) -> Column:
