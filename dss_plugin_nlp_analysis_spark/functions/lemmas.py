@@ -34,6 +34,27 @@ _BUILTIN: dict[str, dict[str, str]] = {
         "windows": "window", "streams": "stream", "batches": "batch",
         "keys": "key", "values": "value", "parts": "part",
         "customers": "customer", "lines": "line", "groups": "group",
+        # common web-text irregulars (public English morphology)
+        "went": "go", "gone": "go", "goes": "go", "going": "go",
+        "made": "make", "makes": "make", "making": "make",
+        "said": "say", "says": "say", "saying": "say",
+        "took": "take", "taken": "take", "takes": "take", "taking": "take",
+        "came": "come", "comes": "come", "coming": "come",
+        "got": "get", "gotten": "get", "gets": "get", "getting": "get",
+        "saw": "see", "seen": "see", "sees": "see", "seeing": "see",
+        "knew": "know", "known": "know", "knows": "know", "knowing": "know",
+        "found": "find", "finds": "find", "finding": "find",
+        "gave": "give", "given": "give", "gives": "give", "giving": "give",
+        "thought": "think", "thinks": "think", "thinking": "think",
+        "built": "build", "builds": "build", "building": "build",
+        "wrote": "write", "written": "write", "writes": "write", "writing": "write",
+        "held": "hold", "holds": "hold", "holding": "hold",
+        "kept": "keep", "keeps": "keep", "keeping": "keep",
+        "children": "child", "people": "person", "men": "man", "women": "woman",
+        "was": "be", "were": "be", "is": "be", "are": "be", "been": "be", "being": "be",
+        "has": "have", "had": "have", "having": "have",
+        "did": "do", "does": "do", "doing": "do", "done": "do",
+        "better": "good", "best": "good", "worse": "bad", "worst": "bad",
     },
     "es": {"trabajó": "trabajar", "trabajado": "trabajar", "trabaja": "trabajar"},
     "fr": {"travaillé": "travailler", "travaille": "travailler"},
