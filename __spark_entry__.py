@@ -234,6 +234,16 @@ def _q_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
+    )
+
+
 def _q_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dss_plugin_nlp_analysis_spark.operators.skew import salted_distinct_stats
 
@@ -432,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_classes": _q_token_classes,
         "salted_user_stats": _q_salted_user_stats,
         "tag_doc_pivot": _q_tag_doc_pivot,
+        "corpus_profile": _q_corpus_profile,
     }
 
 
@@ -899,6 +910,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(kept)::INT AS n_kept,
                    array_to_string(kept, ' ') AS kept_text
             FROM k
+        """,
+        "corpus_profile": """
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(n_chars), 4) AS avg_chars,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+                   round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+            FROM documents GROUP BY 1
         """,
         "salted_user_stats": """
             SELECT user_id, count(*) AS n_rows,
