@@ -73,6 +73,21 @@ TAGGING_SCHEMA = T.StructType(
 
 OUTPUT_FORMATS = ("one_row_per_match", "one_row_per_doc", "one_row_per_doc_json")
 
+# human descriptions attached as column metadata (reference
+# formatting/base.py:18-28 COLUMN_DESCRIPTION, written via the S5 sink)
+COLUMN_DESCRIPTIONS = {
+    "tag_keywords": "List of matched keywords",
+    "tag_sentences": "Sentences containing matched keywords",
+    "tag_json_full": "Detailed tag column: list of matched keywords per tag "
+                     "and category, count of occurrences, sentences containing matched keywords",
+    "tag_json_categories": "List of tags per category",
+    "tag_list": "List of all assigned tags",
+    "tag": "Assigned tag",
+    "tag_keyword": "Matched keyword",
+    "tag_sentence": "Sentence containing the matched keyword",
+    "tag_category": "Category of tag",
+}
+
 
 def process_document(
     compiled: CompiledOntology, text: str | None, lang: str
@@ -477,4 +492,16 @@ def tag_documents(
         out = format_per_doc(tagged, res, has_category, names, categories)
     else:
         out = format_per_doc_json(tagged, res, has_category, names)
+    out = out.select(*ordered_with_new_after(out.columns, finals, text_col))
+    # attach human descriptions as column metadata (S5; base.py:72-77)
+    comments = {}
+    for base, final in names.items():
+        if base in COLUMN_DESCRIPTIONS:
+            comments[final] = COLUMN_DESCRIPTIONS[base]
+        elif base.startswith("tag_list_") and categories:
+            raw = base[len("tag_list_"):]
+            comments[final] = f"List of '{raw}' tags"
+    for col, comment in comments.items():
+        if col in out.columns:
+            out = out.withColumn(col, F.col(col).alias(col, metadata={"comment": comment}))
     return out.select(*ordered_with_new_after(out.columns, finals, text_col))

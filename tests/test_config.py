@@ -110,3 +110,18 @@ def test_lemma_goldens(keyword, language, lemma):
         keyword, language, TagOptions(lemmatization=True), lemma_table(language)
     )
     assert " ".join(toks) == lemma
+
+
+def test_tagging_output_column_descriptions(spark):
+    # S5: new columns carry their human description as metadata
+    from dss_plugin_nlp_analysis_spark.operators.tagger import tag_documents
+
+    docs = spark.createDataFrame(
+        [(0, "the keyword here", "en")], "doc_id long, text string, lang string"
+    )
+    onto = spark.createDataFrame([("t", "keyword")], "tag string, keyword string")
+    out = tag_documents(docs, onto)
+    meta = {f.name: f.metadata for f in out.schema.fields}
+    assert meta["tag"]["comment"] == "Assigned tag"
+    assert meta["tag_keyword"]["comment"] == "Matched keyword"
+    assert meta["tag_sentence"]["comment"] == "Sentence containing the matched keyword"
