@@ -12,7 +12,7 @@ Divergence (documented): sentence text excludes trailing whitespace tokens.
 
 from __future__ import annotations
 
-from .tokenizer import Token, is_punct_token, tokenize
+from .tokenizer import Token, is_punct_token, tokenize_raw
 
 __all__ = ["DEFAULT_PUNCT_CHARS", "SENTENCE_PUNCT_CHARS", "split_sentences", "sentence_token_spans"]
 
@@ -35,16 +35,18 @@ DEFAULT_PUNCT_CHARS = [
 SENTENCE_PUNCT_CHARS = frozenset(DEFAULT_PUNCT_CHARS) | {"\n"}
 
 
-def sentence_token_spans(tokens: list[Token]) -> list[tuple[int, int]]:
+def sentence_token_spans(tokens: list) -> list[tuple[int, int]]:
     """Return [start_token, end_token) spans of sentences, trailing
-    whitespace tokens trimmed from each span."""
+    whitespace tokens trimmed from each span. Accepts Token or the plain
+    (text, start, end, is_space) tuples from ``tokenize_raw``."""
     if not tokens:
         return []
     starts = [0]
     seen_punct = False
     for i, tok in enumerate(tokens):
-        in_punct = tok.text in SENTENCE_PUNCT_CHARS
-        if seen_punct and not in_punct and not is_punct_token(tok.text):
+        text = tok[0]
+        in_punct = text in SENTENCE_PUNCT_CHARS
+        if seen_punct and not in_punct and not is_punct_token(text):
             starts.append(i)
             seen_punct = False
         elif in_punct:
@@ -52,7 +54,7 @@ def sentence_token_spans(tokens: list[Token]) -> list[tuple[int, int]]:
     spans: list[tuple[int, int]] = []
     bounds = starts + [len(tokens)]
     for a, b in zip(bounds, bounds[1:]):
-        while b > a and tokens[b - 1].is_space:
+        while b > a and tokens[b - 1][3]:  # is_space
             b -= 1
         if b > a:
             spans.append((a, b))
@@ -67,8 +69,8 @@ def split_sentences(text: str | None, lang: str = "en") -> list[str]:
     """
     if not text:
         return []
-    tokens = tokenize(text, lang)
+    tokens = tokenize_raw(text, lang)
     return [
-        text[tokens[a].start:tokens[b - 1].end]
+        text[tokens[a][1]:tokens[b - 1][2]]
         for a, b in sentence_token_spans(tokens)
     ]

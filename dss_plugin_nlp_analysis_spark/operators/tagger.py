@@ -38,7 +38,7 @@ from ..functions.lemmas import lemmatize_tokens
 from ..functions.naming import ordered_with_new_after, unique_names
 from ..functions.sentencizer import sentence_token_spans
 from ..functions.textnorm import clean_linebreaks, normalize_text
-from ..functions.tokenizer import tokenize
+from ..functions.tokenizer import tokenize_raw
 from .automaton import filter_leftmost_longest
 from .ontology import CompiledOntology, TagOptions, clean_ontology, compile_ontology
 
@@ -102,15 +102,15 @@ def process_document(
     if not clean:
         return [], []
     opts = compiled.options
-    doc_tokens = tokenize(clean, lang)
+    doc_tokens = tokenize_raw(clean, lang)  # plain (text, start, end, is_space)
     spans = sentence_token_spans(doc_tokens)
     auto = compiled.automaton_for(lang)
     table = compiled.lemma_tables.get(lang, {})
     sentences: list[str] = []
     matches: list[dict] = []
     for s_idx, (a, b) in enumerate(spans):
-        off = doc_tokens[a].start
-        sent_text = clean[off:doc_tokens[b - 1].end]
+        off = doc_tokens[a][1]
+        sent_text = clean[off:doc_tokens[b - 1][2]]
         sentences.append(sent_text)
         norm = normalize_text(
             sent_text,
@@ -119,8 +119,8 @@ def process_document(
             ignore_diacritics=opts.ignore_diacritics,
         )
         reused = norm == sent_text  # fast path: reuse the doc-level tokens
-        toks = doc_tokens[a:b] if reused else tokenize(norm, lang)
-        keys = [t.text for t in toks]
+        toks = doc_tokens[a:b] if reused else tokenize_raw(norm, lang)
+        keys = [t[0] for t in toks]
         if opts.lemmatization:
             keys = lemmatize_tokens(keys, table)
         hits = auto.find_all(keys)
@@ -128,8 +128,8 @@ def process_document(
             continue
         # char offsets are only needed once something matched
         shift = off if reused else 0
-        starts = [t.start - shift for t in toks]
-        ends = [t.end - shift for t in toks]
+        starts = [t[1] - shift for t in toks]
+        ends = [t[2] - shift for t in toks]
         if compiled.has_category:
             hits = filter_leftmost_longest(hits)
         lang_profiles = compiled.profiles.get(lang, {})
