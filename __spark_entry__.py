@@ -234,6 +234,31 @@ def _q_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tag_doc_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 decomposed: per (doc, tag) — count of ALL matches + distinct
+    keywords in first-appearance order (the relational core of
+    tag_json_full; the JSON byte format itself is pinned in pytest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # reference counts every occurrence: derive from the raw (un-deduped)
+    # triples rather than the deduped per-match output
+    from dss_plugin_nlp_analysis_spark.operators.kg import build_triples
+
+    triples = build_triples(
+        docs, demo_ontology_df(spark), url_col="doc_id", text_col="text",
+        lang_col="lang", ts_col=None, category_col=None, canonicalize=False,
+    )
+    return (
+        triples.groupBy(F.col("subj").alias("doc_id"), F.col("pred").alias("tag"))
+        .agg(
+            F.count("*").alias("match_count"),
+            # lexicographic distinct keywords: collect_list order is not
+            # deterministic post-shuffle (appearance order is pinned by the
+            # JSON-format pytest instead)
+            F.to_json(F.sort_array(F.array_distinct(F.collect_list("keyword")))).alias("keywords"),
+        )
+    )
+
+
 def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
@@ -443,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_user_stats": _q_salted_user_stats,
         "tag_doc_pivot": _q_tag_doc_pivot,
         "corpus_profile": _q_corpus_profile,
+        "tag_doc_details": _q_tag_doc_details,
     }
 
 
@@ -910,6 +936,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(kept)::INT AS n_kept,
                    array_to_string(kept, ' ') AS kept_text
             FROM k
+        """,
+        "tag_doc_details": f"""
+            WITH {onto},
+            m AS (
+              SELECT doc_id, unnest(regexp_extract_all(trim(text), '{pat}')) AS kw
+              FROM documents
+            ),
+            mt AS (SELECT m.doc_id, o.tag, m.kw FROM m JOIN onto o ON o.keyword = m.kw)
+            SELECT doc_id, tag, count(*) AS match_count,
+                   to_json(list(DISTINCT kw ORDER BY kw))::VARCHAR AS keywords
+            FROM mt GROUP BY 1, 2
         """,
         "corpus_profile": """
             SELECT lang, count(*) AS n_docs,

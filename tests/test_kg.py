@@ -128,3 +128,17 @@ def test_checkpointed_build_resumes(spark, tmp_path):
     # output is complete and readable
     total = spark.read.parquet(out).count()
     assert total == r1.total_triples > 0
+
+
+def test_canonical_map_transitive_chain():
+    # A—kw1—B, B—kw2—C: union-find must merge the whole chain
+    rows = [
+        ("a_tag", "kw1", None),
+        ("b_tag", "kw1", None),
+        ("b_tag", "kw2", None),
+        ("c_tag", "kw2", None),
+        ("d_tag", "kw9", None),
+    ]
+    cmap = canonical_map(rows)
+    assert cmap["a_tag"] == cmap["b_tag"] == cmap["c_tag"] == "a_tag"
+    assert cmap["d_tag"] == "d_tag"
