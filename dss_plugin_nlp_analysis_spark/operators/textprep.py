@@ -48,9 +48,15 @@ def clean_linebreaks_col(col: Column) -> Column:
     (reference sentence_splitter.py:39-44, 54-57)."""
     lines = F.split(F.coalesce(col, F.lit("")), "\r\n|\r|\n")
     kept = F.filter(lines, lambda x: x != "")
-    # NB: F.transform(kept, F.trim) would bind trim's optional 2nd param to
-    # the element index — the explicit lambda keeps it unary
-    return F.array_join(F.transform(kept, lambda x: F.trim(x)), "\n")
+    # Python str.strip removes tabs/formfeeds too — F.trim only strips
+    # spaces, so strip with a whitespace-class regex (incl. common unicode
+    # spaces) to match the kernel
+    ws = r"[\s   -     　]+"
+    stripped = F.transform(
+        kept,
+        lambda x: F.regexp_replace(F.regexp_replace(x, f"^{ws}", ""), f"{ws}$", ""),
+    )
+    return F.array_join(stripped, "\n")
 
 
 def split_sentences_udf():

@@ -47,3 +47,21 @@ def test_clean_text_rows(spark):
 
     got = [(r["t"], r["u"]) for r in clean_text_rows(df, ["t", "u"]).collect()]
     assert got == [("a", "x")]
+
+
+def test_native_equals_kernel_random_batch(spark):
+    # randomized equivalence over the \r\n/\r/\n classes, one Spark job
+    import random
+
+    rng = random.Random(7)
+    pieces = ["a", "bb", " ", "  ", "\r", "\n", "\r\n", "\t", "x y", ""]
+    cases = [
+        "".join(rng.choice(pieces) for _ in range(rng.randrange(0, 12)))
+        for _ in range(60)
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = [r["c"] for r in df.select(clean_linebreaks_col(F.col("text")).alias("c")).collect()]
+    expected = [clean_linebreaks(c) for c in cases]
+    assert got == expected
