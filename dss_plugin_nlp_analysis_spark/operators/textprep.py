@@ -51,7 +51,8 @@ def clean_linebreaks_col(col: Column) -> Column:
     # Python str.strip removes tabs/formfeeds too — F.trim only strips
     # spaces, so strip with a whitespace-class regex (incl. common unicode
     # spaces) to match the kernel
-    ws = r"[\s   -     　]+"
+    ws = ("[\\s\u00a0\u1680\u2000-\u200a"
+          "\u2028\u2029\u202f\u205f\u3000]+")  # \s + unicode spaces
     stripped = F.transform(
         kept,
         lambda x: F.regexp_replace(F.regexp_replace(x, f"^{ws}", ""), f"{ws}$", ""),
