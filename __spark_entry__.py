@@ -401,6 +401,21 @@ def _q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dss_plugin_nlp_analysis_spark.operators.similarity import cosine_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # plant exact near-dups: positively scaled copies at id+10000 (cosine 1)
+    planted = emb.union(
+        emb.select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)).alias("embedding"),
+            F.col("label"),
+        )
+    )
+    return cosine_dup_pairs(planted, threshold=0.95)
+
+
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_features(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -451,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "embedding_ann": _q_embedding_ann,
         "embedding_ivf": _q_embedding_ivf,
+        "embedding_dups": _q_embedding_dups,
         "quality": _q_quality,
         "token_stats": _q_token_stats,
         "langid_markers": _q_langid_markers,
@@ -714,6 +730,21 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings c ON c.vec_id != q.vec_id
               WHERE q.vec_id < 10
             ) WHERE rank <= 5
+        """,
+        "embedding_dups": """
+            WITH planted AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000,
+                     list_transform(embedding, x -> x * 2.0)::FLOAT[]
+              FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS cos_sim
+            FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.95
         """,
         "embedding_ivf": """
             WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16),

@@ -219,3 +219,41 @@ def ivf_topk(
         ),
     )
     return ranked.where(F.col("rank") <= k).select("query_id", "neighbor_id", "rank")
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    use_lsh: bool = False,
+    num_planes: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine ≥
+    threshold). ``use_lsh=False`` scores all pairs exactly (correctness
+    baseline, oracle-checkable); ``use_lsh=True`` pre-blocks candidates by
+    hyperplane sign-bucket — the 100 TB path (near-dups at high cosine
+    collide in every table with high probability)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    if use_lsh:
+        dim = len(df.select(vec_col).first()[0])
+        ab = hyperplane_buckets(a, "_va", num_planes, seed, dim, tables=tables) \
+            .withColumn("bucket", F.explode("bucket"))
+        bb = hyperplane_buckets(b, "_vb", num_planes, seed, dim, tables=tables) \
+            .withColumn("bucket", F.explode("bucket"))
+        cand = (
+            ab.join(bb, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    sim = cosine(F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>"))
+    return (
+        cand.withColumn("cos_sim", sim)
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )

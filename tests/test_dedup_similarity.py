@@ -165,3 +165,22 @@ def test_frame_sample_plan(spark):
     rows = frame_sample_plan(vids, "id", "n_frames", every=10).collect()
     got = sorted((r["id"], r["frame_idx"]) for r in rows)
     assert got == [(1, 0), (1, 10), (1, 20), (2, 0)]
+
+
+def test_cosine_dup_pairs_exact_and_lsh(spark):
+    from dss_plugin_nlp_analysis_spark.operators.similarity import cosine_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    planted = emb.union(
+        emb.select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.transform(F.col("embedding"), lambda x: x * F.lit(3.0)).alias("embedding"),
+            F.col("label"),
+        )
+    )
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_dup_pairs(planted, threshold=0.95).collect()}
+    assert exact == {(i, i + 10000) for i in range(200)}
+    # LSH blocking keeps every exact near-dup (identical sign buckets)
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           cosine_dup_pairs(planted, threshold=0.95, use_lsh=True, tables=2).collect()}
+    assert lsh == exact
