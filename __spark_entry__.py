@@ -48,6 +48,29 @@ from dss_plugin_nlp_analysis_spark.operators.textstats import (
 )
 
 SF0001 = "/root/testdata/sf0.001"
+EMB_DIM = 64  # embeddings.parquet vector width (TESTDATA.md contract)
+
+
+def _lsh_bucket_sql(vec_expr: str, num_planes: int, tables: int, seed: int = 42) -> str:
+    """DuckDB expression (list of per-table LSH sign-buckets) replicating
+    the EXACT math of operators/similarity.hyperplane_buckets: the same
+    md5-derived hyperplane literals, the same ``proj >= 0`` sign rule, the
+    same table-offset bucket encoding. Deterministic on both engines, so
+    the approximate queries are value-checkable, not just row-countable."""
+    from dss_plugin_nlp_analysis_spark.operators.similarity import _plane_vector
+
+    bucket_exprs = []
+    for t in range(tables):
+        bits = []
+        for p in range(num_planes):
+            plane = _plane_vector(t * 10_000 + p, EMB_DIM, seed)
+            lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product({vec_expr}::DOUBLE[], {lit}::DOUBLE[]) >= 0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        bucket_exprs.append("(" + " + ".join(bits) + f" + {t << num_planes})")
+    return "[" + ", ".join(bucket_exprs) + "]"
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -386,10 +409,13 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate path: no SQL oracle (rows-only check); exactness of the
-    # brute-force baseline is oracle-checked by embedding_topk
+    # fully oracle-gated: the hyperplanes are md5-deterministic driver-side
+    # literals, so the DuckDB oracle replicates the exact bucket math
+    # (see _lsh_bucket_sql) and the candidate set matches value-for-value
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_ann_topk(emb, emb.where(F.col("vec_id") < 10), k=5, num_planes=6)
+    return lsh_ann_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, num_planes=6, dim=EMB_DIM
+    )
 
 
 def _q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,19 +427,37 @@ def _q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dss_plugin_nlp_analysis_spark.operators.similarity import cosine_dup_pairs
-
+def _planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with planted near-dups: positively scaled copies at id+10000
+    (cosine 1; scaling by 2 is exact in binary float, so the copy projects
+    to the same LSH sign-bucket as its original in every table)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # plant exact near-dups: positively scaled copies at id+10000 (cosine 1)
-    planted = emb.union(
+    return emb.union(
         emb.select(
             (F.col("vec_id") + 10000).alias("vec_id"),
             F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)).alias("embedding"),
             F.col("label"),
         )
     )
-    return cosine_dup_pairs(planted, threshold=0.95)
+
+
+def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dss_plugin_nlp_analysis_spark.operators.similarity import cosine_dup_pairs
+
+    # exact all-pairs mode: the opt-in oracle baseline (quadratic crossJoin)
+    return cosine_dup_pairs(
+        _planted_embeddings(spark, sf_dir), threshold=0.95, use_lsh=False
+    )
+
+
+def _q_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dss_plugin_nlp_analysis_spark.operators.similarity import cosine_dup_pairs
+
+    # the scale path (default): LSH sign-bucket blocking before scoring;
+    # oracle replicates the deterministic bucket math (see _lsh_bucket_sql)
+    return cosine_dup_pairs(
+        _planted_embeddings(spark, sf_dir), threshold=0.95, use_lsh=True, dim=EMB_DIM
+    )
 
 
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann": _q_embedding_ann,
         "embedding_ivf": _q_embedding_ivf,
         "embedding_dups": _q_embedding_dups,
+        "embedding_dups_lsh": _q_embedding_dups_lsh,
         "quality": _q_quality,
         "token_stats": _q_token_stats,
         "langid_markers": _q_langid_markers,
@@ -745,6 +790,55 @@ def oracle_sql() -> dict[str, str]:
             FROM planted a JOIN planted b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.95
+        """,
+        # LSH ANN: bucket math replicated exactly (md5-deterministic planes,
+        # verified bit-identical across engines), then the same candidate
+        # dedup + exact cosine re-rank as the Spark plan
+        "embedding_ann": f"""
+            WITH b AS (
+              SELECT vec_id, {_lsh_bucket_sql("embedding", 6, 4)} AS bks
+              FROM embeddings
+            ),
+            e AS (SELECT vec_id, unnest(bks) AS bucket FROM b),
+            cand AS (
+              SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+              FROM e c JOIN e q USING (bucket)
+              WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+            )
+            SELECT query_id, neighbor_id, rank::INT AS rank FROM (
+              SELECT cand.qid AS query_id, cand.nid AS neighbor_id,
+                     row_number() OVER (PARTITION BY cand.qid
+                       ORDER BY list_cosine_similarity(eq.embedding::DOUBLE[],
+                                                       en.embedding::DOUBLE[]) DESC,
+                                cand.nid) AS rank
+              FROM cand
+              JOIN embeddings eq ON eq.vec_id = cand.qid
+              JOIN embeddings en ON en.vec_id = cand.nid
+            ) WHERE rank <= 5
+        """,
+        "embedding_dups_lsh": f"""
+            WITH planted AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000,
+                     list_transform(embedding, x -> x * 2.0)::FLOAT[]
+              FROM embeddings
+            ),
+            b AS (SELECT vec_id, {_lsh_bucket_sql("embedding", 8, 4)} AS bks
+                  FROM planted),
+            e AS (SELECT vec_id, unnest(bks) AS bucket FROM b),
+            cand AS (
+              SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+              FROM e x JOIN e y USING (bucket) WHERE x.vec_id < y.vec_id
+            )
+            SELECT id_a, id_b,
+                   round(list_cosine_similarity(pa.embedding::DOUBLE[],
+                                                pb.embedding::DOUBLE[]), 6) AS cos_sim
+            FROM cand
+            JOIN planted pa ON pa.vec_id = cand.id_a
+            JOIN planted pb ON pb.vec_id = cand.id_b
+            WHERE list_cosine_similarity(pa.embedding::DOUBLE[],
+                                         pb.embedding::DOUBLE[]) >= 0.95
         """,
         "embedding_ivf": """
             WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16),

@@ -163,9 +163,20 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via an inverted shingle index
     (only pairs sharing ≥1 shingle are scored — never all-pairs).
+
+    ``max_doc_freq`` caps the posting-list length used for CANDIDATE
+    GENERATION: a boilerplate shingle appearing in f documents would emit
+    f²/2 join rows, so shingles with document frequency > cap are excluded
+    from the self-join (the same guard as ``max_bucket_size`` in
+    ``minhash_candidate_pairs``). The Jaccard value itself is still exact —
+    computed over the FULL shingle sets of each surviving candidate pair —
+    so capping only loses pairs whose every shared shingle is
+    above-threshold frequent (non-discriminative boilerplate by
+    definition).
 
     Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.
     """
@@ -173,20 +184,25 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
     )
-    sizes = sh.select("id", F.size("sh").alias("sz"))
     inv = sh.select("id", F.explode("sh").alias("g"))
-    inter = (
-        inv.alias("x")
-        .join(inv.alias("y"), (F.col("x.g") == F.col("y.g")) & (F.col("x.id") < F.col("y.id")))
-        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+    rare = inv.groupBy("g").agg(F.count("*").alias("_df")).where(
+        F.col("_df") <= max_doc_freq
+    ).select("g")
+    idx = inv.join(rare, "g")
+    cand = (
+        idx.alias("x")
+        .join(idx.alias("y"), (F.col("x.g") == F.col("y.g")) & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
     )
+    # exact Jaccard over the full shingle sets of the (few) candidates
     return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("_sa")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("_sb")), "id_b")
+        .withColumn("_i", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+            F.col("_i") / (F.size("_sa") + F.size("_sb") - F.col("_i")),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

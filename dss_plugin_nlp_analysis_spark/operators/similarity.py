@@ -124,12 +124,17 @@ def lsh_ann_topk(
     num_planes: int = 8,
     seed: int = 42,
     tables: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share any table's sign-bucket, exact
     cosine re-rank over the deduped candidate set. Equi-join on bucket
     replaces the cross product (the 100 TB path); ``tables`` trades
-    compute for recall."""
-    dim = len(corpus.select(vec_col).first()[0])
+    compute for recall.
+
+    Pass ``dim`` (the embedding width, known from the table's contract):
+    omitting it probes the corpus with an extra ``.first()`` Spark job."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     c = hyperplane_buckets(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
         "_cv", num_planes, seed, dim, tables=tables,
@@ -226,20 +231,24 @@ def cosine_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    use_lsh: bool = False,
+    use_lsh: bool = True,
     num_planes: int = 8,
     tables: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine ≥
-    threshold). ``use_lsh=False`` scores all pairs exactly (correctness
-    baseline, oracle-checkable); ``use_lsh=True`` pre-blocks candidates by
+    threshold). The default ``use_lsh=True`` pre-blocks candidates by
     hyperplane sign-bucket — the 100 TB path (near-dups at high cosine
-    collide in every table with high probability)."""
+    collide in some table with high probability; the bucket math is
+    md5-deterministic so a SQL oracle can replicate it exactly).
+    ``use_lsh=False`` scores all pairs exactly — the opt-in oracle
+    baseline; its crossJoin is quadratic and only for modest inputs."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     if use_lsh:
-        dim = len(df.select(vec_col).first()[0])
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
         ab = hyperplane_buckets(a, "_va", num_planes, seed, dim, tables=tables) \
             .withColumn("bucket", F.explode("bucket"))
         bb = hyperplane_buckets(b, "_vb", num_planes, seed, dim, tables=tables) \

@@ -32,11 +32,15 @@ def salted_distinct_stats(
     salted = df.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(val_col)), F.lit(buckets))
     )
+    # Phase 1 reduces each (key, salt) group to a single COUNT — because the
+    # salt is a hash of the value, per-salt distinct sets are disjoint by
+    # construction, so phase 2 can merge counts instead of re-shipping every
+    # distinct value of a hot key to one reducer.
     partial = salted.groupBy(key_col, "_salt").agg(
         F.count("*").alias("_n"),
-        F.collect_set(val_col).alias("_vals"),
+        F.size(F.collect_set(val_col)).alias("_nd"),
     )
     return partial.groupBy(key_col).agg(
         F.sum("_n").alias("n_rows"),
-        F.size(F.array_distinct(F.flatten(F.collect_list("_vals")))).alias("n_distinct"),
+        F.sum("_nd").cast("int").alias("n_distinct"),
     )

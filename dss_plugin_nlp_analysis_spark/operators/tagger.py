@@ -274,7 +274,7 @@ def format_per_doc(
     JSON arrays of first-appearance distinct values; tag_sentences = concat
     of (matched sentence + "\\n") per sentence-with-a-match, doc order.
     With category (formatter_by_document.py:143-222): one
-    tag_list_<NFC(category)> column per ontology category (NULL when the
+    tag_list_<NFD(category)> column per ontology category (NULL when the
     doc has none), text-deduped sentences joined with " " (empty string
     when no match — reference wart preserved).
     """
@@ -482,9 +482,12 @@ def tag_documents(
     finals = unique_names(base_names, input_cols)
     names = dict(zip(base_names, finals))
     if output_format == "one_row_per_doc" and has_category:
-        # per-category columns keyed by raw category for the formatter
-        for c in categories:
-            names[f"tag_list_{c}"] = names[f"tag_list_{normalize_text(c)}"]
+        # per-category columns keyed by raw category for the formatter —
+        # mapped POSITIONALLY (categories[i] -> finals[i]), because two raw
+        # categories can NFD-normalize to the same base name; a dict keyed
+        # by the normalized name would collapse them and orphan a column
+        for c, fin in zip(categories, finals):
+            names[f"tag_list_{c}"] = fin
 
     if output_format == "one_row_per_match":
         out = format_per_match(tagged, res, has_category, names)

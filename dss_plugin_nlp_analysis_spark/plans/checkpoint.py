@@ -7,15 +7,31 @@ this module adds it at the partition level:
 - input is bucketed by ``xxhash64(url) % num_buckets`` (also the skew
   defuser — hot domains spread across buckets)
 - each completed bucket writes its triples under ``output/bucket=<b>/``
-  and appends a manifest row (bucket, input_rows, triples, wall_s,
-  input_fingerprint, completed_at) to ``<checkpoint_dir>/manifest/``
+  and appends a manifest row (bucket, input_rows, triples, group_wall_s,
+  output_fingerprint, completed_at) to ``<checkpoint_dir>/manifest/``
 - a restart reads the manifest and processes only missing buckets.
 
-Atomicity: a bucket's output directory is written with mode=overwrite and
-its manifest row is appended only after the write commits, so a crash
-mid-bucket re-runs just that bucket. (On a real lakehouse this manifest
-becomes an Iceberg snapshot/metadata table; parquet keeps the sandbox
-dependency-free — sources/catalog.py gates the Iceberg path.)
+Atomicity: a bucket's output directory is written with dynamic partition
+overwrite and its manifest row is appended only after the write commits,
+so a crash mid-bucket re-runs just that bucket. (On a real lakehouse this
+manifest becomes an Iceberg snapshot/metadata table; parquet keeps the
+sandbox dependency-free — sources/catalog.py gates the Iceberg path.)
+
+Lineage fingerprint: a COMMUTATIVE per-bucket hash — sum of per-row
+xxhash64(subj|pred|obj) widened to decimal(38,0). Order-insensitive (rows
+arrive in any partition order), duplicate-sensitive (unlike XOR, a
+re-appended row changes the sum), and constant-memory per aggregation
+buffer — a sort_array(collect_list(...)) fingerprint would materialize
+every triple string of a bucket in one buffer and OOM at 100 TB.
+
+Bucket-partition safety: ``triple_fn`` may keep the input ``_bucket``
+column on its output — then the write partitions by the *input* bucket
+with zero extra cost. If it drops the column, the bucket is re-derived
+from ``xxhash64(subj)``, which silently corrupts resume state when subj
+differs from the input url (a later job group would overwrite partitions
+owned by earlier groups); ``validate_buckets=True`` therefore checks that
+every derived bucket belongs to the current group before writing and
+raises otherwise.
 """
 
 from __future__ import annotations
@@ -34,8 +50,11 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("bucket", T.IntegerType(), False),
         T.StructField("input_rows", T.LongType()),
         T.StructField("triples", T.LongType()),
-        T.StructField("wall_s", T.DoubleType()),
-        T.StructField("input_fingerprint", T.StringType()),
+        # wall time of the JOB GROUP that produced this bucket (buckets in a
+        # group share one Spark job; a per-bucket wall time does not exist)
+        T.StructField("group_wall_s", T.DoubleType()),
+        # commutative hash of this bucket's OUTPUT triples (see module doc)
+        T.StructField("output_fingerprint", T.StringType()),
         T.StructField("completed_at", T.DoubleType()),
     ]
 )
@@ -56,6 +75,14 @@ def read_manifest(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
         return spark.createDataFrame([], MANIFEST_SCHEMA)
 
 
+def _output_fingerprint() -> F.Column:
+    """Commutative, duplicate-sensitive, constant-memory bucket fingerprint:
+    sum of per-row xxhash64 in decimal(38,0) (no overflow below ~10^19 rows
+    per bucket, far past any real partition)."""
+    row_hash = F.xxhash64(F.concat_ws("|", "subj", "pred", "obj"))
+    return F.sum(row_hash.cast("decimal(38,0)")).cast("string")
+
+
 def run_checkpointed_build(
     spark: SparkSession,
     docs_df: DataFrame,
@@ -65,9 +92,16 @@ def run_checkpointed_build(
     url_col: str = "url",
     num_buckets: int = 16,
     buckets_per_job: int = 8,
+    validate_buckets: bool = True,
 ) -> KGBuildResult:
     """Run ``triple_fn(bucket_docs) -> DataFrame`` over url-hash buckets,
     skipping buckets already recorded in the manifest.
+
+    ``bucket_docs`` carries a ``_bucket`` column (the url-hash bucket);
+    ``triple_fn`` may preserve it on its output to pin each triple to its
+    input bucket for free. Outputs without ``_bucket`` must satisfy the
+    subj == url contract (the bucket is re-derived from subj and, when
+    ``validate_buckets``, checked against the group before writing).
 
     ``buckets_per_job`` groups buckets into jobs: at 100 TB you want few
     large jobs (amortized scans); the manifest granularity stays per-bucket
@@ -87,13 +121,31 @@ def run_checkpointed_build(
         group = todo[i:i + buckets_per_job]
         t0 = time.perf_counter()
         part = docs_b.where(F.col("_bucket").isin(group))
-        triples = triple_fn(part.drop("_bucket")).withColumn(
-            "_bucket",
-            (F.pmod(F.xxhash64(F.col("subj")), F.lit(num_buckets))).cast("int"),
-        )
+        triples = triple_fn(part)
+        cached = None
+        if "_bucket" not in triples.columns:
+            triples = triples.withColumn(
+                "_bucket",
+                (F.pmod(F.xxhash64(F.col("subj")), F.lit(num_buckets))).cast("int"),
+            )
+            if validate_buckets:
+                cached = triples.persist()
+                stray = cached.where(~F.col("_bucket").isin(group)).limit(1).collect()
+                if stray:
+                    cached.unpersist()
+                    raise ValueError(
+                        "triple_fn dropped _bucket and emitted subj values outside "
+                        f"the current bucket group {group} (e.g. bucket "
+                        f"{stray[0]['_bucket']}): writing would overwrite partitions "
+                        "owned by other groups. Preserve the input _bucket column "
+                        "or keep subj equal to the input url column."
+                    )
+                triples = cached
         triples.write.mode("overwrite").partitionBy("_bucket").parquet(output_dir)
+        if cached is not None:
+            cached.unpersist()
         wall = time.perf_counter() - t0
-        # lineage: per-bucket input/output counts + input fingerprint
+        # lineage: per-bucket input/output counts + output fingerprint
         in_counts = {
             r["_bucket"]: r["n"]
             for r in part.groupBy("_bucket").agg(F.count("*").alias("n")).collect()
@@ -103,17 +155,14 @@ def run_checkpointed_build(
             for r in spark.read.parquet(output_dir)
             .where(F.col("_bucket").isin(group))
             .groupBy("_bucket")
-            .agg(
-                F.count("*").alias("n"),
-                F.md5(F.concat_ws("", F.sort_array(F.collect_list(F.concat_ws("|", "subj", "pred", "obj"))))).alias("fp"),
-            )
+            .agg(F.count("*").alias("n"), _output_fingerprint().alias("fp"))
             .collect()
         }
         rows = []
         now = time.time()
         for b in group:
             n_out, fp = out_stats.get(b, (0, None))
-            rows.append((b, in_counts.get(b, 0), n_out, wall / len(group), fp, now))
+            rows.append((b, in_counts.get(b, 0), n_out, wall, fp, now))
             total_triples += n_out
         spark.createDataFrame(rows, MANIFEST_SCHEMA).write.mode("append").parquet(
             f"{checkpoint_dir}/manifest"

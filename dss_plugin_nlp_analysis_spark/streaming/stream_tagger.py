@@ -16,7 +16,9 @@ from pyspark.sql import functions as F
 from ..operators.ontology import CompiledOntology
 from ..operators.tagger import extract_mentions
 
-__all__ = ["stream_pages", "stream_triples", "run_stream_to_parquet"]
+__all__ = [
+    "stream_pages", "stream_triples", "write_epoch", "run_stream_to_parquet",
+]
 
 
 def stream_pages(spark: SparkSession, source_dir: str, schema) -> DataFrame:
@@ -55,19 +57,35 @@ def run_stream_to_parquet(
     output_dir: str,
     checkpoint_dir: str,
 ):
-    """Start the stream with an exactly-once parquet sink (foreachBatch +
-    epoch id recorded per batch for lineage). Caller awaits/stops."""
+    """Start the stream with an exactly-once parquet sink. Caller
+    awaits/stops.
+
+    foreachBatch alone is at-least-once (a micro-batch retried after a
+    failure would re-run its writer); the sink is made IDEMPOTENT per epoch
+    by partitioning the output on ``epoch_id`` and writing with dynamic
+    partition overwrite — a retried epoch replaces exactly its own
+    partition instead of appending a second copy, which upgrades the
+    end-to-end guarantee to exactly-once (checkpointed offsets + an
+    idempotent sink)."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        (
-            batch_df.withColumn("epoch_id", F.lit(epoch_id))
-            .write.mode("append")
-            .parquet(output_dir)
-        )
+        write_epoch(batch_df, epoch_id, output_dir)
 
     return (
         triples.writeStream.outputMode("append")
         .foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .start()
+    )
+
+
+def write_epoch(batch_df: DataFrame, epoch_id: int, output_dir: str) -> None:
+    """Idempotent per-epoch parquet write: a retried epoch replaces its own
+    ``epoch_id=<n>`` partition (dynamic overwrite) instead of appending."""
+    (
+        batch_df.withColumn("epoch_id", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(output_dir)
     )

@@ -98,6 +98,12 @@ GOLDEN = [
     ("arbetade", "sv", "arbeta"),
     ("jobbet", "nb", "jobbet"),
     ("nagtrabaho", "tl", "nagtrabaho"),
+    # remaining reference goldens (test_lemmatization.py:32-35): ur is a
+    # real non-identity diacritization; bn/el/fa are identity
+    ("کام کیا", "ur", "کام کَیا"),
+    ("কাজ করছে", "bn", "কাজ করছে"),
+    ("δούλεψε", "el", "δούλεψε"),
+    ("کار کرد", "fa", "کار کرد"),
 ]
 
 
