@@ -11,9 +11,15 @@ SURVEY.md preamble). Pinned behaviors and their reference evidence:
   (test_ontology_tagger.py:133-158, test_spacy_tokenizer.py:15-21)
 - whitespace runs other than a single space become *space tokens* so the
   sentencizer can key on ``"\\n"`` (ontology_tagger.py:71-74)
-- CJK/Thai fall back to char-level tokens (SURVEY.md §7.3 — the reference
-  pulls dictionary segmenters via spaCy extras; divergence absorbed by the
-  P/R bar, SEMANTICS.md §3).
+- zh/ja/th runs are segmented by forward maximum matching over a word
+  dictionary (vendored common vocabulary in ``segdata.py``; full public
+  dictionaries load via ``KG_SEGMENT_DICT_DIR/<lang>_words.txt``) — the
+  native stand-in for the reference's jieba/sudachipy/pythainlp extras
+  (code-env/python/spec/requirements.txt:1-13). Out-of-dictionary CJK and
+  other no-space scripts fall back to char-level tokens, which matches
+  the reference's classical-zh golden exactly
+  (test_spacy_tokenizer.py:33-47) and is absorbed by the P/R bar
+  elsewhere (SEMANTICS.md §3).
 
 Design: regex pre-segmentation (C speed) + cheap per-chunk refinement.
 All tables are module-level so executor processes compile them once.
@@ -100,6 +106,61 @@ def _is_cjk(ch: str) -> bool:
     return False
 
 
+# --- dictionary segmentation for no-space scripts (zh/ja/th) -----------
+
+import os as _os
+
+_MISSING = object()
+
+# lang -> (word set, max word length) | None when the lang has no dict
+_SEG_DICT_CACHE: dict[str, tuple[frozenset, int] | None] = {}
+
+
+def _seg_dict(lang: str):
+    """Segmentation dictionary for ``lang``: vendored words (segdata.py)
+    plus an optional user dictionary ``$KG_SEGMENT_DICT_DIR/<lang>_words.txt``
+    (one word per line — the shape every public wordlist reduces to).
+    Cached per process; executors build it once."""
+    cached = _SEG_DICT_CACHE.get(lang, _MISSING)
+    if cached is not _MISSING:
+        return cached
+    from .segdata import BUILTIN_WORDS
+
+    words = set(BUILTIN_WORDS.get(lang, ()))
+    user_dir = _os.environ.get("KG_SEGMENT_DICT_DIR")
+    if user_dir:
+        path = _os.path.join(user_dir, f"{lang}_words.txt")
+        if _os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                words.update(w.strip() for w in f if w.strip())
+    words = {w for w in words if len(w) >= 2}
+    entry = (frozenset(words), max(len(w) for w in words)) if words else None
+    _SEG_DICT_CACHE[lang] = entry
+    return entry
+
+
+def _emit_cjk_run(run: str, base: int, lang: str, out: list) -> None:
+    """Tokenize a contiguous no-space-script run: forward maximum matching
+    against the lang's dictionary, single-char fallback (greedy-longest is
+    jieba/newmm's core rule; punctuation never appears in dictionary words
+    so it always falls out as single chars)."""
+    d = _seg_dict(lang)
+    if d is None:
+        for k, ch in enumerate(run):
+            out.append(_tok(ch, base + k, base + k + 1, False))
+        return
+    words, max_len = d
+    i, n = 0, len(run)
+    while i < n:
+        take = 1
+        for length in range(min(max_len, n - i), 1, -1):
+            if run[i:i + length] in words:
+                take = length
+                break
+        out.append(_tok(run[i:i + take], base + i, base + i + take, False))
+        i += take
+
+
 def _is_emoji(ch: str) -> bool:
     cp = ord(ch)
     for lo, hi in _EMOJI_RANGES:
@@ -180,8 +241,11 @@ def _split_core(core: str, base: int, lang: str, out: list[Token]) -> None:
             if run_start >= 0:
                 _split_word_run(core[run_start:i], base + run_start, lang, out)
                 run_start = -1
-            out.append(_tok(ch, base + i, base + i + 1, False))
-            i += 1
+            j = i + 1
+            while j < n and _is_cjk(core[j]):
+                j += 1
+            _emit_cjk_run(core[i:j], base + i, lang, out)
+            i = j
         elif _is_emoji(ch):
             if run_start >= 0:
                 _split_word_run(core[run_start:i], base + run_start, lang, out)

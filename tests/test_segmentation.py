@@ -1,0 +1,83 @@
+"""Dictionary segmentation for no-space scripts (zh/ja/th) — parity with
+the reference's spaCy-extras segmenters on its own goldens
+(tests/python/unit/test_spacy_tokenizer.py), plus the end-to-end payoff:
+multi-character CJK ontology keywords now match as token sequences."""
+
+import pytest
+
+from dss_plugin_nlp_analysis_spark.functions.tokenizer import tokenize
+
+
+def texts(s, lang):
+    return [t.text for t in tokenize(s, lang)]
+
+
+def test_japanese_reference_golden_token_count():
+    # reference: sudachipy via spaCy ja gives 9 tokens
+    # (test_spacy_tokenizer.py:24-29)
+    toks = texts("期一会。 異体同心。 そうです。", "ja")
+    assert toks == ["期", "一会", "。", "異体", "同心", "。", "そう", "です", "。"]
+    assert len(toks) == 9
+
+
+def test_classical_chinese_stays_char_level():
+    # reference: jieba gives 19 tokens on the classical-zh golden
+    # (test_spacy_tokenizer.py:33-47) — all single chars + punctuation
+    toks = texts("子曰：“學而不思則罔，思而不學則殆。”", "zh")
+    assert len(toks) == 19
+
+
+def test_modern_chinese_dictionary_words():
+    toks = texts("我们在北京研究人工智能和互联网技术。", "zh")
+    assert toks == ["我们", "在", "北京", "研究", "人工智能", "和", "互联网", "技术", "。"]
+
+
+def test_thai_dictionary_words():
+    toks = texts("ผมชอบกินข้าว", "th")
+    assert toks == ["ผม", "ชอบ", "กิน", "ข้าว"]
+
+
+def test_offsets_cover_run_exactly():
+    s = "期一会。異体同心"
+    toks = tokenize(s, "ja")
+    assert toks[0].start == 0
+    assert all(a.end == b.start for a, b in zip(toks, toks[1:]))
+    assert toks[-1].end == len(s)
+    assert "".join(t.text for t in toks) == s
+
+
+def test_langs_without_dict_keep_char_fallback():
+    # ko has no vendored dictionary: Hangul stays char-level (round-1
+    # behavior preserved; a user dict via KG_SEGMENT_DICT_DIR upgrades it)
+    toks = texts("안녕하세요", "ko")
+    assert toks == list("안녕하세요")
+
+
+def test_user_dictionary_loads_from_env(tmp_path, monkeypatch):
+    import dss_plugin_nlp_analysis_spark.functions.tokenizer as tok
+
+    (tmp_path / "ko_words.txt").write_text("안녕하세요\n안녕\n", encoding="utf-8")
+    monkeypatch.setenv("KG_SEGMENT_DICT_DIR", str(tmp_path))
+    monkeypatch.setattr(tok, "_SEG_DICT_CACHE", {})
+    assert texts("안녕하세요", "ko") == ["안녕하세요"]  # longest match wins
+
+
+def test_multichar_cjk_keyword_tagging_end_to_end(spark):
+    from dss_plugin_nlp_analysis_spark.operators.tagger import tag_documents
+
+    docs = spark.createDataFrame(
+        [
+            (0, "我们在北京研究人工智能。", "zh"),
+            (1, "そうです、一会です。", "ja"),
+            (2, "人工 智能 unrelated", "zh"),  # spaced-out chars: no match
+        ],
+        "doc_id long, text string, lang string",
+    )
+    onto = spark.createDataFrame(
+        [("ai_tag", "人工智能"), ("aikai", "一会")], "tag string, keyword string"
+    )
+    out = tag_documents(docs, onto, languages=["zh", "ja"]).collect()
+    by_doc = {r["doc_id"]: r["tag"] for r in out}
+    assert by_doc[0] == "ai_tag"       # multi-char keyword = one token seq
+    assert by_doc[1] == "aikai"
+    assert by_doc[2] is None           # split tokens don't false-positive
