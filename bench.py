@@ -131,7 +131,10 @@ def bench_queries(spark: SparkSession) -> tuple[dict, int]:
 
 def scaling_leg(cores: int, replicas: int) -> dict:
     """One scaling measurement: the flagship tag job on the same input at
-    ``local[cores]`` (steady-state: warm run measured)."""
+    ``local[cores]`` (steady-state: warm run measured). Host 1-min loadavg
+    is recorded before/after so external load on the shared sandbox host is
+    visible in the evidence, not silently folded into the engine number."""
+    load_before = os.getloadavg()[0]
     spark = make_spark(cores)
     try:
         from dss_plugin_nlp_analysis_spark.demo import demo_ontology_df
@@ -150,16 +153,68 @@ def scaling_leg(cores: int, replicas: int) -> dict:
         t0 = time.perf_counter()
         job()
         dt = time.perf_counter() - t0
-        return {"sec": round(dt, 3), "docs_per_sec": round(n_docs / dt, 1), "n_docs": n_docs}
+        return {
+            "sec": round(dt, 3),
+            "docs_per_sec": round(n_docs / dt, 1),
+            "n_docs": n_docs,
+            "load_before": round(load_before, 2),
+            "load_after": round(os.getloadavg()[0], 2),
+        }
     finally:
         spark.stop()
 
 
+def _hash_work(iters: int) -> int:
+    import hashlib
+
+    h = b"x"
+    for _ in range(iters):
+        h = hashlib.md5(h).digest()
+    return h[0]
+
+
+def host_envelope(n: int, four_n: int, repeats: int = 3) -> dict:
+    """Spark-free colocation probe: the SAME fixed CPU work per process at
+    n vs 4n processes. On an exclusive host the two walls are equal
+    (weak-scaling ideal); the measured ratio t_n/t_4n is the host's
+    achievable parallel envelope at 4n procs — engine efficiency should be
+    judged against it, not against a hardware-ideal 1.0 the host itself
+    cannot deliver (shared sandbox, JVM+Python double-stack)."""
+    import multiprocessing as mp
+
+    iters = int(os.environ.get("KG_ENVELOPE_ITERS", "5000000"))
+
+    def leg(procs: int) -> float:
+        with mp.Pool(procs) as pool:
+            t0 = time.perf_counter()
+            pool.map(_hash_work, [iters] * procs)
+            return time.perf_counter() - t0
+
+    times: dict[int, list[float]] = {n: [], four_n: []}
+    for _ in range(repeats):  # interleaved, min-per-leg (shared host)
+        for procs in (n, four_n):
+            times[procs].append(leg(procs))
+    t_n, t_4n = min(times[n]), min(times[four_n])
+    return {
+        "procs": [n, four_n],
+        "sec": [round(t_n, 3), round(t_4n, 3)],
+        "weak_efficiency": round(t_n / t_4n, 3),
+    }
+
+
 def run_scaling() -> dict:
-    """Same flagship job, same input, at local[N] and local[4N] in isolated
-    subprocesses; efficiency = (T_N / T_4N) / 4 (north-rule proxy,
-    BASELINE.md). The corpus is sized so per-core compute dominates
-    scheduling overhead."""
+    """Same flagship job at local[N] and local[4N] in isolated subprocesses.
+
+    Two modes (KG_SCALING_MODE):
+    - ``strong`` (default): same input both legs; efficiency =
+      (T_N / T_4N) / 4 — the north-rule proxy (BASELINE.md).
+    - ``weak``: input scaled with cores (fixed work PER CORE); efficiency =
+      T_N / T_4N — isolates scheduling/colocation overhead from the
+      shrinking-partition effect of strong scaling.
+
+    A Spark-free host-envelope probe (same fixed work per process at N vs
+    4N procs) runs alongside: ``efficiency_vs_envelope`` divides out what
+    the shared host itself loses at 4N-way parallelism."""
     import json as _json
     import subprocess
     import sys as _sys
@@ -168,25 +223,36 @@ def run_scaling() -> dict:
     four_n = int(os.environ.get("KG_SCALING_4N", CPUS))
     replicas = int(os.environ.get("KG_SCALING_REPLICAS", "100"))
     repeats = int(os.environ.get("KG_SCALING_REPEATS", "3"))
+    mode = os.environ.get("KG_SCALING_MODE", "strong")
+    leg_replicas = {n: replicas, four_n: replicas if mode == "strong" else replicas * four_n // n}
     legs: dict[int, list[dict]] = {n: [], four_n: []}
     # interleave legs and keep the best run per leg — the sandbox host is
     # shared, so min-over-repeats filters external load spikes
     for _ in range(repeats):
         for cores in (n, four_n):
             res = subprocess.run(
-                [_sys.executable, __file__, "--scaling-leg", str(cores), str(replicas)],
+                [_sys.executable, __file__, "--scaling-leg", str(cores), str(leg_replicas[cores])],
                 capture_output=True, text=True, check=True,
             )
             legs[cores].append(_json.loads(res.stdout.strip().splitlines()[-1]))
     out = {c: min(runs, key=lambda r: r["sec"]) for c, runs in legs.items()}
     speedup = out[n]["sec"] / out[four_n]["sec"]
-    efficiency = round(speedup / (four_n / n), 3)
+    if mode == "strong":
+        efficiency = round(speedup / (four_n / n), 3)
+    else:  # weak: ideal is equal wall time on 4x data / 4x cores
+        efficiency = round(speedup, 3)
+    envelope = host_envelope(n, four_n)
     return {
+        "mode": mode,
         "n_cores": n,
         "four_n_cores": four_n,
         **{str(k): v for k, v in out.items()},
         "all_runs": {str(c): [r["sec"] for r in runs] for c, runs in legs.items()},
         "efficiency": efficiency,
+        "host_envelope": envelope,
+        "efficiency_vs_envelope": round(
+            min(efficiency / envelope["weak_efficiency"], 1.0), 3
+        ),
     }
 
 

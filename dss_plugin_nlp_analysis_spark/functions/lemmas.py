@@ -55,11 +55,103 @@ _BUILTIN: dict[str, dict[str, str]] = {
         "has": "have", "had": "have", "having": "have",
         "did": "do", "does": "do", "doing": "do", "done": "do",
         "better": "good", "best": "good", "worse": "bad", "worst": "bad",
+        "used": "use", "using": "use", "uses": "use",
+        "called": "call", "calls": "call", "calling": "call",
+        "needed": "need", "needs": "need",
+        "wanted": "want", "wants": "want",
+        "started": "start", "starts": "start", "starting": "start",
+        "ended": "end", "ends": "end", "ending": "end",
+        "helped": "help", "helps": "help",
+        "moved": "move", "moves": "move", "moving": "move",
+        "played": "play", "plays": "play", "playing": "play",
+        "years": "year", "days": "day", "weeks": "week",
+        "months": "month", "hours": "hour", "minutes": "minute",
+        "cities": "city", "countries": "country", "companies": "company",
+        "services": "service", "systems": "system", "users": "user",
+        "numbers": "number", "words": "word", "documents": "document",
+        "pages": "page", "sites": "site", "links": "link",
     },
-    "es": {"trabajó": "trabajar", "trabajado": "trabajar", "trabaja": "trabajar"},
-    "fr": {"travaillé": "travailler", "travaille": "travailler"},
-    "de": {"hat": "haben", "funktioniert": "funktionieren"},
-    "ru": {"работал": "работать"},
+    # Top web languages get a wider common-inflection table (public
+    # morphology facts — the high-frequency verbs/nouns every lookup
+    # lemmatizer leads with); full spacy-lookups-data tables still load
+    # via KG_LEMMA_LOOKUP_DIR for production coverage.
+    "es": {
+        "trabajó": "trabajar", "trabajado": "trabajar", "trabaja": "trabajar",
+        "trabajan": "trabajar", "trabajando": "trabajar",
+        "es": "ser", "son": "ser", "era": "ser", "eran": "ser",
+        "fue": "ser", "fueron": "ser", "sido": "ser", "soy": "ser",
+        "somos": "ser", "siendo": "ser",
+        "está": "estar", "están": "estar", "estaba": "estar",
+        "estuvo": "estar", "estado": "estar",
+        "ha": "haber", "han": "haber", "había": "haber", "hubo": "haber",
+        "habido": "haber", "hay": "haber",
+        "tiene": "tener", "tienen": "tener", "tenía": "tener",
+        "tuvo": "tener", "tenido": "tener",
+        "hace": "hacer", "hacen": "hacer", "hacía": "hacer",
+        "hizo": "hacer", "hecho": "hacer",
+        "va": "ir", "van": "ir", "iba": "ir", "ido": "ir",
+        "dice": "decir", "dicen": "decir", "dijo": "decir",
+        "dijeron": "decir", "dicho": "decir",
+        "puede": "poder", "pueden": "poder", "pudo": "poder",
+        "podido": "poder", "podía": "poder",
+        "años": "año", "países": "país", "ciudades": "ciudad",
+        "personas": "persona", "empresas": "empresa",
+        "problemas": "problema", "gobiernos": "gobierno",
+        "mujeres": "mujer", "hombres": "hombre", "niños": "niño",
+    },
+    "fr": {
+        "travaillé": "travailler", "travaille": "travailler",
+        "travaillent": "travailler", "travaillait": "travailler",
+        "est": "être", "sont": "être", "était": "être",
+        "étaient": "être", "été": "être", "suis": "être",
+        "sommes": "être", "êtes": "être", "fut": "être",
+        "ont": "avoir", "avait": "avoir", "avaient": "avoir",
+        "eu": "avoir", "avons": "avoir", "avez": "avoir",
+        "fait": "faire", "font": "faire", "faisait": "faire",
+        "faites": "faire", "fera": "faire",
+        "vont": "aller", "allait": "aller", "allé": "aller",
+        "peut": "pouvoir", "peuvent": "pouvoir", "pouvait": "pouvoir",
+        "pu": "pouvoir",
+        "dit": "dire", "disent": "dire", "disait": "dire",
+        "voit": "voir", "voient": "voir", "voyait": "voir", "vu": "voir",
+        "prend": "prendre", "prennent": "prendre", "pris": "prendre",
+        "années": "année", "villes": "ville", "personnes": "personne",
+        "entreprises": "entreprise", "problèmes": "problème",
+        "femmes": "femme", "hommes": "homme", "enfants": "enfant",
+    },
+    "de": {
+        "hat": "haben", "funktioniert": "funktionieren",
+        "hatte": "haben", "hatten": "haben", "gehabt": "haben",
+        "ist": "sein", "sind": "sein", "war": "sein", "waren": "sein",
+        "gewesen": "sein", "bin": "sein", "bist": "sein", "seid": "sein",
+        "wird": "werden", "wurde": "werden", "wurden": "werden",
+        "geworden": "werden",
+        "kann": "können", "konnte": "können", "konnten": "können",
+        "gekonnt": "können",
+        "macht": "machen", "machte": "machen", "gemacht": "machen",
+        "geht": "gehen", "ging": "gehen", "gegangen": "gehen",
+        "kommt": "kommen", "kam": "kommen", "gekommen": "kommen",
+        "sagt": "sagen", "sagte": "sagen", "gesagt": "sagen",
+        "jahre": "Jahr", "jahren": "Jahr", "länder": "Land",
+        "ländern": "Land", "städte": "Stadt", "menschen": "Mensch",
+        "kinder": "Kind", "frauen": "Frau", "männer": "Mann",
+    },
+    "ru": {
+        "работал": "работать", "работала": "работать",
+        "работали": "работать", "работает": "работать",
+        "работают": "работать",
+        "был": "быть", "была": "быть", "было": "быть", "были": "быть",
+        "сказал": "сказать", "сказала": "сказать", "сказали": "сказать",
+        "говорит": "говорить", "говорят": "говорить",
+        "говорил": "говорить",
+        "делает": "делать", "делают": "делать", "делал": "делать",
+        "может": "мочь", "могут": "мочь", "мог": "мочь", "могла": "мочь",
+        "знает": "знать", "знают": "знать", "знал": "знать",
+        "имеет": "иметь", "имеют": "иметь", "имел": "иметь",
+        "люди": "человек", "людей": "человек", "страны": "страна",
+        "города": "город", "проблемы": "проблема",
+        "компании": "компания", "годы": "год",
+    },
     "pl": {"zadziałało": "zadziałać"},
     "ca": {"treballat": "treballar"},
     "cs": {"pracoval": "pracovat"},
@@ -67,10 +159,43 @@ _BUILTIN: dict[str, dict[str, str]] = {
     "hr": {"radio": "raditi"},
     "hu": {"dolgozott": "dolgozik"},
     "id": {"bekerja": "kerja"},
-    "it": {"lavorato": "lavorare"},
+    "it": {
+        "lavorato": "lavorare", "lavora": "lavorare", "lavorano": "lavorare",
+        "è": "essere", "era": "essere", "erano": "essere", "stato": "essere",
+        "ha": "avere", "hanno": "avere", "aveva": "avere", "avuto": "avere",
+        "fa": "fare", "fanno": "fare", "faceva": "fare", "fatto": "fare",
+        "fece": "fare",
+        "può": "potere", "possono": "potere", "poteva": "potere",
+        "potuto": "potere",
+        "dice": "dire", "dicono": "dire", "diceva": "dire",
+        "detto": "dire", "disse": "dire",
+        "anni": "anno", "persone": "persona", "aziende": "azienda",
+        "problemi": "problema", "bambini": "bambino", "donne": "donna",
+        "uomini": "uomo", "città": "città",
+    },
     "lb": {"geschafft": "schaffen"},
     "lt": {"dirbo": "dirbti"},
-    "pt": {"trabalhado": "trabalhar"},
+    "pt": {
+        "trabalhado": "trabalhar", "trabalha": "trabalhar",
+        "trabalham": "trabalhar", "trabalhou": "trabalhar",
+        "é": "ser", "são": "ser", "era": "ser", "foi": "ser",
+        "foram": "ser", "sido": "ser",
+        "está": "estar", "estão": "estar", "estava": "estar",
+        "esteve": "estar",
+        "tem": "ter", "têm": "ter", "tinha": "ter", "teve": "ter",
+        "tido": "ter",
+        "faz": "fazer", "fazem": "fazer", "fazia": "fazer",
+        "fez": "fazer", "feito": "fazer",
+        "vai": "ir", "vão": "ir", "ia": "ir", "ido": "ir",
+        "diz": "dizer", "dizem": "dizer", "disse": "dizer",
+        "dito": "dizer",
+        "pode": "poder", "podem": "poder", "pôde": "poder",
+        "podido": "poder",
+        "anos": "ano", "países": "país", "cidades": "cidade",
+        "pessoas": "pessoa", "empresas": "empresa",
+        "problemas": "problema", "mulheres": "mulher",
+        "homens": "homem", "crianças": "criança",
+    },
     "ro": {"a": "avea", "lucrat": "lucra"},
     "sr": {"радио": "радити"},
     "tr": {"çalıştı": "çalış"},
