@@ -22,7 +22,8 @@ from pyspark.sql import Window as W
 
 __all__ = [
     "dot", "l2_norm", "cosine", "cosine_topk",
-    "hyperplane_buckets", "lsh_ann_topk", "ivf_topk",
+    "hyperplane_buckets", "lsh_ann_topk", "kmeans_centroids", "ivf_topk",
+    "cosine_dup_pairs",
 ]
 
 
@@ -173,6 +174,53 @@ def _centroid_sims(vec: Column, centroids: list[tuple[int, list[float]]]) -> Col
     return F.array_sort(F.array(*entries))
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 2,
+    sample_mod: int | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means over the embedding column, seeded deterministically
+    with the first ``k`` vectors in id order (reproducible across runs up
+    to FP summation order — assignments use argmax cosine, robust away
+    from knife-edge ties).
+
+    Each iteration is one pass: assign (pure map — centroid sims are
+    literal expressions) then per-(cid, dim) partial sums (one shuffle of
+    k×dim aggregates, map-side combined). ``sample_mod`` fits centroids on
+    a deterministic 1/sample_mod hash-sample — at 100 TB you refine on a
+    sample, never the full corpus."""
+    work = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    if sample_mod:
+        work = work.where(F.pmod(F.xxhash64(F.col("_id")), F.lit(sample_mod)) == 0)
+    seed_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col)).orderBy(id_col).limit(k).collect()
+    )
+    cents = [(i, [float(x) for x in r[1]]) for i, r in enumerate(seed_rows)]
+    for _ in range(iters):
+        assigned = work.select(
+            "_v", _centroid_sims(F.col("_v"), cents)[0]["cid"].alias("cid")
+        )
+        stats = (
+            assigned.select("cid", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["s"] / r["n"]
+        cents = [
+            (cid, [d[p] for p in range(len(vec))] if (d := by_cid.get(cid)) else vec)
+            for cid, vec in cents
+        ]
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -181,24 +229,32 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus to its nearest centroid,
     probe the query's ``n_probe`` nearest centroid lists, exact re-rank.
 
-    Centroids are the first ``n_centroids`` corpus vectors in id order —
-    deterministic and engine-reproducible (a k-means refinement would drop
-    in here without changing the dataflow). The corpus scan is a pure map
-    (centroid sims are literal-array expressions); the only shuffle is the
-    candidate equi-join on centroid id — the 100 TB path, like LSH but with
+    Default centroids are the first ``n_centroids`` corpus vectors in id
+    order — deterministic and engine-reproducible (and exactly what the
+    SQL oracle replicates); ``refine_iters > 0`` runs that many Lloyd's
+    k-means passes (``kmeans_centroids``) for data-adaptive cells without
+    changing the dataflow. The corpus scan is a pure map (centroid sims
+    are literal-array expressions); the only shuffle is the candidate
+    equi-join on centroid id — the 100 TB path, like LSH but with
     data-adaptive cells.
     """
-    cent_rows = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(id_col)
-        .limit(n_centroids)
-        .collect()
-    )
-    centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
+    if refine_iters > 0:
+        centroids = kmeans_centroids(
+            corpus, id_col, vec_col, k=n_centroids, iters=refine_iters
+        )
+    else:
+        cent_rows = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .orderBy(id_col)
+            .limit(n_centroids)
+            .collect()
+        )
+        centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
