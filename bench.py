@@ -70,15 +70,22 @@ def bench_queries(spark: SparkSession) -> tuple[dict, int]:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
 
+    runs = int(os.environ.get("KG_BENCH_TIMED_RUNS", "3"))
+
     def timed(name, fn):
         # steady-state measurement: first run pays JIT/codegen/heap-growth
-        # (reported separately as cold), second run is the engine number
+        # (reported separately as cold); the engine number is the MIN over
+        # the remaining runs — the sandbox host is shared, so a single warm
+        # run can be inflated by an external load spike
         t0 = time.perf_counter()
         fn()
         cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(max(runs - 1, 1)):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     onto = demo_ontology_df(spark)
     onto_cat = demo_ontology_df(spark, with_category=True)

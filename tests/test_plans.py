@@ -68,3 +68,45 @@ def test_scan_column_pruning(spark, docs):
 def test_no_row_at_a_time_python_anywhere(spark, docs):
     out = tag_documents(docs, demo_ontology_df(spark), lang_col="lang", languages=LANGS)
     assert "BatchEvalPython" not in plan_of(out)
+
+
+def test_checkpoint_fingerprint_constant_memory_plan(spark):
+    # the lineage fingerprint must be a bounded-buffer aggregate (sum of
+    # per-row hashes), never a collect_list that materializes every triple
+    # of a bucket in one aggregation buffer
+    from dss_plugin_nlp_analysis_spark.plans.checkpoint import _output_fingerprint
+
+    df = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "y")], "subj string, pred string, obj string"
+    ).agg(_output_fingerprint().alias("fp"))
+    plan = plan_of(df)
+    assert "collect_list" not in plan and "sort_array" not in plan
+    assert "partial_sum" in plan or "sum(" in plan  # map-side combinable
+
+
+def test_ngram_jaccard_caps_posting_lists_in_plan(spark):
+    # candidate generation must be gated by the shingle document-frequency
+    # aggregate (the f^2/2 boilerplate guard), visible as a count-per-
+    # shingle aggregation feeding the self-join
+    from dss_plugin_nlp_analysis_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], "id long, t string")
+    out = ngram_jaccard_pairs(df, "id", "t", n=3, threshold=0.1, max_doc_freq=5)
+    out.collect()
+    plan = plan_of(out)
+    assert plan.count("HashAggregate") >= 2  # df-count agg + pair distinct
+    assert "array_intersect" in plan  # exact Jaccard over full shingle sets
+
+
+def test_salted_distinct_ships_counts_not_values(spark):
+    # phase 2 must merge per-salt COUNTS; no flatten/array_distinct of
+    # shipped value sets may appear in the executed plan
+    from dss_plugin_nlp_analysis_spark.operators.skew import salted_distinct_stats
+
+    ev = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a")], "user_id long, event_type string"
+    )
+    out = salted_distinct_stats(ev, "user_id", "event_type")
+    out.collect()
+    plan = plan_of(out)
+    assert "flatten" not in plan and "array_distinct" not in plan
