@@ -321,20 +321,23 @@ def tokenize_raw(text: str, lang: str = "en") -> list[tuple]:
     out: list[tuple] = []
     if not text:
         return out
-    plain = _PLAIN_WORD_RE
     prev = 0
     for m in _NONWS_RE.finditer(text):
         s, e = m.span()
-        if s > prev and text[prev:s] != " ":  # whitespace gap
+        gap = s - prev
+        if gap and (gap > 1 or text[prev] != " "):  # whitespace gap
             out.append((text[prev:s], prev, s, True))
-        seg = m.group(0)
-        if plain(seg):  # fast path: bare alnum word (the common web-text case)
+        seg = m[0]
+        # fast path: bare ASCII-alnum word (the common web-text case);
+        # isascii+isalnum is exactly the [A-Za-z0-9]+ class, at C speed
+        if seg.isascii() and seg.isalnum():
             out.append((seg, s, e, False))
         else:
             _refine_chunk(seg, s, lang, out)
         prev = e
     n = len(text)
-    if prev < n and text[prev:n] != " ":  # trailing whitespace
+    gap = n - prev
+    if gap and (gap > 1 or text[prev] != " "):  # trailing whitespace
         out.append((text[prev:n], prev, n, True))
     return out
 
