@@ -14,7 +14,7 @@ from dss_plugin_nlp_analysis_spark.operators.ontology import TagOptions, compile
 from dss_plugin_nlp_analysis_spark.operators.tagger import process_document
 
 TEXT = st.text(max_size=300)
-LANG = st.sampled_from(["en", "fr", "zh", "de", "ja"])
+LANG = st.sampled_from(["en", "fr", "zh", "de", "ja", "th"])
 
 
 @given(TEXT, LANG)
