@@ -392,8 +392,11 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_doc_freq mirrored in the oracle SQL (HAVING count <= cap) so the
+    # gated semantics are the CAPPED algorithm, not a small-data accident
     return ngram_jaccard_pairs(
-        _dup_corpus(spark, sf_dir, mutate=True), "id", "t", n=3, threshold=0.5
+        _dup_corpus(spark, sf_dir, mutate=True), "id", "t", n=3, threshold=0.5,
+        max_doc_freq=10_000,
     )
 
 
@@ -726,10 +729,21 @@ def oracle_sql() -> dict[str, str]:
             WITH {_CORPUS_MUT},
             {_SHINGLES},
             inv AS (SELECT DISTINCT id, g FROM sh3),
+            -- df cap mirrors ngram_jaccard_pairs(max_doc_freq=10000):
+            -- candidates come from the capped index, Jaccard is exact
+            -- over the FULL shingle sets of each candidate pair
+            rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 10000),
+            idx AS (SELECT inv.id, inv.g FROM inv JOIN rare USING (g)),
+            cand AS (
+              SELECT DISTINCT x.id AS id_a, y.id AS id_b
+              FROM idx x JOIN idx y ON x.g = y.g AND x.id < y.id
+            ),
             sz AS (SELECT id, count(*) AS s FROM inv GROUP BY 1),
             it AS (
-              SELECT x.id AS id_a, y.id AS id_b, count(*) AS i
-              FROM inv x JOIN inv y ON x.g = y.g AND x.id < y.id
+              SELECT c.id_a, c.id_b, count(*) AS i
+              FROM cand c
+              JOIN inv a ON a.id = c.id_a
+              JOIN inv b ON b.id = c.id_b AND b.g = a.g
               GROUP BY 1, 2
             )
             SELECT id_a, id_b,

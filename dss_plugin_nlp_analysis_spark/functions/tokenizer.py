@@ -50,7 +50,6 @@ def _tok(text, start, end, is_space):
 
 # --- character classes -------------------------------------------------
 
-_SEG_RE = re.compile(r"\s+|\S+")
 _NONWS_RE = re.compile(r"\S+")
 
 # full-chunk token patterns (checked before any splitting)
@@ -176,9 +175,6 @@ _EN_CLITICS = ("n't", "n’t", "'s", "’s", "'re", "’re", "'ve", "’ve",
 _ELISION_RE = re.compile(r"^([djlmnstc]['’]|qu['’])(?=\w)", re.IGNORECASE)
 _ELISION_LANGS = frozenset({"fr", "it", "ca", "lb"})
 _HYPHEN_SPLIT_RE = re.compile(r"(?<=[^\W\d_])(-|–|—)(?=[^\W\d_])")
-
-# bare alnum chunk — no prefix/suffix/infix/CJK/emoji handling needed
-_PLAIN_WORD_RE = re.compile(r"[A-Za-z0-9]+$").match
 
 import unicodedata as _ud
 

@@ -165,8 +165,10 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_doc_freq: int = 10_000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity join via an inverted shingle index
-    (only pairs sharing ≥1 shingle are scored — never all-pairs).
+    """n-gram Jaccard similarity join via a document-frequency-capped
+    inverted shingle index: the Jaccard VALUE is exact for every emitted
+    pair, but pairs whose every shared shingle exceeds ``max_doc_freq``
+    are not generated (never all-pairs, never boilerplate-quadratic).
 
     ``max_doc_freq`` caps the posting-list length used for CANDIDATE
     GENERATION: a boilerplate shingle appearing in f documents would emit

@@ -29,9 +29,10 @@ column on its output — then the write partitions by the *input* bucket
 with zero extra cost. If it drops the column, the bucket is re-derived
 from ``xxhash64(subj)``, which silently corrupts resume state when subj
 differs from the input url (a later job group would overwrite partitions
-owned by earlier groups); ``validate_buckets=True`` therefore checks that
-every derived bucket belongs to the current group before writing and
-raises otherwise.
+owned by earlier groups); ``validate_buckets=True`` therefore fuses a
+guard into the bucket expression — the write job aborts before commit on
+the first stray row (zero extra scan when all rows are valid) and the
+violation surfaces as ValueError.
 """
 
 from __future__ import annotations
@@ -44,6 +45,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["KGBuildResult", "run_checkpointed_build", "read_manifest"]
+
+_BUCKET_CONTRACT_MARKER = "KG_BUCKET_CONTRACT_VIOLATION:"
 
 MANIFEST_SCHEMA = T.StructType(
     [
@@ -112,9 +115,6 @@ def run_checkpointed_build(
     docs_b = docs_df.withColumn(
         "_bucket", (F.pmod(F.xxhash64(F.col(url_col)), F.lit(num_buckets))).cast("int")
     )
-    # dynamic partition overwrite: re-running a bucket replaces exactly that
-    # bucket's directory — idempotent resume, no duplicate appends
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     total_triples = 0
     processed: list[int] = []
     for i in range(0, len(todo), buckets_per_job):
@@ -122,28 +122,42 @@ def run_checkpointed_build(
         t0 = time.perf_counter()
         part = docs_b.where(F.col("_bucket").isin(group))
         triples = triple_fn(part)
-        cached = None
-        if "_bucket" not in triples.columns:
-            triples = triples.withColumn(
-                "_bucket",
-                (F.pmod(F.xxhash64(F.col("subj")), F.lit(num_buckets))).cast("int"),
-            )
+        derived = "_bucket" not in triples.columns
+        if derived:
+            bucket = (F.pmod(F.xxhash64(F.col("subj")), F.lit(num_buckets))).cast("int")
             if validate_buckets:
-                cached = triples.persist()
-                stray = cached.where(~F.col("_bucket").isin(group)).limit(1).collect()
-                if stray:
-                    cached.unpersist()
-                    raise ValueError(
-                        "triple_fn dropped _bucket and emitted subj values outside "
-                        f"the current bucket group {group} (e.g. bucket "
-                        f"{stray[0]['_bucket']}): writing would overwrite partitions "
-                        "owned by other groups. Preserve the input _bucket column "
-                        "or keep subj equal to the input url column."
+                # fused guard: a stray bucket aborts the write job BEFORE
+                # commit (dynamic overwrite commits at job end) — zero extra
+                # scan in the common all-valid case
+                bucket = F.when(bucket.isin(group), bucket).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(_BUCKET_CONTRACT_MARKER + " derived bucket "),
+                            bucket.cast("string"),
+                            F.lit(f" outside current group {group}"),
+                        )
                     )
-                triples = cached
-        triples.write.mode("overwrite").partitionBy("_bucket").parquet(output_dir)
-        if cached is not None:
-            cached.unpersist()
+                )
+            triples = triples.withColumn("_bucket", bucket)
+        # dynamic partition overwrite (writer-scoped, not session config):
+        # re-running a bucket replaces exactly that bucket's directory —
+        # idempotent resume, no duplicate appends
+        writer = (
+            triples.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket")
+        )
+        try:
+            writer.parquet(output_dir)
+        except Exception as exc:  # surface the contract violation as ValueError
+            if derived and validate_buckets and _BUCKET_CONTRACT_MARKER in str(exc):
+                raise ValueError(
+                    "triple_fn dropped _bucket and emitted subj values outside "
+                    f"the current bucket group {group}: writing would overwrite "
+                    "partitions owned by other groups. Preserve the input "
+                    "_bucket column or keep subj equal to the input url column."
+                ) from exc
+            raise
         wall = time.perf_counter() - t0
         # lineage: per-bucket input/output counts + output fingerprint
         in_counts = {

@@ -178,7 +178,8 @@ def test_cosine_dup_pairs_exact_and_lsh(spark):
             F.col("label"),
         )
     )
-    exact = {(r["id_a"], r["id_b"]) for r in cosine_dup_pairs(planted, threshold=0.95).collect()}
+    exact = {(r["id_a"], r["id_b"]) for r in
+             cosine_dup_pairs(planted, threshold=0.95, use_lsh=False).collect()}
     assert exact == {(i, i + 10000) for i in range(200)}
     # LSH blocking keeps every exact near-dup (identical sign buckets)
     lsh = {(r["id_a"], r["id_b"]) for r in
