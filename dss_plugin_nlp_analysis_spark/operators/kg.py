@@ -124,18 +124,29 @@ def build_triples(
     tagged = extract_mentions(
         docs_df, compiled, text_col, lang_col, language, res, skip_unknown=skip_unknown
     )
-    m = F.explode(F.col(res)["matches"]).alias("m")
+    # resolve the sentence INSIDE the per-row transform, before exploding:
+    # exploding first would duplicate the whole sentences array once per
+    # match row (measured ~1.7x the per-match cost at 2 matches/doc)
+    m_structs = F.transform(
+        F.col(res)["matches"],
+        lambda m: F.struct(
+            m["tag"].alias("pred"),
+            m["keyword"].alias("keyword"),
+            F.element_at(F.col(res)["sentences"], m["sent_idx"] + 1).alias("sentence"),
+            m["sent_idx"].alias("sent_idx"),
+            m["category"].alias("category"),
+        ),
+    )
     exploded = tagged.select(
         F.col(url_col).alias("subj"),
         (F.col(lang_col) if lang_col else F.lit(language)).alias("lang"),
         (F.col(ts_col) if ts_col else F.lit(None).cast("timestamp")).alias("warc_ts"),
-        F.col(res)["sentences"].alias("_sents"),
-        m,
+        F.explode(m_structs).alias("m"),
     ).select(
         "subj",
-        F.col("m")["tag"].alias("pred"),
+        F.col("m")["pred"].alias("pred"),
         F.col("m")["keyword"].alias("keyword"),
-        F.element_at(F.col("_sents"), F.col("m")["sent_idx"] + 1).alias("sentence"),
+        F.col("m")["sentence"].alias("sentence"),
         F.col("m")["sent_idx"].alias("sent_idx"),
         F.col("m")["category"].alias("category"),
         "lang",
