@@ -42,13 +42,26 @@ def stream_triples(
         pages, compiled, text_col, lang_col, result_col="_t",
         skip_unknown=True, broadcast=False,  # broadcast vars don't restart cleanly in streams
     )
-    m = F.explode(F.col("_t")["matches"]).alias("m")
-    return tagged.select(F.col(url_col).alias("subj"), F.col("_t")["sentences"].alias("_s"), m).select(
+    # sentence resolved inside the per-row transform, before exploding
+    # (same shape as kg.build_triples: never duplicate the sentences array
+    # once per match row)
+    m_structs = F.transform(
+        F.col("_t")["matches"],
+        lambda m: F.struct(
+            m["tag"].alias("pred"),
+            m["tag"].alias("obj"),
+            m["keyword"].alias("keyword"),
+            F.element_at(F.col("_t")["sentences"], m["sent_idx"] + 1).alias("sentence"),
+        ),
+    )
+    return tagged.select(
+        F.col(url_col).alias("subj"), F.explode(m_structs).alias("m")
+    ).select(
         "subj",
-        F.col("m")["tag"].alias("pred"),
-        F.col("m")["tag"].alias("obj"),
+        F.col("m")["pred"].alias("pred"),
+        F.col("m")["obj"].alias("obj"),
         F.col("m")["keyword"].alias("keyword"),
-        F.element_at(F.col("_s"), F.col("m")["sent_idx"] + 1).alias("sentence"),
+        F.col("m")["sentence"].alias("sentence"),
     )
 
 
