@@ -17,7 +17,8 @@ from ..operators.ontology import CompiledOntology
 from ..operators.tagger import extract_mentions
 
 __all__ = [
-    "stream_pages", "stream_triples", "write_epoch", "run_stream_to_parquet",
+    "stream_pages", "stream_triples", "stream_mention_rate",
+    "write_epoch", "run_stream_to_parquet",
 ]
 
 
@@ -62,6 +63,37 @@ def stream_triples(
         F.col("m")["obj"].alias("obj"),
         F.col("m")["keyword"].alias("keyword"),
         F.col("m")["sentence"].alias("sentence"),
+    )
+
+
+def stream_mention_rate(
+    pages: DataFrame,
+    compiled: CompiledOntology,
+    ts_col: str = "warc_ts",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked windowed crawl-rate aggregation: per (event-time window,
+    lang), the number of pages and extracted mentions.
+
+    The watermark bounds state for late data: events later than
+    ``watermark`` behind the max seen event time are dropped and their
+    window finalized — the standard Structured Streaming pattern for
+    continuous ingestion monitoring (emit to an append sink once windows
+    close, or a memory/update sink for live dashboards)."""
+    tagged = extract_mentions(
+        pages, compiled, text_col, lang_col, result_col="_t",
+        skip_unknown=True, broadcast=False,
+    )
+    return (
+        tagged.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(lang_col).alias("lang"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.size(F.col("_t")["matches"])).alias("n_mentions"),
+        )
     )
 
 
