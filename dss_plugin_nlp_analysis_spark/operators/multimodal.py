@@ -19,7 +19,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fake_image_binary", "decode_image_meta", "frame_sample_plan"]
+__all__ = [
+    "fake_image_binary", "decode_image_meta", "resize_images",
+    "extract_features", "frame_sample_plan",
+]
 
 META_SCHEMA = "id long, width int, height int, fmt string, payload_bytes int"
 
@@ -65,6 +68,81 @@ def decode_image_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
             )
 
     return df.select(id_col, bin_col).mapInPandas(decode, META_SCHEMA)
+
+
+def _resize_fake(buf: bytes, w: int, h: int) -> bytes:
+    """The resize seam. A real implementation plugs Pillow's
+    ``Image.resize`` in here; the fake codec rewrites the header
+    dimensions and scales the payload length proportionally (area ratio),
+    deterministically."""
+    ow, oh, fmt, _n = _decode_header(buf)
+    payload = bytes(buf).split(b"|", 4)[4]
+    if ow * oh:
+        new_len = max(1, (len(payload) * w * h) // (ow * oh))
+    else:
+        new_len = len(payload)
+    resized = (payload * (new_len // max(len(payload), 1) + 1))[:new_len]
+    return b"IMG|%d|%d|%s|" % (w, h, fmt.encode()) + resized
+
+
+def resize_images(
+    df: DataFrame, id_col: str, bin_col: str, width: int, height: int
+) -> DataFrame:
+    """mapInPandas resize: binary → binary at the target dimensions.
+
+    Arrow batch shape and output schema are the real plumbing; the pixel
+    resampling itself is the ``_resize_fake`` stub seam (raises
+    NotImplementedError for non-fake payloads, like ``_decode_header``).
+    Returns (id, image) with the same column names so resize stages chain.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].values,
+                    "image": [_resize_fake(b, width, height) for b in pdf[bin_col]],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(resize, "id long, image binary")
+
+
+def extract_features(
+    df: DataFrame, id_col: str, bin_col: str, dim: int = 16
+) -> DataFrame:
+    """mapInPandas feature extraction: binary → ``array<float>`` embedding.
+
+    The model forward pass is the stub seam — here a deterministic
+    md5-derived featurizer (same construction as the LSH hyperplanes, so
+    it is engine-reproducible); a real encoder (CLIP/torchvision) plugs in
+    at ``_featurize``. Output plugs directly into the embedding ops
+    (``cosine_topk`` / ``lsh_ann_topk`` / ``cosine_dup_pairs``): the
+    multimodal dedup path is decode → extract_features → LSH dup pairs.
+    """
+    import hashlib
+
+    def _featurize(buf: bytes) -> list[float]:
+        if buf is None:
+            raise NotImplementedError("real feature extraction requires a model")
+        out = []
+        for d in range(dim):
+            h = int(hashlib.md5(bytes(buf) + b"|%d" % d).hexdigest()[:15], 16)
+            out.append(h / float(2 ** 60) * 2.0 - 1.0)
+        return out
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].values,
+                    "embedding": [_featurize(b) for b in pdf[bin_col]],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(
+        featurize, "id long, embedding array<float>"
+    )
 
 
 def frame_sample_plan(df: DataFrame, id_col: str, n_frames_col: str, every: int = 10) -> DataFrame:

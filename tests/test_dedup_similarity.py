@@ -185,3 +185,39 @@ def test_cosine_dup_pairs_exact_and_lsh(spark):
     lsh = {(r["id_a"], r["id_b"]) for r in
            cosine_dup_pairs(planted, threshold=0.95, use_lsh=True, tables=2).collect()}
     assert lsh == exact
+
+
+def test_resize_and_feature_extract_plumbing(spark):
+    from dss_plugin_nlp_analysis_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+    )
+    from dss_plugin_nlp_analysis_spark.operators.similarity import cosine_dup_pairs
+
+    imgs = spark.range(8).select(
+        F.col("id"),
+        fake_image_binary(
+            F.lit(640), F.lit(480),
+            # ids 0/1 share payload (duplicate images), rest unique
+            F.when(F.col("id") < 2, F.lit("samepayload")).otherwise(
+                F.concat(F.lit("p"), F.col("id").cast("string"))
+            ),
+        ).alias("image"),
+    )
+    # resize: header dims rewritten, payload scaled by area ratio, chainable
+    small = resize_images(imgs, "id", "image", 320, 240)
+    meta = {r["id"]: (r["width"], r["height"]) for r in
+            decode_image_meta(small, "id", "image").collect()}
+    assert all(wh == (320, 240) for wh in meta.values())
+    # feature extraction: deterministic embeddings; duplicate payloads give
+    # identical vectors, which the embedding dedup path then finds
+    feats = extract_features(imgs, "id", "image", dim=16)
+    dups = cosine_dup_pairs(
+        feats, id_col="id", vec_col="embedding", threshold=0.999999,
+        use_lsh=False,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in dups} == {(0, 1)}
+    # real-codec seam still raises for non-fake payloads
+    bad = spark.createDataFrame([(1, bytearray(b"JPEGnotfake"))], "id long, image binary")
+    with pytest.raises(Exception, match="NotImplementedError|stubbed"):
+        resize_images(bad, "id", "image", 10, 10).collect()
