@@ -488,6 +488,29 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(docs.select("doc_id", img.alias("img")), "doc_id", "img")
 
 
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # decode→featurize path: deterministic md5 featurizer is replicated in
+    # the DuckDB oracle; the float32 cast is mirrored via ::REAL so the
+    # rounded values are bit-comparable
+    from dss_plugin_nlp_analysis_spark.operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = docs.select(
+        F.col("doc_id").alias("id"),
+        fake_image_binary(
+            F.lit(64), F.lit(64), F.substring(normalized_text(F.col("text")), 1, 16)
+        ).alias("image"),
+    )
+    feats = extract_features(imgs, "id", "image", dim=4)
+    return feats.select(
+        "id",
+        *[
+            F.round(F.col("embedding")[i].cast("double"), 6).alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+
+
 # --- language ops (A6, P8) -------------------------------------------------
 
 def _q_distinct_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -519,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "langid_markers": _q_langid_markers,
         "multimodal_meta": _q_multimodal_meta,
+        "multimodal_features": _q_multimodal_features,
         "tag_match_lemma": _q_tag_match_lemma,
         "tag_match_ignorecase": _q_tag_match_ignorecase,
         "tag_match_diacritics": _q_tag_match_diacritics,
@@ -965,6 +989,23 @@ def oracle_sql() -> dict[str, str]:
                    'raw' AS fmt,
                    length(text)::INT AS payload_bytes
             FROM documents
+        """,
+        # md5 featurizer replicated exactly: h = first 15 hex of
+        # md5(buf || '|d'); feature = (h / 2^60) * 2 - 1, computed in
+        # float64 then narrowed to float32 (::REAL) exactly as the Spark
+        # array<float> schema does, then widened and rounded on both sides
+        "multimodal_features": f"""
+            WITH n AS (SELECT doc_id AS id,
+                              substr({_NORM}, 1, 16) AS p
+                       FROM documents),
+            b AS (SELECT id, 'IMG|64|64|raw|' || p AS buf FROM n)
+            SELECT id,
+              {", ".join(
+                "round(((('0x' || substr(md5(buf || '|" + str(d) + "'), 1, 15))::UBIGINT"
+                " / 1152921504606846976.0 * 2.0 - 1.0)::REAL)::DOUBLE, 6) AS f" + str(d)
+                for d in range(4)
+              )}
+            FROM b
         """,
         # lemmatization: 'merged' lemmatizes to 'merge' only under the en
         # lookup table (non-en tables have no entry → identity), so the
