@@ -81,3 +81,23 @@ def test_multichar_cjk_keyword_tagging_end_to_end(spark):
     assert by_doc[0] == "ai_tag"       # multi-char keyword = one token seq
     assert by_doc[1] == "aikai"
     assert by_doc[2] is None           # split tokens don't false-positive
+
+
+def test_korean_keyword_matches_inside_inflected_eojeol():
+    # ko is NOT a supported tagging language (parity: the reference's
+    # language_support.py has no "ko" entry), but the kernel's char-level
+    # Hangul tokens mean a keyword like 서울 (Seoul) would match INSIDE the
+    # inflected eojeol 서울에서 ("in Seoul") as a char subsequence — the
+    # same match mecab's morpheme split (서울/에서) produces, where
+    # eojeol-level tokens would miss it
+    from dss_plugin_nlp_analysis_spark.functions.tokenizer import tokenize_raw
+    from dss_plugin_nlp_analysis_spark.operators.automaton import TokenAutomaton
+
+    auto = TokenAutomaton()
+    auto.add([t[0] for t in tokenize_raw("서울", "ko")], payload=0)
+    auto.build()
+    doc_keys = [t[0] for t in tokenize_raw("우리는 서울에서 일해요", "ko")]
+    hits = auto.find_all(doc_keys)
+    assert len(hits) == 1
+    ts, te, payloads = hits[0]
+    assert "".join(doc_keys[ts:te]) == "서울"
