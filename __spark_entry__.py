@@ -561,7 +561,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # shared oracle fragments: normalized text, derived dup corpora, shingles
-_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+# NULL-safe like dedup.normalized_text (NULL text -> ''), so every
+# _NORM-paired query stays aligned with the Spark side even on NULL rows
+_NORM = r"trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))"
 
 _CORPUS_EXACT = f"""
     corpus AS (

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..functions.langsupport import validate_languages
 from ..functions.textnorm import normalize_text
 from .ontology import TagOptions, clean_ontology, compile_ontology
-from .tagger import extract_mentions
+from .tagger import extract_mentions, sentence_of
 
 __all__ = ["canonical_map", "build_triples", "TRIPLE_COLUMNS"]
 
@@ -132,7 +132,7 @@ def build_triples(
         lambda m: F.struct(
             m["tag"].alias("pred"),
             m["keyword"].alias("keyword"),
-            F.element_at(F.col(res)["sentences"], m["sent_idx"] + 1).alias("sentence"),
+            sentence_of(res, m).alias("sentence"),
             m["sent_idx"].alias("sent_idx"),
             m["category"].alias("category"),
         ),

@@ -73,15 +73,16 @@ def decode_image_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
 def _resize_fake(buf: bytes, w: int, h: int) -> bytes:
     """The resize seam. A real implementation plugs Pillow's
     ``Image.resize`` in here; the fake codec rewrites the header
-    dimensions and scales the payload length proportionally (area ratio),
+    dimensions and scales the payload length proportionally (area ratio,
+    min 1 byte for non-empty payloads; empty stays empty),
     deterministically."""
     ow, oh, fmt, _n = _decode_header(buf)
     payload = bytes(buf).split(b"|", 4)[4]
-    if ow * oh:
-        new_len = max(1, (len(payload) * w * h) // (ow * oh))
+    if not payload or not ow * oh:
+        resized = payload
     else:
-        new_len = len(payload)
-    resized = (payload * (new_len // max(len(payload), 1) + 1))[:new_len]
+        new_len = max(1, (len(payload) * w * h) // (ow * oh))
+        resized = (payload * (new_len // len(payload) + 1))[:new_len]
     return b"IMG|%d|%d|%s|" % (w, h, fmt.encode()) + resized
 
 
@@ -123,8 +124,14 @@ def extract_features(
     import hashlib
 
     def _featurize(buf: bytes) -> list[float]:
-        if buf is None:
-            raise NotImplementedError("real feature extraction requires a model")
+        # same contract as the other codec seams: only the fake wire
+        # format is featurizable here; real payloads need a real encoder
+        if buf is None or not bytes(buf).startswith(b"IMG|"):
+            raise NotImplementedError(
+                "real feature extraction is stubbed in this environment; "
+                "only the deterministic fake codec (IMG|w|h|fmt|payload) "
+                "is available — plug a real encoder (CLIP/torchvision) here"
+            )
         out = []
         for d in range(dim):
             h = int(hashlib.md5(bytes(buf) + b"|%d" % d).hexdigest()[:15], 16)

@@ -220,8 +220,14 @@ def _m(res: str) -> Column:
     return F.col(res)["matches"]
 
 
-def _sentence_of(res: str, m: Column) -> Column:
+def sentence_of(res: str, m: Column) -> Column:
+    """Resolve a match's sentence from the result struct's sentences array
+    (shared by the per-match formatter, kg.build_triples, and the
+    streaming triples path — one definition of the 1-based indexing)."""
     return F.element_at(F.col(res)["sentences"], m["sent_idx"] + 1)
+
+
+_sentence_of = sentence_of
 
 
 def _json_or_null(arr: Column) -> Column:

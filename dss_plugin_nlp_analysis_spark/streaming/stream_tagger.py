@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.ontology import CompiledOntology
-from ..operators.tagger import extract_mentions
+from ..operators.tagger import extract_mentions, sentence_of
 
 __all__ = [
     "stream_pages", "stream_triples", "stream_mention_rate",
@@ -52,7 +52,7 @@ def stream_triples(
             m["tag"].alias("pred"),
             m["tag"].alias("obj"),
             m["keyword"].alias("keyword"),
-            F.element_at(F.col("_t")["sentences"], m["sent_idx"] + 1).alias("sentence"),
+            sentence_of("_t", m).alias("sentence"),
         ),
     )
     return tagged.select(
