@@ -95,7 +95,9 @@ def test_ngram_jaccard_caps_posting_lists_in_plan(spark):
     out.collect()
     plan = plan_of(out)
     assert plan.count("HashAggregate") >= 2  # df-count agg + pair distinct
-    assert "array_intersect" in plan  # exact Jaccard over full shingle sets
+    # shingle generation is the codegen'd regex pass, not interpreted HOFs
+    assert "regexp_extract_all" in plan
+    assert "transform(" not in plan and "array_join" not in plan
 
 
 def test_salted_distinct_ships_counts_not_values(spark):
