@@ -97,7 +97,9 @@ def exploded_shingles(
     )
     short_rows = (
         df.select(F.col(id_col).alias("id"), norm.alias("g"))
-        .where(F.size(F.split("g", " ")) < n)
+        # empty text yields size(split)==1, so the n==1 case needs the
+        # explicit empty check to emit its whole-text ('') shingle
+        .where((F.size(F.split("g", " ")) < n) | (F.col("g") == ""))
     )
     return long_rows.unionByName(short_rows)
 

@@ -140,3 +140,30 @@ def test_checkpoint_fingerprint_is_order_insensitive_and_dup_sensitive(spark):
     fp3 = spark.createDataFrame(rows + [rows[0]], "subj string, pred string, obj string") \
         .agg(_output_fingerprint().alias("fp")).collect()[0]["fp"]
     assert fp3 != fp1  # a duplicated row DOES change the fingerprint (no XOR cancel)
+
+
+def test_exploded_shingles_matches_hof_multiset(spark):
+    # the regex fast path must emit the exact multiset of the HOF shingles
+    # column (incl. duplicates and the short-doc whole-text row)
+    import random
+
+    from dss_plugin_nlp_analysis_spark.operators.dedup import (
+        exploded_shingles,
+        shingles,
+    )
+
+    random.seed(3)
+    vocab = "aa bb cc dd ee ff gg aa bb".split()
+    rows = [(i, " ".join(random.choice(vocab) for _ in range(random.randint(0, 12))))
+            for i in range(120)]
+    rows += [(900, ""), (901, "one"), (902, "one two"), (903, "  padded   ws  ")]
+    df = spark.createDataFrame(rows, "id long, t string")
+    for n in (1, 2, 3, 5):
+        hof = sorted(
+            (r["id"], r["g"])
+            for r in df.select("id", F.explode(shingles(F.col("t"), n)).alias("g")).collect()
+        )
+        fast = sorted(
+            (r["id"], r["g"]) for r in exploded_shingles(df, "id", "t", n).collect()
+        )
+        assert fast == hof, f"n={n}"
