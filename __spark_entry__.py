@@ -400,6 +400,25 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # duplicate CLUSTERING: near-dup candidate pairs -> distributed
+    # connected components -> one cluster id per document (the cluster-level
+    # dedup a training pipeline keeps one canonical doc from); oracle is a
+    # DuckDB recursive CTE over the identical pair graph
+    from dss_plugin_nlp_analysis_spark.operators.components import (
+        connected_components,
+    )
+
+    corpus = _dup_corpus(spark, sf_dir, mutate=True)
+    pairs = minhash_candidate_pairs(corpus, "id", "t", num_hashes=8, bands=4, n=3)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return (
+        corpus.select("id")
+        .join(cc.withColumnRenamed("node", "id"), "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("cluster_id"))
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_buckets(
         _dup_corpus(spark, sf_dir, mutate=True), "id", "t", n=2, prefix_bits=8
@@ -532,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dup_clusters": _q_dup_clusters,
         "simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_ann": _q_embedding_ann,
@@ -750,6 +770,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT x.id AS id_a, y.id AS id_b
             FROM bk x JOIN bk y ON x.band_key = y.band_key AND x.id < y.id
+        """,
+        # duplicate clusters = connected components over the minhash pair
+        # graph; recursive reachability-min in DuckDB == min-label
+        # propagation in Spark (component id = min node id)
+        "dup_clusters": f"""
+            WITH RECURSIVE {_CORPUS_MUT},
+            {_SHINGLES},
+            hx AS (SELECT id, md5(g) AS h FROM sh3),
+            sig AS (
+              SELECT id,
+                     min(substr(h,  1, 4)) AS s0, min(substr(h,  5, 4)) AS s1,
+                     min(substr(h,  9, 4)) AS s2, min(substr(h, 13, 4)) AS s3,
+                     min(substr(h, 17, 4)) AS s4, min(substr(h, 21, 4)) AS s5,
+                     min(substr(h, 25, 4)) AS s6, min(substr(h, 29, 4)) AS s7
+              FROM hx GROUP BY id
+            ),
+            bk AS (
+              SELECT id, unnest([
+                md5(0 || '|' || s0 || '|' || s1),
+                md5(1 || '|' || s2 || '|' || s3),
+                md5(2 || '|' || s4 || '|' || s5),
+                md5(3 || '|' || s6 || '|' || s7)]) AS band_key
+              FROM sig
+            ),
+            pairs AS (
+              SELECT DISTINCT x.id AS id_a, y.id AS id_b
+              FROM bk x JOIN bk y ON x.band_key = y.band_key AND x.id < y.id
+            ),
+            und AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach(node, r) AS (
+              SELECT u, u FROM und
+              UNION
+              SELECT und.u, reach.r FROM und JOIN reach ON reach.node = und.v
+            ),
+            comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+            SELECT c.id, coalesce(comp.component, c.id) AS cluster_id
+            FROM corpus c LEFT JOIN comp ON comp.node = c.id
         """,
         "ngram_jaccard": f"""
             WITH {_CORPUS_MUT},

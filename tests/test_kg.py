@@ -142,3 +142,39 @@ def test_canonical_map_transitive_chain():
     cmap = canonical_map(rows)
     assert cmap["a_tag"] == cmap["b_tag"] == cmap["c_tag"] == "a_tag"
     assert cmap["d_tag"] == "d_tag"
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    import pyspark.sql.functions as F
+
+    from dss_plugin_nlp_analysis_spark.operators.components import (
+        connected_components,
+    )
+
+    random.seed(5)
+    edges = [(random.randint(0, 60), random.randint(0, 60)) for _ in range(80)]
+    edges += [(100 + i, 100 + i + 1) for i in range(12)]  # a 13-node chain
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"] for r in connected_components(df, max_iter=30).collect()}
+
+    # reference: driver-side union-find over the same edges
+    parent: dict[int, int] = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    expected = {n: min(ns) for r, ns in comp.items() for n in ns}
+    assert got == expected
+    # the chain collapses to one component labeled by its minimum node
+    assert all(got[100 + i] == 100 for i in range(13))
