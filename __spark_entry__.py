@@ -405,17 +405,11 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # connected components -> one cluster id per document (the cluster-level
     # dedup a training pipeline keeps one canonical doc from); oracle is a
     # DuckDB recursive CTE over the identical pair graph
-    from dss_plugin_nlp_analysis_spark.operators.components import (
-        connected_components,
-    )
+    from dss_plugin_nlp_analysis_spark.operators.dedup import cluster_dedup
 
     corpus = _dup_corpus(spark, sf_dir, mutate=True)
-    pairs = minhash_candidate_pairs(corpus, "id", "t", num_hashes=8, bands=4, n=3)
-    cc = connected_components(pairs, "id_a", "id_b")
-    return (
-        corpus.select("id")
-        .join(cc.withColumnRenamed("node", "id"), "id", "left")
-        .select("id", F.coalesce("component", F.col("id")).alias("cluster_id"))
+    return cluster_dedup(corpus, "id", "t", num_hashes=8, bands=4, n=3).select(
+        "id", "cluster_id"
     )
 
 

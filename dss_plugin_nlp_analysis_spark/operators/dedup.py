@@ -27,6 +27,7 @@ __all__ = [
     "shingles",
     "minhash_signature",
     "minhash_candidate_pairs",
+    "cluster_dedup",
     "ngram_jaccard_pairs",
     "simhash_buckets",
 ]
@@ -180,6 +181,41 @@ def minhash_candidate_pairs(
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+def cluster_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    max_bucket_size: int = 1000,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster-level near-dup dedup: minhash candidate pairs → distributed
+    connected components → one canonical (min-id) document per cluster.
+
+    Returns (id, cluster_id, is_duplicate) for EVERY input document
+    (singletons are their own cluster). This is the full web-scale dedup
+    composition: transitive near-dup chains (A≈B≈C where A and C share no
+    band) collapse into one cluster, which pairwise filtering alone would
+    keep as separate survivors."""
+    from .components import connected_components
+
+    pairs = minhash_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, n, max_bucket_size
+    )
+    cc = connected_components(pairs, "id_a", "id_b", max_iter=max_iter)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(cc.withColumnRenamed("node", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("component", F.col("id")).alias("cluster_id"),
+        )
+        .withColumn("is_duplicate", F.col("id") != F.col("cluster_id"))
     )
 
 

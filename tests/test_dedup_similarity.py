@@ -221,3 +221,27 @@ def test_resize_and_feature_extract_plumbing(spark):
     bad = spark.createDataFrame([(1, bytearray(b"JPEGnotfake"))], "id long, image binary")
     with pytest.raises(Exception, match="NotImplementedError|stubbed"):
         resize_images(bad, "id", "image", 10, 10).collect()
+
+
+def test_cluster_dedup_collapses_transitive_chains(spark):
+    from dss_plugin_nlp_analysis_spark.operators.dedup import cluster_dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    words = base.split()
+    rows = [
+        (1, base),
+        (2, " ".join(words[1:])),           # near-dup of 1
+        (3, " ".join(words[2:])),           # near-dup of 2 (chain: 1~2~3)
+        (9, "an entirely different document about spark shuffle exchanges"),
+        (10, "singleton short doc"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r["id"]: (r["cluster_id"], r["is_duplicate"])
+           for r in cluster_dedup(df, "id", "t").collect()}
+    # the transitive chain collapses to one cluster with min-id canonical
+    assert got[1] == (1, False)
+    assert got[2][0] == 1 and got[2][1]
+    assert got[3][0] == 1 and got[3][1]
+    # non-dups are their own singleton clusters
+    assert got[9] == (9, False)
+    assert got[10] == (10, False)
