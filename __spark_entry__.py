@@ -761,9 +761,14 @@ def oracle_sql() -> dict[str, str]:
                 md5(2 || '|' || s4 || '|' || s5),
                 md5(3 || '|' || s6 || '|' || s7)]) AS band_key
               FROM sig
-            )
+            ),
+            -- max_bucket_size=1000 mirrored (degenerate band buckets are
+            -- dropped before pairing, exactly as minhash_candidate_pairs)
+            small AS (SELECT band_key FROM bk GROUP BY band_key
+                      HAVING count(*) <= 1000),
+            bks AS (SELECT bk.id, bk.band_key FROM bk JOIN small USING (band_key))
             SELECT DISTINCT x.id AS id_a, y.id AS id_b
-            FROM bk x JOIN bk y ON x.band_key = y.band_key AND x.id < y.id
+            FROM bks x JOIN bks y ON x.band_key = y.band_key AND x.id < y.id
         """,
         # duplicate clusters = connected components over the minhash pair
         # graph; recursive reachability-min in DuckDB == min-label
@@ -788,9 +793,14 @@ def oracle_sql() -> dict[str, str]:
                 md5(3 || '|' || s6 || '|' || s7)]) AS band_key
               FROM sig
             ),
+            -- max_bucket_size=1000 mirrored (degenerate band buckets are
+            -- dropped before pairing, exactly as minhash_candidate_pairs)
+            small AS (SELECT band_key FROM bk GROUP BY band_key
+                      HAVING count(*) <= 1000),
+            bks AS (SELECT bk.id, bk.band_key FROM bk JOIN small USING (band_key)),
             pairs AS (
               SELECT DISTINCT x.id AS id_a, y.id AS id_b
-              FROM bk x JOIN bk y ON x.band_key = y.band_key AND x.id < y.id
+              FROM bks x JOIN bks y ON x.band_key = y.band_key AND x.id < y.id
             ),
             und AS (
               SELECT id_a AS u, id_b AS v FROM pairs

@@ -296,6 +296,8 @@ def run_kernel() -> dict:
     ]
     langs = sorted({lang for _, lang in docs if lang})
     compiled = compile_ontology(rows, langs, TagOptions(), False)
+    # mirror the UDF's skip_unknown: NULL/unsupported-lang rows are skipped
+    docs = [(text, lang) for text, lang in docs if lang in compiled.patterns]
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
