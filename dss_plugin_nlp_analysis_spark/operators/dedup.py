@@ -47,17 +47,24 @@ def fingerprint(col: Column) -> Column:
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact near-identity dedup: one canonical (min id) per fingerprint.
 
-    Returns (id, fingerprint, canonical_id, is_duplicate). Single shuffle
-    on the fingerprint; AQE handles skewed empty-text groups.
+    Returns (id, fingerprint, canonical_id, is_duplicate). Formulated as a
+    map-side-combinable groupBy(min) + equi-join rather than an unordered
+    window: ``min OVER (PARTITION BY fingerprint)`` buffers each
+    fingerprint's rows in ONE window group, so a degenerate fingerprint
+    (billions of empty/boilerplate pages share one hash) OOMs a reducer
+    at web scale; the join form partial-aggregates map-side and AQE
+    skew-splits the join, and both shuffles share the fingerprint key so
+    the exchange is reused.
     """
-    from pyspark.sql import Window as W
-
-    fp = fingerprint(F.col(text_col)).alias("fingerprint")
-    w = W.partitionBy("fingerprint")
-    return (
-        df.select(F.col(id_col).alias("id"), fp)
-        .withColumn("canonical_id", F.min("id").over(w))
-        .withColumn("is_duplicate", F.col("id") != F.col("canonical_id"))
+    fps = df.select(
+        F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    canon = fps.groupBy("fingerprint").agg(F.min("id").alias("canonical_id"))
+    return fps.join(canon, "fingerprint").select(
+        "id",
+        "fingerprint",
+        "canonical_id",
+        (F.col("id") != F.col("canonical_id")).alias("is_duplicate"),
     )
 
 

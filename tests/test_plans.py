@@ -112,3 +112,17 @@ def test_salted_distinct_ships_counts_not_values(spark):
     out.collect()
     plan = plan_of(out)
     assert "flatten" not in plan and "array_distinct" not in plan
+
+
+def test_exact_dedup_no_unbounded_window_buffer(spark):
+    # the canonical-id computation must be a partial-aggregatable groupBy +
+    # join, never an unordered window (one degenerate fingerprint group
+    # would buffer in a single reducer at web scale)
+    from dss_plugin_nlp_analysis_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "id long, t string")
+    out = exact_dedup(df, "id", "t")
+    out.collect()
+    plan = plan_of(out)
+    assert "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
