@@ -12,19 +12,46 @@ Algorithm: iterative min-label propagation — every node repeatedly takes
 the minimum component label among itself and its neighbors; converges in
 O(graph diameter) rounds (web duplicate clusters are shallow star/clique
 shapes, typically 2-3 rounds). Each round is one join + one groupBy(min),
-both map-side combinable; each round's label table is localCheckpointed
-(mandatory — see the inline note on exponential plan growth) and the
-edge table is persisted once so its upstream DAG executes exactly once.
+both map-side combinable. Convergence is detected from a ``_changed``
+flag computed INSIDE the relabel pass (a narrow scan of the just-cut
+round table — no extra join between the old and new label tables).
+
+Lineage must be cut every round (see the inline note on exponential plan
+growth). Two cut modes:
+
+- default: ``localCheckpoint`` — zero-setup, right for local/sandbox
+  runs, but blocks live in executor storage: losing an executor
+  mid-iteration kills the job unrecoverably.
+- ``checkpoint_dir`` set: each round's label table is written to
+  ``<dir>/cc_round_NNNN`` parquet and read back — a *reliable* cut that
+  survives executor loss (and, unlike ``RDD.checkpoint()``, leaves
+  deterministic per-round files the loop can delete as soon as they are
+  superseded, so the footprint stays at ~2 rounds of labels). The final
+  round's files back the returned DataFrame and are left for the caller.
+
 Deterministic: the component id is the minimum node id; non-convergence
 RAISES rather than returning wrong labels.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components"]
+
+
+def _round_path(checkpoint_dir: str, rnd: int) -> str:
+    return f"{checkpoint_dir}/cc_round_{rnd:04d}"
+
+
+def _hadoop_rm(spark: SparkSession, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API so cleanup works
+    on any checkpoint_dir scheme (HDFS, S3A, local) — not just local paths."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
 
 
 def connected_components(
@@ -32,6 +59,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Return (node, component) for every node appearing in ``edges``;
     component = min node id of the connected component.
@@ -41,29 +69,47 @@ def connected_components(
     raise ``max_iter`` for long-chain graphs; convergence needs about the
     graph eccentricity from each component's min node). The edge table is
     persisted once so its upstream DAG (e.g. the whole minhash pair
-    pipeline) executes exactly once, not once per round."""
+    pipeline) executes exactly once, not once per round.
+
+    ``checkpoint_dir``: when set, each round's lineage cut is a parquet
+    round-trip under this directory (reliable — survives executor loss;
+    superseded round files are deleted as the loop advances). When None,
+    ``localCheckpoint`` is used: fine in-sandbox, NOT durable on a real
+    cluster — set ``checkpoint_dir`` for long production runs."""
+    spark = edges.sparkSession
+
+    def cut(df: DataFrame, rnd: int) -> DataFrame:
+        # A lineage cut is REQUIRED each round, not an optimization: labels
+        # feeds the next round twice (neighbor-min + the self join), so
+        # without a cut the logical plan doubles per round (2^k nodes ->
+        # driver OOM around round ~20).
+        if checkpoint_dir is None:
+            return df.localCheckpoint()
+        path = _round_path(checkpoint_dir, rnd)
+        df.write.mode("overwrite").parquet(path)
+        out = spark.read.parquet(path)
+        if rnd >= 1:
+            # the previous round is fully superseded once this write is
+            # complete (the write above is an action) — drop its files so
+            # the on-disk footprint stays at two rounds of labels
+            _hadoop_rm(spark, _round_path(checkpoint_dir, rnd - 1))
+        return out
+
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     und = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .persist()
     )
-    # localCheckpoint is REQUIRED each round, not an optimization: labels
-    # feeds the next round twice (neighbor-min + the self join), so without
-    # a lineage cut the logical plan doubles per round (2^k nodes -> driver
-    # OOM around round ~20). Superseded checkpoint blocks are released by
-    # the ContextCleaner once the driver reference drops (labels is
-    # overwritten each round); on a real cluster with very high max_iter,
-    # use reliable checkpoint() + explicit cleanup of the checkpoint dir.
-    labels = (
+    labels = cut(
         und.select(F.col("u").alias("node"))
         .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint()
+        .withColumn("component", F.col("node")),
+        0,
     )
     converged = False
     try:
-        for _ in range(max_iter):
+        for rnd in range(1, max_iter + 1):
             nbr_min = (
                 und.join(
                     labels.select(
@@ -74,26 +120,25 @@ def connected_components(
                 .groupBy("u")
                 .agg(F.min("_nc").alias("_m"))
             )
-            new_labels = (
+            # _changed is computed in the SAME pass that produces the new
+            # labels, so convergence detection is a narrow scan of the
+            # just-cut round table — not a second join of old vs new labels
+            new_labels = cut(
                 labels.join(
                     nbr_min.select(F.col("u").alias("node"), "_m"), "node", "left"
-                )
-                .select(
+                ).select(
                     "node",
                     F.least(
                         F.col("component"), F.coalesce("_m", F.col("component"))
                     ).alias("component"),
-                )
-                .localCheckpoint()
+                    F.coalesce(
+                        F.col("_m") < F.col("component"), F.lit(False)
+                    ).alias("_changed"),
+                ),
+                rnd,
             )
-            changed = (
-                new_labels.withColumnRenamed("component", "_new")
-                .join(labels, "node")
-                .where(F.col("_new") != F.col("component"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels
+            changed = new_labels.where("_changed").limit(1).count()
+            labels = new_labels.drop("_changed")
             if changed == 0:
                 converged = True
                 break

@@ -96,20 +96,21 @@ def exploded_shingles(
     higher-order-function ``shingles`` column (HOFs evaluate interpreted,
     outside whole-stage codegen) and shuffles nothing. Documents shorter
     than ``n`` words contribute their whole normalized text, matching
-    ``shingles``'s multiset exactly (equivalence-tested)."""
+    ``shingles``'s multiset exactly (equivalence-tested).
+
+    Long and short documents are handled in ONE projection (a CASE inside
+    the explode), so the source text column is scanned and normalized
+    exactly once — not once per branch of a union."""
     norm = normalized_text(F.col(text_col))
     pattern = r"(?:^|\s)(?=(\S+" + r"\s\S+" * (n - 1) + r"))"
-    long_rows = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.regexp_extract_all(norm, F.lit(pattern), 1)).alias("g"),
-    )
-    short_rows = (
-        df.select(F.col(id_col).alias("id"), norm.alias("g"))
-        # empty text yields size(split)==1, so the n==1 case needs the
-        # explicit empty check to emit its whole-text ('') shingle
-        .where((F.size(F.split("g", " ")) < n) | (F.col("g") == ""))
-    )
-    return long_rows.unionByName(short_rows)
+    # whole-text fallback when the doc has < n words; empty text yields
+    # size(split)==1, so the n==1 case needs the explicit empty check to
+    # still emit its whole-text ('') shingle
+    grams = F.when(
+        (F.size(F.split(norm, " ")) >= n) & (norm != ""),
+        F.regexp_extract_all(norm, F.lit(pattern), 1),
+    ).otherwise(F.array(norm))
+    return df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
 
 
 def minhash_signature(col: Column, num_hashes: int = 8, n: int = 3) -> Column:
@@ -200,6 +201,7 @@ def cluster_dedup(
     n: int = 3,
     max_bucket_size: int = 1000,
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster-level near-dup dedup: minhash candidate pairs → distributed
     connected components → one canonical (min-id) document per cluster.
@@ -208,13 +210,18 @@ def cluster_dedup(
     (singletons are their own cluster). This is the full web-scale dedup
     composition: transitive near-dup chains (A≈B≈C where A and C share no
     band) collapse into one cluster, which pairwise filtering alone would
-    keep as separate survivors."""
+    keep as separate survivors.
+
+    ``checkpoint_dir`` makes the per-round lineage cuts durable (see
+    ``connected_components``) — set it for long runs on a real cluster."""
     from .components import connected_components
 
     pairs = minhash_candidate_pairs(
         df, id_col, text_col, num_hashes, bands, n, max_bucket_size
     )
-    cc = connected_components(pairs, "id_a", "id_b", max_iter=max_iter)
+    cc = connected_components(
+        pairs, "id_a", "id_b", max_iter=max_iter, checkpoint_dir=checkpoint_dir
+    )
     return (
         df.select(F.col(id_col).alias("id"))
         .join(cc.withColumnRenamed("node", "id"), "id", "left")
