@@ -101,9 +101,16 @@ def hyperplane_buckets(
     ``tables`` independent hash tables (plane sets seeded by table index)
     raise recall multiplicatively — the standard LSH trade; the output is
     an array of per-table bucket ids (table index encoded in the high bits
-    so buckets never collide across tables)."""
+    so buckets never collide across tables).
+
+    ``dim`` is required: the embedding width is part of the table's
+    contract and the caller always knows it — probing the data for it
+    would cost an extra Spark job per call."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "dim is required (embedding width from the table contract); "
+            "probing the data for it would run an extra Spark job"
+        )
     v = F.col(vec_col).cast("array<double>")
     buckets = []
     for t in range(tables):
@@ -132,10 +139,8 @@ def lsh_ann_topk(
     replaces the cross product (the 100 TB path); ``tables`` trades
     compute for recall.
 
-    Pass ``dim`` (the embedding width, known from the table's contract):
-    omitting it probes the corpus with an extra ``.first()`` Spark job."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+    ``dim`` (the embedding width, known from the table's contract) is
+    required — see ``hyperplane_buckets``."""
     c = hyperplane_buckets(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
         "_cv", num_planes, seed, dim, tables=tables,
@@ -287,24 +292,27 @@ def cosine_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    use_lsh: bool = True,
+    *,
+    use_lsh: bool,
     num_planes: int = 8,
     tables: int = 4,
     seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine ≥
-    threshold). The default ``use_lsh=True`` pre-blocks candidates by
-    hyperplane sign-bucket — the 100 TB path (near-dups at high cosine
-    collide in some table with high probability; the bucket math is
-    md5-deterministic so a SQL oracle can replicate it exactly).
-    ``use_lsh=False`` scores all pairs exactly — the opt-in oracle
-    baseline; its crossJoin is quadratic and only for modest inputs."""
+    threshold). ``use_lsh`` is a REQUIRED keyword so the recall trade is
+    always an explicit caller decision, never a silent default:
+
+    - ``use_lsh=True`` pre-blocks candidates by hyperplane sign-bucket —
+      the 100 TB path (near-dups at high cosine collide in some table with
+      high probability; the bucket math is md5-deterministic so a SQL
+      oracle can replicate it exactly), but pairs missing every table's
+      bucket are lost. Requires ``dim``.
+    - ``use_lsh=False`` scores all pairs exactly — the oracle baseline;
+      its crossJoin is quadratic and only for modest inputs."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     if use_lsh:
-        if dim is None:
-            dim = len(df.select(vec_col).first()[0])
         ab = hyperplane_buckets(a, "_va", num_planes, seed, dim, tables=tables) \
             .withColumn("bucket", F.explode("bucket"))
         bb = hyperplane_buckets(b, "_vb", num_planes, seed, dim, tables=tables) \

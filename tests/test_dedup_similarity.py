@@ -91,7 +91,7 @@ def test_lsh_ann_finds_planted_near_dups(spark):
             F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)).alias("embedding"),
         )
     )
-    got = lsh_ann_topk(emb, q, k=1, num_planes=6, tables=2).collect()
+    got = lsh_ann_topk(emb, q, k=1, num_planes=6, tables=2, dim=64).collect()
     assert len(got) == 8
     for r in got:
         assert r["neighbor_id"] == r["query_id"] - 9000
@@ -104,7 +104,7 @@ def test_lsh_ann_recall_vs_exact_on_random(spark):
     q = emb.where(F.col("vec_id") < 5)
     exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=3).collect()}
     approx = {(r["query_id"], r["neighbor_id"]) for r in
-              lsh_ann_topk(emb, q, k=3, num_planes=3, tables=6).collect()}
+              lsh_ann_topk(emb, q, k=3, num_planes=3, tables=6, dim=64).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"recall {recall}"
 
@@ -183,7 +183,7 @@ def test_cosine_dup_pairs_exact_and_lsh(spark):
     assert exact == {(i, i + 10000) for i in range(200)}
     # LSH blocking keeps every exact near-dup (identical sign buckets)
     lsh = {(r["id_a"], r["id_b"]) for r in
-           cosine_dup_pairs(planted, threshold=0.95, use_lsh=True, tables=2).collect()}
+           cosine_dup_pairs(planted, threshold=0.95, use_lsh=True, tables=2, dim=64).collect()}
     assert lsh == exact
 
 
