@@ -313,7 +313,77 @@ def run_kernel() -> dict:
     }
 
 
+def run_kernel_zh() -> dict:
+    """zh lattice-segmentation kernel cost with a production-sized
+    dictionary: synthesizes a 100k-word dict (jieba ``word freq`` format,
+    zipf-ish counts), loads it through KG_SEGMENT_DICT_DIR, and measures
+    single-core tokenize throughput over ~500-char synthetic zh docs —
+    guards against a full lexicon turning the segmenter into the
+    bottleneck. Reports the builtin-lexicon number on the same docs for
+    comparison, plus the one-time dict build cost."""
+    import os
+    import random
+    import tempfile
+
+    from dss_plugin_nlp_analysis_spark.functions import tokenizer as tok
+
+    rng = random.Random(42)
+    chars = [chr(c) for c in range(0x4E00, 0x9FFF, 7)]
+    words: set[str] = set()
+    while len(words) < 100_000:
+        n = rng.choice((2, 2, 2, 3, 3, 4))
+        words.add("".join(rng.choice(chars) for _ in range(n)))
+    word_list = sorted(words)
+    rng.shuffle(word_list)
+    docs = ["".join(rng.choice(word_list) for _ in range(160)) + "。" for _ in range(2000)]
+    n_chars = sum(len(d) for d in docs)
+
+    def measure() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for d in docs:
+                tok.tokenize_raw(d, "zh")
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    old_env = os.environ.pop("KG_SEGMENT_DICT_DIR", None)
+    try:
+        tok._SEG_DICT_CACHE.clear()
+        builtin_s = measure()
+        with tempfile.TemporaryDirectory() as tmp:
+            with open(os.path.join(tmp, "zh_words.txt"), "w", encoding="utf-8") as f:
+                for rank, w in enumerate(word_list, 1):
+                    f.write(f"{w} {max(1_000_000 // rank, 2)}\n")
+            os.environ["KG_SEGMENT_DICT_DIR"] = tmp
+            tok._SEG_DICT_CACHE.clear()
+            t0 = time.perf_counter()
+            tok._seg_dict("zh")  # one-time per-process dict build
+            load_s = time.perf_counter() - t0
+            full_s = measure()
+    finally:
+        if old_env is None:
+            os.environ.pop("KG_SEGMENT_DICT_DIR", None)
+        else:
+            os.environ["KG_SEGMENT_DICT_DIR"] = old_env
+        tok._SEG_DICT_CACHE.clear()
+    return {
+        "metric": "zh_lattice_docs_per_sec_per_core",
+        "value": round(len(docs) / full_s, 1),
+        "unit": "docs/sec/core",
+        "chars_per_sec": round(n_chars / full_s, 1),
+        "builtin_docs_per_sec": round(len(docs) / builtin_s, 1),
+        "dict_words": len(word_list),
+        "dict_load_sec": round(load_s, 3),
+        "n_docs": len(docs),
+        "avg_doc_chars": round(n_chars / len(docs), 1),
+    }
+
+
 def main() -> None:
+    if "--kernel-zh" in sys.argv:
+        print(json.dumps(run_kernel_zh()))
+        return
     if "--kernel" in sys.argv:
         print(json.dumps(run_kernel()))
         return

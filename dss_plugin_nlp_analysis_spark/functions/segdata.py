@@ -27,6 +27,7 @@ _ZH_WORDS = (
     "什么", "怎么", "为什么", "哪里", "这里", "那里", "这个", "那个",
     "可以", "不能", "没有", "知道", "认识", "明白", "理解", "觉得",
     "认为", "希望", "喜欢", "需要", "应该", "必须", "可能", "能够",
+    "生命", "起源", "研究生", "大学生", "学生会",
     "现在", "时间", "今天", "明天", "昨天", "今年", "去年", "明年",
     "每天", "每年", "小时", "分钟", "星期", "周末", "早上", "晚上",
     "中午", "上午", "下午", "以前", "以后", "后来", "最近", "将来",
@@ -120,3 +121,44 @@ BUILTIN_WORDS: dict[str, tuple[str, ...]] = {
     "ja": _JA_WORDS,
     "th": _TH_WORDS,
 }
+
+# --- unigram frequencies for the lattice segmenter ----------------------
+#
+# The Viterbi segmenter (functions/tokenizer.py) scores a segmentation by
+# the product of unigram word probabilities (jieba's core model — its HMM
+# only extends this to OOV spans). Vendored words default to DEFAULT_FREQ;
+# the overrides below encode the public frequency ORDERING for the
+# boundary-ambiguous families where greedy forward-maximum-matching picks
+# the wrong split (e.g. 研究生命 → FMM takes the longer 研究生 greedily and
+# strands 命; the unigram model prefers 研究|生命 because
+# f(研究)·f(生命) ≫ f(研究生)·f(命) — the relative magnitudes below mirror
+# jieba's public dict.txt ordering, not its exact counts). User dicts
+# loaded from ``KG_SEGMENT_DICT_DIR`` may carry real counts per line
+# (jieba's "word freq [pos]" format) and override these.
+
+DEFAULT_FREQ = 1000
+
+FREQ_OVERRIDES: dict[str, dict[str, int]] = {
+    "zh": {
+        "研究": 30_000,     # high-frequency verb/noun
+        "生命": 10_000,
+        "起源": 1_500,
+        "研究生": 1_200,    # real word, but rarer than 研究+生命
+        "大学": 20_000,
+        "大学生": 2_000,
+        "学生": 25_000,
+        "学生会": 800,
+        "命名": 8_000,
+        "时间": 30_000,
+        "中国": 40_000,
+        "人工智能": 5_000,
+    },
+}
+
+
+def builtin_freqs(lang: str) -> dict[str, int]:
+    """{word: freq} for the vendored lexicon of ``lang`` (empty if none)."""
+    over = FREQ_OVERRIDES.get(lang, {})
+    out = {w: DEFAULT_FREQ for w in BUILTIN_WORDS.get(lang, ())}
+    out.update(over)
+    return out

@@ -11,13 +11,14 @@ SURVEY.md preamble). Pinned behaviors and their reference evidence:
   (test_ontology_tagger.py:133-158, test_spacy_tokenizer.py:15-21)
 - whitespace runs other than a single space become *space tokens* so the
   sentencizer can key on ``"\\n"`` (ontology_tagger.py:71-74)
-- zh/ja/th runs are segmented by forward maximum matching over a word
-  dictionary (vendored common vocabulary in ``segdata.py``; full public
-  dictionaries load via ``KG_SEGMENT_DICT_DIR/<lang>_words.txt``) — the
-  native stand-in for the reference's jieba/sudachipy/pythainlp extras
-  (code-env/python/spec/requirements.txt:1-13). Out-of-dictionary CJK and
-  other no-space scripts fall back to char-level tokens, which matches
-  the reference's classical-zh golden exactly
+- zh/ja/th runs are segmented by a unigram-cost lattice (Viterbi over the
+  segmentation DAG — jieba's core model) over a word-frequency dictionary
+  (vendored common vocabulary in ``segdata.py``; full public dictionaries
+  with real counts load via ``KG_SEGMENT_DICT_DIR/<lang>_words.txt``) —
+  the native stand-in for the reference's jieba/sudachipy/pythainlp
+  extras (code-env/python/spec/requirements.txt:1-13). Out-of-dictionary
+  CJK and other no-space scripts fall back to char-level tokens, which
+  matches the reference's classical-zh golden exactly
   (test_spacy_tokenizer.py:33-47) and is absorbed by the P/R bar
   elsewhere (SEMANTICS.md §3).
 
@@ -107,58 +108,98 @@ def _is_cjk(ch: str) -> bool:
 
 
 # --- dictionary segmentation for no-space scripts (zh/ja/th) -----------
+#
+# Unigram-cost lattice (Viterbi over the segmentation DAG) — jieba's core
+# model: a segmentation's score is the product of unigram word
+# probabilities; dynamic programming picks the global maximum, so
+# boundary-ambiguous spans (研究生命 → 研究|生命, not the greedy 研究生|命)
+# resolve correctly where forward-maximum-matching commits to the longest
+# first word and strands the remainder. Out-of-dictionary characters get
+# the smoothed count 1, exactly like jieba's treatment of unseen unigrams
+# (its HMM extension for multi-char OOV words is not replicated — OOV
+# spans fall to char-level tokens, SEMANTICS.md §3).
 
+import math as _math
 import os as _os
 
 _MISSING = object()
 
-# lang -> (word set, max word length) | None when the lang has no dict
-_SEG_DICT_CACHE: dict[str, tuple[frozenset, int] | None] = {}
+# lang -> (word -> logprob, max word length, single-char OOV logprob)
+#         | None when the lang has no dict
+_SEG_DICT_CACHE: dict[str, tuple[dict, int, float] | None] = {}
 
 
 def _seg_dict(lang: str):
-    """Segmentation dictionary for ``lang``: vendored words (segdata.py)
-    plus an optional user dictionary ``$KG_SEGMENT_DICT_DIR/<lang>_words.txt``
-    (one word per line — the shape every public wordlist reduces to).
-    Cached per process; executors build it once."""
+    """Segmentation dictionary for ``lang``: vendored word frequencies
+    (segdata.py) plus an optional user dictionary
+    ``$KG_SEGMENT_DICT_DIR/<lang>_words.txt`` — one word per line, with an
+    optional count (jieba's public ``word freq [pos]`` format; bare words
+    get the default count). Frequencies are folded to log-probabilities
+    once here; cached per process, so executors build it once."""
     cached = _SEG_DICT_CACHE.get(lang, _MISSING)
     if cached is not _MISSING:
         return cached
-    from .segdata import BUILTIN_WORDS
+    from .segdata import DEFAULT_FREQ, builtin_freqs
 
-    words = set(BUILTIN_WORDS.get(lang, ()))
+    freqs = builtin_freqs(lang)
     user_dir = _os.environ.get("KG_SEGMENT_DICT_DIR")
     if user_dir:
         path = _os.path.join(user_dir, f"{lang}_words.txt")
         if _os.path.exists(path):
             with open(path, encoding="utf-8") as f:
-                words.update(w.strip() for w in f if w.strip())
-    words = {w for w in words if len(w) >= 2}
-    entry = (frozenset(words), max(len(w) for w in words)) if words else None
+                for line in f:
+                    parts = line.split()
+                    if not parts:
+                        continue
+                    freq = DEFAULT_FREQ
+                    if len(parts) > 1 and parts[1].isdigit():
+                        freq = max(int(parts[1]), 1)
+                    freqs[parts[0]] = freq
+    freqs = {w: f for w, f in freqs.items() if len(w) >= 2}
+    if not freqs:
+        _SEG_DICT_CACHE[lang] = None
+        return None
+    log_total = _math.log(sum(freqs.values()))
+    logp = {w: _math.log(f) - log_total for w, f in freqs.items()}
+    entry = (logp, max(len(w) for w in logp), -log_total)
     _SEG_DICT_CACHE[lang] = entry
     return entry
 
 
 def _emit_cjk_run(run: str, base: int, lang: str, out: list) -> None:
-    """Tokenize a contiguous no-space-script run: forward maximum matching
-    against the lang's dictionary, single-char fallback (greedy-longest is
-    jieba/newmm's core rule; punctuation never appears in dictionary words
-    so it always falls out as single chars)."""
+    """Tokenize a contiguous no-space-script run via the unigram lattice:
+    right-to-left Viterbi over all dictionary words (+ single-char
+    fallback) starting at each position, then a left-to-right emit along
+    the best path. Ties prefer the longer word (FMM's rule), so uniform
+    frequencies degrade gracefully to greedy-longest behavior.
+    Punctuation never appears in dictionary words, so it always falls out
+    as single chars."""
     d = _seg_dict(lang)
     if d is None:
         for k, ch in enumerate(run):
             out.append(_tok(ch, base + k, base + k + 1, False))
         return
-    words, max_len = d
-    i, n = 0, len(run)
+    logp, max_len, oov_logp = d
+    n = len(run)
+    route = [0.0] * (n + 1)   # route[i] = best log-prob of run[i:]
+    ends = [0] * n            # ends[i] = end of the first word on that path
+    for i in range(n - 1, -1, -1):
+        best = oov_logp + route[i + 1]   # single-char fallback
+        bestj = i + 1
+        for j in range(i + 2, min(i + max_len, n) + 1):
+            lp = logp.get(run[i:j])
+            if lp is None:
+                continue
+            score = lp + route[j]
+            if score > best or (score == best and j > bestj):
+                best, bestj = score, j
+        route[i] = best
+        ends[i] = bestj
+    i = 0
     while i < n:
-        take = 1
-        for length in range(min(max_len, n - i), 1, -1):
-            if run[i:i + length] in words:
-                take = length
-                break
-        out.append(_tok(run[i:i + take], base + i, base + i + take, False))
-        i += take
+        j = ends[i]
+        out.append(_tok(run[i:j], base + i, base + j, False))
+        i = j
 
 
 def _is_emoji(ch: str) -> bool:

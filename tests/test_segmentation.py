@@ -37,6 +37,37 @@ def test_thai_dictionary_words():
     assert toks == ["ผม", "ชอบ", "กิน", "ข้าว"]
 
 
+def test_lattice_beats_greedy_fmm_on_ambiguous_boundary():
+    # the classic zh garden path: greedy forward-maximum-matching commits
+    # to 研究生 (graduate student) and strands 命; the unigram lattice
+    # picks 研究|生命 (research | life) because f(研究)·f(生命) ≫
+    # f(研究生)·f(命) — the case jieba resolves with exactly this model
+    assert texts("研究生命的起源", "zh") == ["研究", "生命", "的", "起源"]
+    # the greedy word is still produced when it IS the right reading
+    assert texts("他是研究生", "zh")[-1] == "研究生"
+    # same family, opposite resolution: here the two-word reading
+    # 大学生|命名 beats 大学|生命|名 (three units, one an OOV char) —
+    # the lattice's fewer-words preference, which FMM gets right only by
+    # luck of the greedy first match
+    assert texts("大学生命名", "zh") == ["大学生", "命名"]
+
+
+def test_user_dictionary_frequencies_reweight_the_lattice(tmp_path, monkeypatch):
+    # jieba "word freq" format: a user dict with inverted counts flips the
+    # ambiguous split — proof the lattice consumes real counts, not just
+    # word presence
+    import dss_plugin_nlp_analysis_spark.functions.tokenizer as tok
+
+    (tmp_path / "zh_words.txt").write_text(
+        "研究生 900000\n命的 800000\n", encoding="utf-8"
+    )
+    monkeypatch.setenv("KG_SEGMENT_DICT_DIR", str(tmp_path))
+    # swap in a fresh cache for the test; monkeypatch restores the
+    # original (built without the user dict) afterwards
+    monkeypatch.setattr(tok, "_SEG_DICT_CACHE", {})
+    assert texts("研究生命的起源", "zh") == ["研究生", "命的", "起源"]
+
+
 def test_offsets_cover_run_exactly():
     s = "期一会。異体同心"
     toks = tokenize(s, "ja")
