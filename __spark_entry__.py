@@ -526,6 +526,23 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- language ops (A6, P8) -------------------------------------------------
 
+def _q_tag_match_skiplang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 skip-and-continue semantics under the driver gate: every 7th doc
+    gets an unsupported language code; with ``skip_unknown=True`` those
+    rows pass through UNTAGGED (a NULL no-match row — they are skipped,
+    not dropped and not raising), all other rows tag normally. The raise
+    path of the same guard is pytest-covered (functions/langsupport.py)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("xx")).otherwise(F.col("lang")),
+    )
+    out = tag_documents(
+        docs, demo_ontology_df(spark), text_col="text", lang_col="lang",
+        skip_unknown=True,
+    )
+    return out.select("doc_id", "tag", "tag_keyword")
+
+
 def _q_distinct_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("lang").where(F.col("lang").isNotNull()).distinct()
@@ -558,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_features": _q_multimodal_features,
         "tag_match_lemma": _q_tag_match_lemma,
+        "tag_match_skiplang": _q_tag_match_skiplang,
         "tag_match_ignorecase": _q_tag_match_ignorecase,
         "tag_match_diacritics": _q_tag_match_diacritics,
         "events_window": _q_events_window,
@@ -689,6 +707,21 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(nullif(category, ''), 'uncategorized') AS category
             FROM raw
             WHERE nullif(tag, '') IS NOT NULL AND nullif(keyword, '') IS NOT NULL
+        """,
+        "tag_match_skiplang": f"""
+            WITH {onto},
+            m AS (
+              SELECT doc_id, unnest(regexp_extract_all(trim(text), '{pat}')) AS kw
+              FROM documents
+              WHERE doc_id % 7 != 0  -- unsupported-lang rows are skipped, not dropped
+            ),
+            md AS (SELECT DISTINCT doc_id, kw FROM m)
+            SELECT d.doc_id,
+                   o.tag AS tag,
+                   md.kw AS tag_keyword
+            FROM documents d
+            LEFT JOIN md ON d.doc_id = md.doc_id
+            LEFT JOIN onto o ON o.keyword = md.kw
         """,
         "distinct_langs": "SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL",
         "kg_triples": r"""
