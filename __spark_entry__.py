@@ -443,6 +443,22 @@ def _q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-adaptive IVF path under the value gate: one Lloyd's k-means
+    pass over the corpus (seeded with the first 16 vectors in id order),
+    centroids quantized to 1e-6 so FP summation order cannot flip an
+    assignment, then the standard probe/re-rank. The oracle replicates the
+    full pass in SQL: argmax-cosine assignment to the seeds, per-(cell,dim)
+    mean, the same rounding, re-assignment, probe, exact re-rank."""
+    from dss_plugin_nlp_analysis_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=4,
+        refine_iters=1, centroid_rounding=6,
+    )
+
+
 def _planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus with planted near-dups: positively scaled copies at id+10000
     (cosine 1; scaling by 2 is exact in binary float, so the copy projects
@@ -567,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "embedding_ann": _q_embedding_ann,
         "embedding_ivf": _q_embedding_ivf,
+        "embedding_ivf_refined": _q_embedding_ivf_refined,
         "embedding_dups": _q_embedding_dups,
         "embedding_dups_lsh": _q_embedding_dups_lsh,
         "quality": _q_quality,
@@ -996,6 +1013,75 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY q.vec_id
                          ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
                                                          c.embedding::DOUBLE[]) DESC,
+                                  c.cid) AS r
+                FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10
+              ) WHERE r <= 4
+            ),
+            cand AS (
+              SELECT p.qid, a.nid FROM probe p JOIN asgn a ON a.cid = p.cid
+              WHERE a.nid != p.qid
+            )
+            SELECT query_id, neighbor_id, rank::INT AS rank FROM (
+              SELECT c.qid AS query_id, c.nid AS neighbor_id,
+                     row_number() OVER (PARTITION BY c.qid
+                       ORDER BY list_cosine_similarity(eq.embedding::DOUBLE[],
+                                                       en.embedding::DOUBLE[]) DESC,
+                                c.nid) AS rank
+              FROM cand c
+              JOIN embeddings eq ON eq.vec_id = c.qid
+              JOIN embeddings en ON en.vec_id = c.nid
+            ) WHERE rank <= 5
+        """,
+        # one full Lloyd's pass replicated in SQL: assign to raw seeds,
+        # per-(cell,dim) mean, round to 1e-6 (same quantization as the
+        # Spark side — FP summation order can't flip an assignment),
+        # re-assign, probe, exact re-rank. Empty seed cells keep their
+        # (rounded) seed vector, mirroring kmeans_centroids' fallback.
+        "embedding_ivf_refined": """
+            WITH seeds AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16),
+            asgn0 AS (
+              SELECT nid, cid FROM (
+                SELECT e.vec_id AS nid, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                                         c.embedding::DOUBLE[]) DESC,
+                                  c.cid) AS r
+                FROM embeddings e CROSS JOIN seeds c
+              ) WHERE r = 1
+            ),
+            comp AS (
+              SELECT a.cid, generate_subscripts(e.embedding, 1) AS pos,
+                     unnest(e.embedding::DOUBLE[]) AS x
+              FROM asgn0 a JOIN embeddings e ON e.vec_id = a.nid
+            ),
+            mn AS (
+              SELECT cid, pos, round(sum(x) / count(*), 6) AS m
+              FROM comp GROUP BY cid, pos
+            ),
+            sc AS (
+              SELECT vec_id AS cid, generate_subscripts(embedding, 1) AS pos,
+                     unnest(embedding::DOUBLE[]) AS x
+              FROM embeddings WHERE vec_id < 16
+            ),
+            cent AS (
+              SELECT sc.cid, list(coalesce(mn.m, round(sc.x, 6)) ORDER BY sc.pos) AS c
+              FROM sc LEFT JOIN mn ON mn.cid = sc.cid AND mn.pos = sc.pos
+              GROUP BY sc.cid
+            ),
+            asgn AS (
+              SELECT nid, cid FROM (
+                SELECT e.vec_id AS nid, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.c) DESC,
+                                  c.cid) AS r
+                FROM embeddings e CROSS JOIN cent c
+              ) WHERE r = 1
+            ),
+            probe AS (
+              SELECT qid, cid FROM (
+                SELECT q.vec_id AS qid, c.cid,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.c) DESC,
                                   c.cid) AS r
                 FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10
               ) WHERE r <= 4

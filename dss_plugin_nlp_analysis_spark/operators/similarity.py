@@ -235,6 +235,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     refine_iters: int = 0,
+    centroid_rounding: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus to its nearest centroid,
     probe the query's ``n_probe`` nearest centroid lists, exact re-rank.
@@ -247,6 +248,13 @@ def ivf_topk(
     are literal-array expressions); the only shuffle is the candidate
     equi-join on centroid id — the 100 TB path, like LSH but with
     data-adaptive cells.
+
+    ``centroid_rounding``: quantize centroid components to that many
+    decimals before assignment. Refined centroids are per-cell MEANS, and
+    FP summation order differs across engines (and across Spark runs), so
+    raw means can differ in the last ulp; quantizing to 1e-6 (errors are
+    ~1e-12) makes the assignment step engine-reproducible — which is what
+    lets a SQL oracle replicate the refined path value-for-value.
     """
     if refine_iters > 0:
         centroids = kmeans_centroids(
@@ -260,6 +268,11 @@ def ivf_topk(
             .collect()
         )
         centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
+    if centroid_rounding is not None:
+        centroids = [
+            (cid, [round(x, centroid_rounding) for x in vec])
+            for cid, vec in centroids
+        ]
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
