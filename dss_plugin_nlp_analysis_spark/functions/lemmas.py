@@ -211,8 +211,14 @@ def load_lookup_table(path: str) -> dict[str, str]:
 
 
 def lemma_table(lang: str, lookup_dir: str | None = None) -> dict[str, str]:
-    """Return the lemma lookup for ``lang`` (builtin ∪ optional user table)."""
-    table = dict(_BUILTIN.get(lang, {}))
+    """Return the lemma lookup for ``lang``: generated regular paradigms
+    (``lemmadata.generated_table`` — a few thousand high-frequency regular
+    inflections for the top web languages) overridden by the vendored
+    irregular/golden table, overridden by an optional user table."""
+    from .lemmadata import generated_table
+
+    table = dict(generated_table(lang))
+    table.update(_BUILTIN.get(lang, {}))
     lookup_dir = lookup_dir or os.environ.get("KG_LEMMA_LOOKUP_DIR")
     if lookup_dir:
         path = os.path.join(lookup_dir, f"{lang}_lemma_lookup.json")

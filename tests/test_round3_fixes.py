@@ -152,6 +152,81 @@ def test_streaming_dedup_ttl_bounds_state(spark, tmp_path):
     assert ids == [1, 2, 4, 5, 6], ids
 
 
+# regular inflections NOT present in the irregular/golden tables — each
+# must resolve through the generated paradigms (identity fallback = miss)
+_REGULAR_PAIRS = [
+    ("en", "carried", "carry"), ("en", "boxes", "box"),
+    ("en", "stopped", "stop"), ("en", "studies", "study"),
+    ("en", "watching", "watch"), ("en", "delivered", "deliver"),
+    ("en", "factories", "factory"), ("en", "branches", "branch"),
+    ("es", "cantaron", "cantar"), ("es", "cantaba", "cantar"),
+    ("es", "compraremos", "comprar"), ("es", "vendieron", "vender"),
+    ("es", "vivimos", "vivir"), ("es", "estudiando", "estudiar"),
+    ("fr", "parlons", "parler"), ("fr", "donnait", "donner"),
+    ("fr", "trouverons", "trouver"), ("fr", "habitaient", "habiter"),
+    ("it", "parlavano", "parlare"), ("it", "credeva", "credere"),
+    ("it", "dormito", "dormire"), ("it", "lavoriamo", "lavorare"),
+    ("pt", "falaram", "falar"), ("pt", "trabalhava", "trabalhar"),
+    ("pt", "comprarei", "comprar"),
+    ("de", "lernte", "lernen"), ("de", "gelernt", "lernen"),
+    ("de", "spielst", "spielen"), ("de", "gekauft", "kaufen"),
+    ("ru", "столом", "стол"), ("ru", "книгу", "книга"),
+    ("ru", "городах", "город"), ("ru", "программы", "программа"),
+]
+
+
+def test_generated_lemma_tables_measured_recall_gain():
+    from dss_plugin_nlp_analysis_spark.functions.lemmas import (
+        _BUILTIN,
+        lemma_table,
+    )
+
+    hits = 0
+    for lang, form, lemma in _REGULAR_PAIRS:
+        assert form not in _BUILTIN.get(lang, {}), (
+            f"{form} is in the irregular table — fixture must measure the "
+            "generated paradigms"
+        )
+        if lemma_table(lang).get(form) == lemma:
+            hits += 1
+    recall = hits / len(_REGULAR_PAIRS)
+    # identity fallback resolves exactly 0 of these; generated paradigms
+    # must close (essentially) all of them
+    assert recall >= 0.95, f"recall {recall}: misses={[p for p in _REGULAR_PAIRS if lemma_table(p[0]).get(p[1]) != p[2]]}"
+    # volume: thousands of generated pairs per top web language
+    for lang, floor in [("en", 900), ("es", 1200), ("fr", 900), ("it", 800), ("pt", 900), ("de", 300), ("ru", 400)]:
+        assert len(lemma_table(lang)) >= floor, (lang, len(lemma_table(lang)))
+
+
+def test_lemmatized_tagging_matches_regular_inflection_end_to_end(spark):
+    # keyword "cantar" must match a document containing only "cantaron" —
+    # possible only through the generated es paradigm (identity misses)
+    from dss_plugin_nlp_analysis_spark.operators.ontology import TagOptions
+    from dss_plugin_nlp_analysis_spark.operators.tagger import tag_documents
+
+    docs = spark.createDataFrame(
+        [(0, "ellas cantaron toda la noche", "es"),
+         (1, "ellas cantar bien", "es"),
+         (2, "nada que ver aqui", "es")],
+        "doc_id long, text string, lang string",
+    )
+    onto = spark.createDataFrame(
+        [("song_tag", "cantar")], "tag string, keyword string"
+    )
+    out = tag_documents(
+        docs, onto, languages=["es"], options=TagOptions(lemmatization=True)
+    ).collect()
+    by_doc = {r["doc_id"]: r["tag"] for r in out}
+    assert by_doc[0] == "song_tag"  # inflected form matched via lemma
+    assert by_doc[1] == "song_tag"  # base form still matches
+    assert by_doc[2] is None
+
+    # identity baseline: without lemmatization the inflected doc misses
+    out2 = tag_documents(docs, onto, languages=["es"]).collect()
+    by_doc2 = {r["doc_id"]: r["tag"] for r in out2}
+    assert by_doc2[0] is None and by_doc2[1] == "song_tag"
+
+
 def test_streaming_dedup_ttl_eviction_is_exact_within_horizon():
     """Pure-function check of the eviction rule the stateful op applies."""
     from dss_plugin_nlp_analysis_spark.streaming.stateful_dedup import (
