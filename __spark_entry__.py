@@ -44,6 +44,7 @@ from dss_plugin_nlp_analysis_spark.operators.textstats import (
     marker_langid,
     quality_features,
     regex_token_count,
+    repetition_features,
     token_count,
 )
 
@@ -51,12 +52,17 @@ SF0001 = "/root/testdata/sf0.001"
 EMB_DIM = 64  # embeddings.parquet vector width (TESTDATA.md contract)
 
 
-def _lsh_bucket_sql(vec_expr: str, num_planes: int, tables: int, seed: int = 42) -> str:
+def _lsh_bucket_sql(
+    vec_expr: str, num_planes: int, tables: int, seed: int = 42, probes: int = 0
+) -> str:
     """DuckDB expression (list of per-table LSH sign-buckets) replicating
     the EXACT math of operators/similarity.hyperplane_buckets: the same
     md5-derived hyperplane literals, the same ``proj >= 0`` sign rule, the
-    same table-offset bucket encoding. Deterministic on both engines, so
-    the approximate queries are value-checkable, not just row-countable."""
+    same table-offset bucket encoding. ``probes=1`` appends every
+    Hamming-distance-1 flip of each table's bucket (xor of one plane bit)
+    — the mirror of ``similarity.multiprobe_buckets``. Deterministic on
+    both engines, so the approximate queries are value-checkable, not
+    just row-countable."""
     from dss_plugin_nlp_analysis_spark.operators.similarity import _plane_vector
 
     bucket_exprs = []
@@ -69,7 +75,12 @@ def _lsh_bucket_sql(vec_expr: str, num_planes: int, tables: int, seed: int = 42)
                 f"(CASE WHEN list_dot_product({vec_expr}::DOUBLE[], {lit}::DOUBLE[]) >= 0"
                 f" THEN {1 << p} ELSE 0 END)"
             )
-        bucket_exprs.append("(" + " + ".join(bits) + f" + {t << num_planes})")
+        base = "(" + " + ".join(bits) + f" + {t << num_planes})"
+        bucket_exprs.append(base)
+        if probes:
+            bucket_exprs.extend(
+                f"xor({base}, {1 << p})" for p in range(num_planes)
+            )
     return "[" + ", ".join(bucket_exprs) + "]"
 
 
@@ -434,6 +445,18 @@ def _q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multi-probe LSH: half the tables of embedding_ann, with every
+    # Hamming-1 bucket probed on the (small) query side instead — recall
+    # recovered without growing the corpus index; fully oracle-gated (the
+    # probe expansion is deterministic xor on the same bucket math)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, num_planes=6, tables=2,
+        probes=1, dim=EMB_DIM,
+    )
+
+
 def _q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dss_plugin_nlp_analysis_spark.operators.similarity import ivf_topk
 
@@ -494,6 +517,14 @@ def _q_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_features(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition filters as a pure map (sort+fold per row —
+    # no shuffle); the oracle computes the same mode counts relationally
+    return repetition_features(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
 
 
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -582,11 +613,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_ann": _q_embedding_ann,
+        "embedding_ann_multiprobe": _q_embedding_ann_multiprobe,
         "embedding_ivf": _q_embedding_ivf,
         "embedding_ivf_refined": _q_embedding_ivf_refined,
         "embedding_dups": _q_embedding_dups,
         "embedding_dups_lsh": _q_embedding_dups_lsh,
         "quality": _q_quality,
+        "quality_repetition": _q_quality_repetition,
         "token_stats": _q_token_stats,
         "langid_markers": _q_langid_markers,
         "multimodal_meta": _q_multimodal_meta,
@@ -971,6 +1004,33 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings en ON en.vec_id = cand.nid
             ) WHERE rank <= 5
         """,
+        "embedding_ann_multiprobe": f"""
+            WITH bc AS (
+              SELECT vec_id, {_lsh_bucket_sql("embedding", 6, 2)} AS bks
+              FROM embeddings
+            ),
+            c AS (SELECT vec_id, unnest(bks) AS bucket FROM bc),
+            bq AS (
+              SELECT vec_id, {_lsh_bucket_sql("embedding", 6, 2, probes=1)} AS bks
+              FROM embeddings WHERE vec_id < 10
+            ),
+            q AS (SELECT vec_id, unnest(bks) AS bucket FROM bq),
+            cand AS (
+              SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+              FROM c JOIN q USING (bucket)
+              WHERE c.vec_id != q.vec_id
+            )
+            SELECT query_id, neighbor_id, rank::INT AS rank FROM (
+              SELECT cand.qid AS query_id, cand.nid AS neighbor_id,
+                     row_number() OVER (PARTITION BY cand.qid
+                       ORDER BY list_cosine_similarity(eq.embedding::DOUBLE[],
+                                                       en.embedding::DOUBLE[]) DESC,
+                                cand.nid) AS rank
+              FROM cand
+              JOIN embeddings eq ON eq.vec_id = cand.qid
+              JOIN embeddings en ON en.vec_id = cand.nid
+            ) WHERE rank <= 5
+        """,
         "embedding_dups_lsh": f"""
             WITH planted AS (
               SELECT vec_id, embedding FROM embeddings
@@ -1100,6 +1160,46 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings eq ON eq.vec_id = c.qid
               JOIN embeddings en ON en.vec_id = c.nid
             ) WHERE rank <= 5
+        """,
+        "quality_repetition": f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+            w AS (
+              SELECT doc_id,
+                     CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS toks
+              FROM n
+            ),
+            tok AS (SELECT doc_id, unnest(toks) AS wd FROM w),
+            uni AS (
+              SELECT doc_id, max(c) AS topu FROM (
+                SELECT doc_id, wd, count(*) AS c FROM tok GROUP BY 1, 2
+              ) GROUP BY 1
+            ),
+            pos AS (
+              SELECT doc_id, unnest(toks) AS wd, generate_subscripts(toks, 1) AS p
+              FROM w
+            ),
+            big AS (
+              SELECT a.doc_id, a.wd || ' ' || b.wd AS bg
+              FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+            ),
+            bigc AS (
+              SELECT doc_id, max(c) AS topb FROM (
+                SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2
+              ) GROUP BY 1
+            )
+            SELECT w.doc_id AS id,
+                   round(CASE WHEN len(toks) > 0
+                         THEN coalesce(uni.topu, 0)::DOUBLE / len(toks)
+                         ELSE 0.0 END, 6) AS top_unigram_ratio,
+                   round(CASE WHEN len(toks) > 0
+                         THEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
+                         ELSE 0.0 END, 6) AS dup_word_ratio,
+                   round(CASE WHEN len(toks) > 1
+                         THEN coalesce(bigc.topb, 0)::DOUBLE / (len(toks) - 1)
+                         ELSE 0.0 END, 6) AS top_bigram_ratio
+            FROM w
+            LEFT JOIN uni USING (doc_id)
+            LEFT JOIN bigc USING (doc_id)
         """,
         "quality": f"""
             WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents),

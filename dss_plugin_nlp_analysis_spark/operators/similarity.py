@@ -22,7 +22,8 @@ from pyspark.sql import Window as W
 
 __all__ = [
     "dot", "l2_norm", "cosine", "cosine_topk",
-    "hyperplane_buckets", "lsh_ann_topk", "kmeans_centroids", "ivf_topk",
+    "hyperplane_buckets", "multiprobe_buckets", "lsh_ann_topk",
+    "kmeans_centroids", "ivf_topk",
     "cosine_dup_pairs",
 ]
 
@@ -123,6 +124,28 @@ def hyperplane_buckets(
     return df.withColumn(out_col, F.array(*buckets))
 
 
+def multiprobe_buckets(
+    bucket_array: Column, num_planes: int, probes: int
+) -> Column:
+    """Expand a per-table bucket array with its Hamming-ball probes:
+    ``probes`` ∈ {0, 1} — with 1, every single-bit flip of each table's
+    sign vector is probed too (the standard multi-probe LSH trade: the
+    nearest misses are the vectors that disagree on exactly one
+    hyperplane, so probing distance-1 buckets buys most of an extra
+    table's recall for no extra storage). The table-offset high bits are
+    preserved because only plane bits (< num_planes) are flipped."""
+    if probes == 0:
+        return bucket_array
+    if probes != 1:
+        raise ValueError("probes supports 0 (exact bucket) or 1 (Hamming-1)")
+    return F.flatten(
+        F.transform(
+            bucket_array,
+            lambda b: F.array(b, *[b.bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)]),
+        )
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -133,11 +156,15 @@ def lsh_ann_topk(
     seed: int = 42,
     tables: int = 4,
     dim: int | None = None,
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates share any table's sign-bucket, exact
     cosine re-rank over the deduped candidate set. Equi-join on bucket
     replaces the cross product (the 100 TB path); ``tables`` trades
-    compute for recall.
+    compute for recall, and ``probes=1`` additionally probes every
+    Hamming-distance-1 bucket on the QUERY side (multi-probe LSH — more
+    join fan-out on the small broadcast side, no growth of the corpus
+    index).
 
     ``dim`` (the embedding width, known from the table's contract) is
     required — see ``hyperplane_buckets``."""
@@ -148,7 +175,9 @@ def lsh_ann_topk(
     q = hyperplane_buckets(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
         "_qv", num_planes, seed, dim, tables=tables,
-    ).withColumn("bucket", F.explode("bucket"))
+    ).withColumn(
+        "bucket", F.explode(multiprobe_buckets(F.col("bucket"), num_planes, probes))
+    )
     cand = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))

@@ -19,6 +19,7 @@ __all__ = [
     "token_count",
     "regex_token_count",
     "quality_features",
+    "repetition_features",
     "marker_langid",
     "remove_stopwords",
     "EN_STOPWORDS",
@@ -80,6 +81,67 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(score, 6).alias("quality_score"),
         fingerprint(t).alias("fingerprint"),
+    )
+
+
+def _max_multiplicity(sorted_arr: Column) -> Column:
+    """Count of the most frequent element of a SORTED array, as a single
+    per-row fold (equal elements are adjacent after the sort, so the mode's
+    count is the longest equal-run). Keeps the repetition features a pure
+    map — the alternative explode + groupBy(id, word) would shuffle every
+    token of a 100 TB corpus."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition signals, per document:
+
+    - top_unigram_ratio: share of tokens taken by the most frequent token
+    - dup_word_ratio: 1 − distinct/total tokens
+    - top_bigram_ratio: share of bigrams taken by the most frequent bigram
+
+    Boilerplate, keyword-stuffed, and template pages score high on these
+    and are the standard crawl-filtering cut after length/stopword checks.
+    Entirely per-row Catalyst expressions (sort + fold inside the row):
+    no shuffle, no UDF — the plan stays a map at any corpus size. Line-
+    level repetition belongs upstream of normalization (normalized text
+    collapses newlines — see textprep.clean_linebreaks_col)."""
+    norm = normalized_text(F.col(text_col))
+    toks = F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_uni = F.when(n > 0, _max_multiplicity(F.array_sort(toks)) / n).otherwise(0.0)
+    dup_ratio = F.when(n > 0, F.lit(1.0) - F.size(F.array_distinct(toks)) / n).otherwise(0.0)
+    top_bi = F.when(
+        n >= 2, _max_multiplicity(F.array_sort(bigrams)) / (n - 1)
+    ).otherwise(0.0)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.round(top_uni, 6).alias("top_unigram_ratio"),
+        F.round(dup_ratio, 6).alias("dup_word_ratio"),
+        F.round(top_bi, 6).alias("top_bigram_ratio"),
     )
 
 

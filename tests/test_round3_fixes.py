@@ -152,6 +152,53 @@ def test_streaming_dedup_ttl_bounds_state(spark, tmp_path):
     assert ids == [1, 2, 4, 5, 6], ids
 
 
+def test_repetition_features_values_and_maponly_plan(spark):
+    from dss_plugin_nlp_analysis_spark.operators.textstats import (
+        repetition_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam eggs"), (2, "a b a b a b"), (3, ""), (4, None)],
+        "id long, t string",
+    )
+    out = repetition_features(df, "id", "t")
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["top_unigram_ratio"] == 0.75        # spam 3/4
+    assert rows[1]["dup_word_ratio"] == 0.5            # 2 distinct of 4
+    assert rows[1]["top_bigram_ratio"] == 0.666667     # "spam spam" 2/3
+    assert rows[2]["top_unigram_ratio"] == 0.5
+    assert rows[2]["top_bigram_ratio"] == 0.6          # "a b" 3/5
+    for empty_id in (3, 4):
+        r = rows[empty_id]
+        assert (r["top_unigram_ratio"], r["dup_word_ratio"], r["top_bigram_ratio"]) == (0.0, 0.0, 0.0)
+    # repetition scoring must stay a pure map at 100 TB: no shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_multiprobe_lsh_recall_at_least_plain(spark):
+    # probes=1 re-ranks a SUPERSET of the plain candidate set (every
+    # Hamming-1 bucket probed on the query side), so recall vs the exact
+    # top-k is non-decreasing; on near-orthogonal noise it usually rises
+    from dss_plugin_nlp_analysis_spark.operators.similarity import (
+        cosine_topk,
+        lsh_ann_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 6)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, q, k=3).collect()}
+
+    def recall(probes):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in lsh_ann_topk(emb, q, k=3, num_planes=6, tables=2,
+                                     dim=64, probes=probes).collect()}
+        return len(exact & got) / len(exact)
+
+    assert recall(1) >= recall(0)
+
+
 # regular inflections NOT present in the irregular/golden tables — each
 # must resolve through the generated paradigms (identity fallback = miss)
 _REGULAR_PAIRS = [
