@@ -590,6 +590,37 @@ def _q_tag_match_skiplang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "tag", "tag_keyword")
 
 
+# entity-linking ontology: 'merge' is deliberately ambiguous (two tags own
+# it); each tag also owns a disambiguating keyword whose tokens form its
+# context profile (operators/ontology.py compile_ontology: profile(idx) =
+# tokens of the same tag's OTHER keywords). Row order carries the
+# first-added tie rule.
+LINK_ONTOLOGY = [
+    ("merge_op", "merge"),      # idx 0 — ambiguous, wins ties (first added)
+    ("merge_ent", "merge"),     # idx 1 — ambiguous
+    ("merge_op", "window"),     # profile(merge_op) = {'window'}
+    ("merge_ent", "customer"),  # profile(merge_ent) = {'customer'}
+]
+
+
+def _q_tag_match_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window entity linking under the driver gate (north_star: 'entity-link
+    each mention to its ontology node with context-window scoring').
+
+    An ambiguous mention ('merge') is scored against each candidate tag's
+    context profile: |sentence tokens outside the match span ∩ profile|,
+    ties to the first-added candidate. The corpus is single-sentence, so
+    the oracle can test profile-token presence on the whole text (the
+    matched span 'merge' is in neither profile)."""
+    docs = load_table(spark, sf_dir, "documents")
+    onto = spark.createDataFrame(LINK_ONTOLOGY, "tag string, keyword string")
+    out = tag_documents(
+        docs, onto, text_col="text", lang_col="lang",
+        options=TagOptions(link_entities=True),
+    )
+    return out.select("doc_id", "tag", "tag_keyword")
+
+
 def _q_distinct_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("lang").where(F.col("lang").isNotNull()).distinct()
@@ -626,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "tag_match_lemma": _q_tag_match_lemma,
         "tag_match_skiplang": _q_tag_match_skiplang,
+        "tag_match_linked": _q_tag_match_linked,
         "tag_match_ignorecase": _q_tag_match_ignorecase,
         "tag_match_diacritics": _q_tag_match_diacritics,
         "events_window": _q_events_window,
@@ -772,6 +804,38 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN md ON d.doc_id = md.doc_id
             LEFT JOIN onto o ON o.keyword = md.kw
+        """,
+        "tag_match_linked": r"""
+            -- context-window entity linking (LINK_ONTOLOGY): 'merge' is
+            -- owned by merge_op (profile {'window'}) and merge_ent
+            -- (profile {'customer'}); score = profile-token presence in the
+            -- single-sentence doc outside the match span ('merge' is in
+            -- neither profile, so whole-text presence is exact); ties go to
+            -- the first-added candidate (merge_op).
+            WITH m AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(trim(text), '\b(merge|window|customer)\b')) AS kw
+              FROM documents
+            ),
+            md AS (SELECT DISTINCT doc_id, kw FROM m),
+            ctx AS (
+              SELECT doc_id,
+                     CASE WHEN regexp_matches(trim(text), '\bwindow\b') THEN 1 ELSE 0 END AS s_op,
+                     CASE WHEN regexp_matches(trim(text), '\bcustomer\b') THEN 1 ELSE 0 END AS s_ent
+              FROM documents
+            ),
+            linked AS (
+              SELECT md.doc_id, md.kw,
+                     CASE md.kw
+                       WHEN 'merge' THEN
+                         CASE WHEN c.s_op >= c.s_ent THEN 'merge_op' ELSE 'merge_ent' END
+                       WHEN 'window' THEN 'merge_op'
+                       ELSE 'merge_ent'
+                     END AS tag
+              FROM md JOIN ctx c ON md.doc_id = c.doc_id
+            )
+            SELECT d.doc_id, l.tag AS tag, l.kw AS tag_keyword
+            FROM documents d LEFT JOIN linked l ON d.doc_id = l.doc_id
         """,
         "distinct_langs": "SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL",
         "kg_triples": r"""

@@ -98,6 +98,41 @@ def test_entity_linking_context_scoring(spark):
     assert {t["pred"] for t in with_cat if t["keyword"] == "bank"} == {"river_bank"}
 
 
+def test_entity_linking_tie_and_sentence_scope(spark):
+    # driver-gate semantics (tag_match_linked): ties go to the FIRST-added
+    # candidate, and the context window is the containing SENTENCE — a
+    # profile token in a different sentence does not count
+    from dss_plugin_nlp_analysis_spark.operators.tagger import tag_documents
+
+    onto = spark.createDataFrame(
+        [
+            ("river_bank", "bank"),
+            ("money_bank", "bank"),
+            ("river_bank", "river"),
+            ("money_bank", "money"),
+        ],
+        "tag string, keyword string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the bank is steep", "en"),          # no profile token: tie → first added
+            (2, "the bank is steep. money talks.", "en"),  # 'money' in OTHER sentence → still tie
+            (3, "money sits in the bank", "en"),      # same-sentence 'money' → money_bank
+        ],
+        "doc_id int, text string, lang string",
+    )
+    out = tag_documents(
+        docs, onto, text_col="text", lang_col="lang",
+        options=TagOptions(link_entities=True),
+    )
+    got = {
+        r["doc_id"]: r["tag"]
+        for r in out.collect()
+        if r["tag_keyword"] == "bank"
+    }
+    assert got == {1: "river_bank", 2: "river_bank", 3: "money_bank"}
+
+
 def test_checkpointed_build_resumes(spark, tmp_path):
     from dss_plugin_nlp_analysis_spark.plans.checkpoint import (
         read_manifest,
