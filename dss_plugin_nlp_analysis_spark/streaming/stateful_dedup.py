@@ -16,9 +16,10 @@ Two retention modes:
   ``EventTimeTimeout`` reaps groups that stop receiving data entirely —
   so state size is O(docs inside the horizon), NOT O(corpus over the
   stream lifetime). A fingerprint re-appearing after the horizon re-emits;
-  pair this with the batch ``exact_dedup`` as a periodic exact compactor
-  when whole-corpus exactness is required (the standard lambda split:
-  bounded-state stream + exact nightly batch).
+  ``streaming.compaction.compact_dedup_snapshot`` is the periodic batch
+  compactor that restores whole-corpus exactness over the accumulated
+  sink (the standard lambda split: bounded-state stream + exact nightly
+  batch — wired end-to-end in tests/test_round3_fixes.py).
 - **unbounded** (default, no ``ts_col``): exact across the whole stream
   lifetime. State grows with every distinct fingerprint — fine for
   bounded backfills, a scale-killer for a long-running crawl stream; use

@@ -284,3 +284,70 @@ def test_streaming_dedup_ttl_eviction_is_exact_within_horizon():
     kept = _evict_expired(seen, watermark_ms=200_000)
     # strictly-older-than-watermark entries go; the boundary entry stays
     assert kept == {"b": 200_000, "c": 300_000}
+
+
+def test_stream_dedup_compactor_end_to_end(spark, tmp_path):
+    """Lambda-split wiring: TTL stream (bounded state, may re-emit past the
+    horizon) -> epoch-partitioned sink -> batch compactor snapshot that is
+    whole-corpus exact. Same fixture as the TTL test: id 4 re-emits id 1's
+    fingerprint after eviction, so the SINK holds that fingerprint twice
+    and only the compactor restores one-row-per-fingerprint."""
+    import datetime
+
+    from dss_plugin_nlp_analysis_spark.streaming.compaction import (
+        compact_dedup_snapshot,
+        latest_snapshot,
+    )
+    from dss_plugin_nlp_analysis_spark.streaming.stateful_dedup import (
+        streaming_exact_dedup,
+    )
+    from dss_plugin_nlp_analysis_spark.streaming.stream_tagger import (
+        run_stream_to_parquet,
+        write_epoch,
+    )
+
+    src, sink, snaps = (str(tmp_path / d) for d in ("src", "sink", "snaps"))
+    schema = "id long, text string, ts timestamp"
+    for batch in (
+        [(1, "alpha beta", "2026-01-01 10:00:00"), (2, "gamma delta", "2026-01-01 10:00:00")],
+        [(3, "gamma delta", "2026-01-01 10:03:00")],   # in-horizon dup: suppressed
+        [(5, "epsilon", "2026-01-01 10:40:00")],       # advances the watermark
+        [(4, "alpha beta", "2026-01-01 10:45:00"), (6, "zeta", "2026-01-01 10:45:00")],
+    ):
+        spark.createDataFrame(
+            [(i, t, datetime.datetime.fromisoformat(s)) for i, t, s in batch], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    deduped = streaming_exact_dedup(
+        stream, "id", "text", ts_col="ts", watermark="5 minutes"
+    )
+    q = run_stream_to_parquet(deduped, sink, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # the sink really does hold id 1's fingerprint twice (ids 1 and 4)
+    raw = spark.read.parquet(sink)
+    assert sorted(r["id"] for r in raw.collect()) == [1, 2, 4, 5, 6]
+
+    path1 = compact_dedup_snapshot(spark, sink, snaps)
+    snap = {r["id"]: r["fingerprint"] for r in spark.read.parquet(path1).collect()}
+    # one row per fingerprint, keeping the FIRST sighting (id 1, not 4)
+    assert sorted(snap) == [1, 2, 5, 6]
+    assert len(set(snap.values())) == len(snap)
+
+    # idempotent: same sink state -> same snapshot path, same rows
+    assert compact_dedup_snapshot(spark, sink, snaps) == path1
+    assert latest_snapshot(spark, snaps).count() == 4
+
+    # sink grows a later epoch with yet another re-emit of 'alpha beta':
+    # a fresh compaction writes a NEW snapshot and latest_snapshot serves it
+    late = spark.createDataFrame([(9, snap[1])], "id long, fingerprint string")
+    write_epoch(late, 99, sink)
+    path2 = compact_dedup_snapshot(spark, sink, snaps)
+    assert path2 != path1 and path2.endswith("_99")
+    assert sorted(r["id"] for r in latest_snapshot(spark, snaps).collect()) == [1, 2, 5, 6]
