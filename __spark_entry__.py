@@ -40,6 +40,10 @@ from dss_plugin_nlp_analysis_spark.operators.textprep import (
     extract_text_udf,
     split_sentences_udf,
 )
+from dss_plugin_nlp_analysis_spark.operators.webclean import (
+    c4_line_filter,
+    line_dedup,
+)
 from dss_plugin_nlp_analysis_spark.operators.textstats import (
     marker_langid,
     quality_features,
@@ -590,6 +594,45 @@ def _q_tag_match_skiplang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "tag", "tag_keyword")
 
 
+# --- C4-style web cleaning (line filter + corpus-global line dedup) ------
+# The corpus is single-line; both queries derive multi-line documents with
+# deterministic literal replaces mirrored verbatim in the oracle SQL (the
+# same pattern as _CORPUS_MUT).
+
+_LINE_SEPARATORS = (" table ", " value ", " a ", " the ")
+
+
+def _q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristics: ' merge ' becomes '.\\n' (lines ending in terminal
+    punctuation); every 97th doc gets a 'lorem ipsum' marker appended to
+    exercise the boilerplate page drop."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.replace(F.trim(F.col("text")), F.lit(" merge "), F.lit(".\n"))
+    t = F.when(
+        F.col("doc_id") % 97 == 0, F.concat(t, F.lit(" lorem ipsum"))
+    ).otherwise(t)
+    out = c4_line_filter(
+        docs.withColumn("text", t), "doc_id", "text",
+        min_words_per_line=5, min_sentences=2,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "clean_text", "n_lines", "n_kept",
+        "n_sentences", F.col("page_kept").cast("int").alias("page_kept"),
+    )
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global exact line dedup, first (doc_id, pos) occurrence wins;
+    four frequent separator words become newlines so ~18% of the derived
+    lines repeat across documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    for sep in _LINE_SEPARATORS:
+        t = F.replace(t, F.lit(sep), F.lit("\n"))
+    out = line_dedup(docs.withColumn("text", t), "doc_id", "text")
+    return out.select(F.col("id").alias("doc_id"), "clean_text")
+
+
 # entity-linking ontology: 'merge' is deliberately ambiguous (two tags own
 # it); each tag also owns a disambiguating keyword whose tokens form its
 # context profile (operators/ontology.py compile_ontology: profile(idx) =
@@ -658,6 +701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_match_lemma": _q_tag_match_lemma,
         "tag_match_skiplang": _q_tag_match_skiplang,
         "tag_match_linked": _q_tag_match_linked,
+        "c4_filters": _q_c4_filters,
+        "line_dedup": _q_line_dedup,
         "tag_match_ignorecase": _q_tag_match_ignorecase,
         "tag_match_diacritics": _q_tag_match_diacritics,
         "events_window": _q_events_window,
@@ -836,6 +881,74 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, l.tag AS tag, l.kw AS tag_keyword
             FROM documents d LEFT JOIN linked l ON d.doc_id = l.doc_id
+        """,
+        "c4_filters": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 97 = 0
+                          THEN replace(trim(text), ' merge ', '.' || chr(10)) || ' lorem ipsum'
+                          ELSE replace(trim(text), ' merge ', '.' || chr(10)) END AS t
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id, t,
+                     list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+                                 x -> x != '') AS lines
+              FROM m
+            ),
+            k AS (
+              SELECT doc_id, t, lines,
+                     list_filter(lines, x -> x[-1] IN ('.', '!', '?', '"')
+                                            AND len(string_split(x, ' ')) >= 5) AS kept
+              FROM l
+            ),
+            c AS (
+              -- array_to_string([]) is NULL in DuckDB, '' in Spark's
+              -- array_join: coalesce to align the no-kept-lines rows
+              SELECT doc_id, t, lines, kept,
+                     coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+                     (length(coalesce(array_to_string(kept, chr(10)), ''))
+                      - length(replace(replace(replace(coalesce(array_to_string(kept, chr(10)), ''),
+                                                       '.', ''), '!', ''), '?', ''))) AS n_sentences
+              FROM k
+            )
+            SELECT doc_id, clean_text,
+                   len(lines) AS n_lines, len(kept) AS n_kept, n_sentences,
+                   (n_sentences >= 2
+                    AND NOT contains(lower(t), 'lorem ipsum')
+                    AND NOT contains(lower(t), '{'))::INT AS page_kept
+            FROM c
+        """,
+        "line_dedup": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     replace(replace(replace(replace(trim(text),
+                       ' table ', chr(10)), ' value ', chr(10)),
+                       ' a ', chr(10)), ' the ', chr(10)) AS t
+              FROM documents
+            ),
+            arrs AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+                                 x -> x != '') AS lines
+              FROM m
+            ),
+            l AS (
+              SELECT doc_id, unnest(lines) AS line,
+                     generate_subscripts(lines, 1) - 1 AS pos
+              FROM arrs
+            ),
+            f AS (SELECT line, min(doc_id * 1000000 + pos) AS k FROM l GROUP BY 1),
+            kept AS (
+              SELECT l.doc_id, l.pos, l.line
+              FROM l JOIN f ON l.line = f.line AND l.doc_id * 1000000 + l.pos = f.k
+            ),
+            agg AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+              FROM kept GROUP BY 1
+            )
+            SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         """,
         "distinct_langs": "SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL",
         "kg_triples": r"""

@@ -20,7 +20,10 @@ SURVEY.md preamble). Pinned behaviors and their reference evidence:
   CJK and other no-space scripts fall back to char-level tokens, which
   matches the reference's classical-zh golden exactly
   (test_spacy_tokenizer.py:33-47) and is absorbed by the P/R bar
-  elsewhere (SEMANTICS.md §3).
+  elsewhere (SEMANTICS.md §3). ``KG_SEGMENT_OOV_HMM=1`` additionally
+  groups OOV spans with a dictionary-derived BMES Viterbi (jieba's
+  ``HMM=True`` analog — see ``_derive_hmm``); off by default to keep
+  golden parity.
 
 Design: regex pre-segmentation (C speed) + cheap per-chunk refinement.
 All tables are module-level so executor processes compile them once.
@@ -161,9 +164,111 @@ def _seg_dict(lang: str):
         return None
     log_total = _math.log(sum(freqs.values()))
     logp = {w: _math.log(f) - log_total for w, f in freqs.items()}
-    entry = (logp, max(len(w) for w in logp), -log_total)
+    entry = (logp, max(len(w) for w in logp), -log_total, _derive_hmm(freqs))
     _SEG_DICT_CACHE[lang] = entry
     return entry
+
+
+# --- dictionary-derived BMES HMM for out-of-dictionary spans -----------
+#
+# jieba extends its lattice with a corpus-trained BMES HMM that groups
+# spans no dictionary word covers (multi-char OOV words — names, new
+# compounds). No training corpus ships here, so the parameters are
+# derived FROM THE DICTIONARY itself: emission stats from each char's
+# positions inside dictionary words (begin/middle/end, frequency-
+# weighted), the B→M/M→M continuation probability from the dictionary's
+# word-length mass. Chars the dictionary has never seen smooth to a
+# count below the single-state floor, so fully-unknown text (e.g. the
+# classical-zh golden's traditional characters) stays char-level.
+#
+# OFF by default — the reference goldens pin char-level OOV behavior —
+# and enabled with ``KG_SEGMENT_OOV_HMM=1`` (the crawl mode), mirroring
+# jieba's public ``cut(..., HMM=True)`` switch.
+
+_HMM_STATES = ("B", "M", "E", "S")  # begin / middle / end / single
+
+
+def _derive_hmm(freqs: dict[str, int]):
+    """(emit, log_continue, log_end, log_single) from dictionary stats.
+
+    ``emit[state][char]`` is a smoothed log-probability; lookups for
+    unseen chars use the add-one floor ``emit[state][None]``."""
+    counts = {s: {} for s in ("B", "M", "E")}
+    len_mass_3plus = 0
+    total_mass = 0
+    for w, f in freqs.items():
+        counts["B"][w[0]] = counts["B"].get(w[0], 0) + f
+        counts["E"][w[-1]] = counts["E"].get(w[-1], 0) + f
+        for ch in w[1:-1]:
+            counts["M"][ch] = counts["M"].get(ch, 0) + f
+        total_mass += f
+        if len(w) >= 3:
+            len_mass_3plus += f
+    vocab = set()
+    for c in counts.values():
+        vocab.update(c)
+    v = max(len(vocab), 1)
+    emit: dict[str, dict] = {}
+    for state, c in counts.items():
+        total = sum(c.values()) + v + 1  # add-one over vocab (+1 floor)
+        emit[state] = {ch: _math.log(n + 1) - _math.log(total) for ch, n in c.items()}
+        emit[state][None] = -_math.log(total)
+    # S has no dictionary evidence (single chars are filtered out): uniform
+    # over the char vocab — ABOVE the unseen-char floor of B/M/E, so chars
+    # the dictionary never saw prefer staying single
+    emit["S"] = {None: -_math.log(v)}
+    # inside a word: continue (→M) with the dictionary's len≥3 mass
+    p_cont = min(max(len_mass_3plus / total_mass, 1e-6), 1 - 1e-6)
+    return (
+        emit,
+        _math.log(p_cont),          # B→M, M→M
+        _math.log(1.0 - p_cont),    # B→E, M→E
+        _math.log(0.5),             # E/S → B vs S: no inter-word evidence
+    )
+
+
+def _hmm_group(run: str, hmm) -> list[int]:
+    """Viterbi over BMES; returns word-end indices (exclusive) covering
+    ``run``. Transitions: B→{M,E}, M→{M,E}, E→{B,S}, S→{B,S}."""
+    emit, log_cont, log_end, log_half = hmm
+    n = len(run)
+
+    def e(state: str, ch: str) -> float:
+        table = emit[state]
+        return table.get(ch, table[None])
+
+    NEG = float("-inf")
+    # scores[state] for position i; backpointers per position
+    prev = {"B": e("B", run[0]), "S": e("S", run[0]), "M": NEG, "E": NEG}
+    back: list[dict[str, str]] = [{}]
+    for i in range(1, n):
+        ch = run[i]
+        cur: dict[str, float] = {}
+        bp: dict[str, str] = {}
+        for state, sources in (
+            ("B", (("E", log_half), ("S", log_half))),
+            ("M", (("B", log_cont), ("M", log_cont))),
+            ("E", (("B", log_end), ("M", log_end))),
+            ("S", (("E", log_half), ("S", log_half))),
+        ):
+            best, best_src = NEG, None
+            for src, t in sources:
+                score = prev[src] + t
+                if score > best:
+                    best, best_src = score, src
+            cur[state] = best + e(state, ch)
+            bp[state] = best_src
+        prev, back = cur, back + [bp]
+    # path must end a word: final state E or S
+    state = "E" if prev["E"] >= prev["S"] else "S"
+    if prev[state] == NEG:
+        return list(range(1, n + 1))
+    states = [state]
+    for i in range(n - 1, 0, -1):
+        state = back[i][state]
+        states.append(state)
+    states.reverse()
+    return [i + 1 for i, s in enumerate(states) if s in ("E", "S")]
 
 
 def _emit_cjk_run(run: str, base: int, lang: str, out: list) -> None:
@@ -179,7 +284,7 @@ def _emit_cjk_run(run: str, base: int, lang: str, out: list) -> None:
         for k, ch in enumerate(run):
             out.append(_tok(ch, base + k, base + k + 1, False))
         return
-    logp, max_len, oov_logp = d
+    logp, max_len, oov_logp, hmm = d
     n = len(run)
     route = [0.0] * (n + 1)   # route[i] = best log-prob of run[i:]
     ends = [0] * n            # ends[i] = end of the first word on that path
@@ -195,9 +300,27 @@ def _emit_cjk_run(run: str, base: int, lang: str, out: list) -> None:
                 best, bestj = score, j
         route[i] = best
         ends[i] = bestj
+    use_hmm = _os.environ.get("KG_SEGMENT_OOV_HMM") == "1"
     i = 0
     while i < n:
         j = ends[i]
+        if use_hmm and j == i + 1 and not _ud.category(run[i]).startswith("P"):
+            # maximal span of single-char fallbacks (an OOV span no
+            # dictionary word covers): regroup with the BMES Viterbi
+            k = i
+            while (
+                k < n and ends[k] == k + 1
+                and not _ud.category(run[k]).startswith("P")
+            ):
+                k += 1
+            if k - i >= 2:
+                s = i
+                for rel_end in _hmm_group(run[i:k], hmm):
+                    e = i + rel_end
+                    out.append(_tok(run[s:e], base + s, base + e, False))
+                    s = e
+                i = k
+                continue
         out.append(_tok(run[i:j], base + i, base + j, False))
         i = j
 

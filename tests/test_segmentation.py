@@ -132,3 +132,49 @@ def test_korean_keyword_matches_inside_inflected_eojeol():
     assert len(hits) == 1
     ts, te, payloads = hits[0]
     assert "".join(doc_keys[ts:te]) == "서울"
+
+
+# --- dictionary-derived BMES HMM for OOV spans (KG_SEGMENT_OOV_HMM) ------
+
+def test_oov_hmm_off_by_default():
+    # 网民 ("netizen") is not a dictionary word: without the HMM the OOV
+    # span falls to char-level (reference-golden behavior)
+    assert texts("网民", "zh") == ["网", "民"]
+
+
+def test_oov_hmm_groups_dict_supported_compound(monkeypatch):
+    # with the crawl-mode flag, the BMES Viterbi groups 网民 because 网 is
+    # a strong word-BEGIN char (网络) and 民 a strong word-END char (人民)
+    # in the dictionary's positional statistics
+    monkeypatch.setenv("KG_SEGMENT_OOV_HMM", "1")
+    assert texts("网民", "zh") == ["网民"]
+    # embedded in a sentence: dictionary words still win around the OOV span
+    toks = texts("网民都喜欢人工智能", "zh")
+    assert "网民" in toks and "人工智能" in toks
+
+
+def test_oov_hmm_leaves_unknown_chars_single(monkeypatch):
+    # chars the dictionary has never seen smooth BELOW the single-state
+    # floor: the classical-zh golden (traditional script, 19 tokens) is
+    # preserved even with the HMM enabled
+    monkeypatch.setenv("KG_SEGMENT_OOV_HMM", "1")
+    assert len(texts("子曰：“學而不思則罔，思而不學則殆。”", "zh")) == 19
+
+
+def test_oov_hmm_offsets_stay_contiguous(monkeypatch):
+    monkeypatch.setenv("KG_SEGMENT_OOV_HMM", "1")
+    s = "网民热议人工智能。期一会"
+    toks = tokenize(s, "zh")
+    assert toks[0].start == 0 and toks[-1].end == len(s)
+    assert all(a.end == b.start for a, b in zip(toks, toks[1:]))
+    assert "".join(t.text for t in toks) == s
+
+
+def test_oov_hmm_dict_words_unchanged(monkeypatch):
+    # the HMM only touches spans the lattice left as single-char runs:
+    # dictionary segmentations are identical with the flag on
+    monkeypatch.setenv("KG_SEGMENT_OOV_HMM", "1")
+    assert texts("我们在北京研究人工智能和互联网技术。", "zh") == [
+        "我们", "在", "北京", "研究", "人工智能", "和", "互联网", "技术", "。"
+    ]
+    assert texts("研究生命的起源", "zh") == ["研究", "生命", "的", "起源"]

@@ -1,0 +1,96 @@
+"""C4-style cleaning operators: line/page filters + corpus-global line
+dedup (operators/webclean.py)."""
+
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_analysis_spark.operators.webclean import (
+    c4_line_filter,
+    line_dedup,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_c4_line_filter_semantics(spark):
+    rows = [
+        # kept: both lines end in '.', >= 3 words
+        (1, "alpha beta gamma delta.\nepsilon zeta eta theta."),
+        # line 2 lacks terminal punct -> dropped; only 1 sentence -> page dropped
+        (2, "alpha beta gamma delta.\nepsilon zeta eta theta"),
+        # short line dropped by word count even with punct
+        (3, "one two.\nalpha beta gamma delta.\nepsilon zeta eta theta!"),
+        (4, "this page has lorem ipsum inside. plus words galore here.\nmore of the same thing here."),
+        (5, "curly brace { page with words one.\ntwo three four five six."),
+        (6, ""),
+        (7, None),
+    ]
+    out = {
+        r["id"]: r
+        for r in c4_line_filter(
+            _docs(spark, rows), "doc_id", "text",
+            min_words_per_line=3, min_sentences=2,
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "alpha beta gamma delta.\nepsilon zeta eta theta."
+    assert (out[1]["n_lines"], out[1]["n_kept"], out[1]["n_sentences"]) == (2, 2, 2)
+    assert out[1]["page_kept"] is True
+    assert out[2]["n_kept"] == 1 and out[2]["page_kept"] is False
+    assert out[3]["clean_text"].count("\n") == 1 and out[3]["n_kept"] == 2
+    assert out[3]["page_kept"] is True
+    assert out[4]["page_kept"] is False  # lorem ipsum marker
+    assert out[5]["page_kept"] is False  # '{' marker
+    for empty_id in (6, 7):
+        r = out[empty_id]
+        assert (r["clean_text"], r["n_lines"], r["page_kept"]) == ("", 0, False)
+
+
+def test_c4_line_filter_is_pure_map(spark):
+    df = _docs(spark, [(1, "a b c.\nd e f.")])
+    plan = (
+        c4_line_filter(df, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # 100 TB shape: zero shuffle
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    rows = [
+        (1, "shared line\nunique one"),
+        (2, "shared line\nunique two"),   # loses 'shared line' to doc 1
+        (3, "unique three\nshared line"), # also loses it, keeps position order
+        (4, "shared line"),               # loses its only line -> ''
+        (5, None),
+    ]
+    out = {
+        r["id"]: r["clean_text"]
+        for r in line_dedup(_docs(spark, rows), "doc_id", "text").collect()
+    }
+    assert out == {
+        1: "shared line\nunique one",
+        2: "unique two",
+        3: "unique three",
+        4: "",
+        5: "",
+    }
+
+
+def test_line_dedup_within_doc_repeats(spark):
+    # a line repeated INSIDE one doc also collapses to its first position
+    out = line_dedup(
+        _docs(spark, [(1, "x y z\nx y z\nother line")]), "doc_id", "text"
+    ).collect()
+    assert out[0]["clean_text"] == "x y z\nother line"
+
+
+def test_line_dedup_plan_uses_aggregate_not_window(spark):
+    # the global first-occurrence pass must be a map-side-combinable
+    # groupBy(min), never a window buffering a hot line's whole group
+    df = _docs(spark, [(1, "a\nb"), (2, "a\nc")])
+    plan = (
+        line_dedup(df, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
