@@ -50,6 +50,7 @@ from dss_plugin_nlp_analysis_spark.operators.textstats import (
     regex_token_count,
     repetition_features,
     token_count,
+    unigram_lm_scores,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -633,6 +634,36 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "clean_text")
 
 
+# unigram-LM vocabulary for the quality filter (counts arbitrary but
+# fixed; every other corpus word is OOV under count-1 smoothing)
+_LM_FREQS = {
+    "the": 900, "a": 800, "join": 120, "table": 110, "scan": 100,
+    "merge": 90, "window": 80, "customer": 70, "data": 60, "query": 50,
+}
+
+
+def _lm_cost_table() -> tuple[dict[str, int], int]:
+    """The SAME integer micro-nat costs unigram_lm_scores derives — one
+    Python computation embedded as literals on BOTH engine sides, so no
+    cross-engine transcendental-function mismatch is possible."""
+    import math
+
+    total = sum(_LM_FREQS.values())
+    cost = {
+        w: int(round(-(math.log(c) - math.log(total)) * 1e6))
+        for w, c in _LM_FREQS.items()
+    }
+    return cost, int(round(math.log(total) * 1e6))
+
+
+def _q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = unigram_lm_scores(docs, "doc_id", "text", _LM_FREQS)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "n_oov", "nll_micro", "avg_nll"
+    )
+
+
 # entity-linking ontology: 'merge' is deliberately ambiguous (two tags own
 # it); each tag also owns a disambiguating keyword whose tokens form its
 # context profile (operators/ontology.py compile_ontology: profile(idx) =
@@ -703,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_match_linked": _q_tag_match_linked,
         "c4_filters": _q_c4_filters,
         "line_dedup": _q_line_dedup,
+        "unigram_lm": _q_unigram_lm,
         "tag_match_ignorecase": _q_tag_match_ignorecase,
         "tag_match_diacritics": _q_tag_match_diacritics,
         "events_window": _q_events_window,
@@ -762,7 +794,34 @@ _SHINGLES = """
 def oracle_sql() -> dict[str, str]:
     pat = DEMO_KEYWORD_REGEX
     onto = DEMO_ONTOLOGY_SQL
+    lm_cost, lm_oov = _lm_cost_table()
+    lm_values = ", ".join(f"('{w}', {c})" for w, c in sorted(lm_cost.items()))
     return {
+        "unigram_lm": f"""
+            -- integer micro-nat costs, identical literals to the Spark
+            -- side (_lm_cost_table): integer summation is order-free, so
+            -- the fold and this GROUP BY agree bit-exactly
+            WITH lm(w, cost) AS (VALUES {lm_values}),
+            t AS (
+              SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w
+              FROM documents
+            ),
+            j AS (
+              SELECT t.doc_id,
+                     coalesce(lm.cost, {lm_oov}) AS cost,
+                     CASE WHEN lm.w IS NULL THEN 1 ELSE 0 END AS oov
+              FROM t LEFT JOIN lm ON t.w = lm.w
+            ),
+            agg AS (
+              -- DuckDB integer sum() is HUGEINT (pandas-floats): cast back
+              SELECT doc_id, count(*) AS n_tokens, sum(oov)::INT AS n_oov,
+                     sum(cost)::BIGINT AS nll_micro
+              FROM j GROUP BY 1
+            )
+            SELECT doc_id, n_tokens, n_oov, nll_micro,
+                   round(nll_micro / n_tokens / 1e6, 6) AS avg_nll
+            FROM agg
+        """,
         "tag_match": f"""
             WITH {onto},
             m AS (

@@ -145,6 +145,60 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def unigram_lm_scores(
+    df: DataFrame, id_col: str, text_col: str, freqs: dict[str, int]
+) -> DataFrame:
+    """Unigram language-model quality score (the C4/Gopher-family "does
+    this read like language" filter): per document, the average negative
+    log-probability of its tokens under a fixed unigram table, plus the
+    out-of-vocabulary token count. High avg_nll = unlikely under the LM =
+    gibberish/boilerplate candidate.
+
+    Determinism contract: per-token costs are precomputed in Python as
+    INTEGER micro-nats (round(-ln(p) * 1e6)) and folded with integer
+    addition — float summation order can differ between engines, integer
+    summation cannot, so the DuckDB oracle reproduces values bit-exactly.
+    OOV tokens cost ``-ln(1/total)`` (count-1 smoothing).
+
+    Scale shape: the vocabulary ships as a map literal inside the plan —
+    a pure per-row map, zero shuffle (fine to ~10^4 entries; for a full
+    web-scale LM vocabulary, swap the literal for a broadcast-join on
+    exploded tokens and re-aggregate by id — one equi-key shuffle).
+    """
+    import math
+
+    total = sum(freqs.values()) or 1
+    cost = {
+        w: int(round(-(math.log(c) - math.log(total)) * 1e6))
+        for w, c in freqs.items()
+    }
+    oov_cost = int(round(math.log(total) * 1e6))
+    pairs: list[Column] = []
+    for w, c in sorted(cost.items()):
+        pairs += [F.lit(w), F.lit(c)]
+    cost_map = F.create_map(*pairs)
+    toks = word_tokens(F.col(text_col))
+    n = token_count(F.col(text_col))
+    tok_costs = F.transform(
+        toks, lambda x: F.coalesce(cost_map[x], F.lit(oov_cost))
+    )
+    nll_micro = F.when(n > 0, F.aggregate(
+        tok_costs, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )).otherwise(F.lit(0).cast("long"))
+    n_oov = F.when(n > 0, F.size(
+        F.filter(toks, lambda x: cost_map[x].isNull())
+    )).otherwise(0)
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        nll_micro.alias("nll_micro"),
+        F.round(
+            F.when(n > 0, nll_micro / n / F.lit(1e6)).otherwise(0.0), 6
+        ).alias("avg_nll"),
+    )
+
+
 def remove_stopwords(col: Column, stopwords: list[str] | None = None) -> Column:
     """Order-preserving stopword filter over normalized tokens (reference
     T5 surface, spacy_tokenizer.py:335-365 — broadcastable set + filter;

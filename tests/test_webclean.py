@@ -94,3 +94,35 @@ def test_line_dedup_plan_uses_aggregate_not_window(spark):
     )
     assert "Window" not in plan
     assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_unigram_lm_scores_values_and_plan(spark):
+    import math
+
+    from dss_plugin_nlp_analysis_spark.operators.textstats import (
+        unigram_lm_scores,
+    )
+
+    freqs = {"the": 90, "cat": 10}  # total 100
+    df = spark.createDataFrame(
+        [(1, "the cat"), (2, "the zzz"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in unigram_lm_scores(df, "doc_id", "text", freqs).collect()}
+    c_the = int(round(-math.log(90 / 100) * 1e6))
+    c_cat = int(round(-math.log(10 / 100) * 1e6))
+    c_oov = int(round(math.log(100) * 1e6))
+    assert out[1]["nll_micro"] == c_the + c_cat and out[1]["n_oov"] == 0
+    assert out[2]["nll_micro"] == c_the + c_oov and out[2]["n_oov"] == 1
+    # Spark F.round is HALF_UP (Python round is banker's): mirror it
+    expected = math.floor((c_the + c_oov) / 2 / 1e6 * 1e6 + 0.5) / 1e6
+    assert out[2]["avg_nll"] == expected
+    for empty_id in (3, 4):
+        r = out[empty_id]
+        assert (r["n_tokens"], r["n_oov"], r["nll_micro"], r["avg_nll"]) == (0, 0, 0, 0.0)
+    # LM scoring is a filter-stage op: must stay a pure map at 100 TB
+    plan = (
+        unigram_lm_scores(df, "doc_id", "text", freqs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
