@@ -695,6 +695,25 @@ def _q_tag_match_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "tag", "tag_keyword")
 
 
+def _q_kg_triples_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full north-star chain in one gate: mention extraction →
+    context-window entity linking (ambiguous 'merge') → alias-graph
+    canonicalization. All four LINK_ONTOLOGY tags share one alias
+    component (merge_op ↔ 'merge' ↔ merge_ent), so every pred
+    canonicalizes to obj='merge_ent' (lexicographic min) while pred
+    itself still carries the linking decision."""
+    docs = load_table(spark, sf_dir, "documents")
+    onto = spark.createDataFrame(LINK_ONTOLOGY, "tag string, keyword string")
+    out = build_triples(
+        docs, onto, url_col="doc_id", lang_col="lang", ts_col=None,
+        category_col=None, options=TagOptions(link_entities=True),
+        canonicalize=True,
+    )
+    return out.select(
+        F.col("subj").alias("doc_id"), "pred", "obj", "keyword",
+    )
+
+
 def _q_distinct_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("lang").where(F.col("lang").isNotNull()).distinct()
@@ -735,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": _q_c4_filters,
         "line_dedup": _q_line_dedup,
         "unigram_lm": _q_unigram_lm,
+        "kg_triples_linked": _q_kg_triples_linked,
         "tag_match_ignorecase": _q_tag_match_ignorecase,
         "tag_match_diacritics": _q_tag_match_diacritics,
         "events_window": _q_events_window,
@@ -940,6 +960,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, l.tag AS tag, l.kw AS tag_keyword
             FROM documents d LEFT JOIN linked l ON d.doc_id = l.doc_id
+        """,
+        "kg_triples_linked": r"""
+            -- full chain: per-occurrence mentions, context-scored pred
+            -- (same rules as tag_match_linked), canonical obj =
+            -- lexicographic min of the single alias component that
+            -- 'merge' fuses ({merge_ent, merge_op} -> 'merge_ent')
+            WITH m AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(trim(text), '\b(merge|window|customer)\b')) AS kw
+              FROM documents
+            ),
+            ctx AS (
+              SELECT doc_id,
+                     CASE WHEN regexp_matches(trim(text), '\bwindow\b') THEN 1 ELSE 0 END AS s_op,
+                     CASE WHEN regexp_matches(trim(text), '\bcustomer\b') THEN 1 ELSE 0 END AS s_ent
+              FROM documents
+            )
+            SELECT m.doc_id,
+                   CASE m.kw
+                     WHEN 'merge' THEN
+                       CASE WHEN c.s_op >= c.s_ent THEN 'merge_op' ELSE 'merge_ent' END
+                     WHEN 'window' THEN 'merge_op'
+                     ELSE 'merge_ent'
+                   END AS pred,
+                   'merge_ent' AS obj,
+                   m.kw AS keyword
+            FROM m JOIN ctx c ON m.doc_id = c.doc_id
         """,
         "c4_filters": r"""
             WITH m AS (

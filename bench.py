@@ -135,6 +135,20 @@ def bench_queries(spark: SparkSession) -> tuple[dict, int]:
         lambda: minhash_candidate_pairs(docs_small, "doc_id", "text", num_hashes=8, bands=4)
         .select(F.count("*")).collect(),
     )
+    # corpus-global line dedup: the one genuinely-shuffling webclean op
+    # (multi-line docs derived the same way as the gated query)
+    from dss_plugin_nlp_analysis_spark.operators.webclean import line_dedup
+
+    lined = docs_small
+    t = F.trim(F.col("text"))
+    for sep in (" table ", " value ", " a ", " the "):
+        t = F.replace(t, F.lit(sep), F.lit("\n"))
+    lined = docs_small.withColumn("text", t)
+    timed(
+        "line_dedup",
+        lambda: line_dedup(lined, "doc_id", "text")
+        .select(F.count("*"), F.sum(F.length("clean_text"))).collect(),
+    )
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     timed(
         "embedding_topk",
