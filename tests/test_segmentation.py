@@ -178,3 +178,16 @@ def test_oov_hmm_dict_words_unchanged(monkeypatch):
         "我们", "在", "北京", "研究", "人工智能", "和", "互联网", "技术", "。"
     ]
     assert texts("研究生命的起源", "zh") == ["研究", "生命", "的", "起源"]
+
+
+def test_oov_hmm_ja_th_runs_stay_wellformed(monkeypatch):
+    # the HMM is language-generic: ja/th OOV spans regroup from their own
+    # dicts' positional stats; offsets stay contiguous and dictionary
+    # segmentations are untouched
+    monkeypatch.setenv("KG_SEGMENT_OOV_HMM", "1")
+    for s, lang in (("期一会。異体同心そうです", "ja"), ("ผมชอบกินข้าว", "th")):
+        toks = tokenize(s, lang)
+        assert toks[0].start == 0 and toks[-1].end == len(s)
+        assert all(a.end == b.start for a, b in zip(toks, toks[1:]))
+        assert "".join(t.text for t in toks) == s
+    assert texts("ผมชอบกินข้าว", "th") == ["ผม", "ชอบ", "กิน", "ข้าว"]
