@@ -608,7 +608,13 @@ def _q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation); every 97th doc gets a 'lorem ipsum' marker appended to
     exercise the boilerplate page drop."""
     docs = load_table(spark, sf_dir, "documents")
-    t = F.replace(F.trim(F.col("text")), F.lit(" merge "), F.lit(".\n"))
+    # coalesce BEFORE mutating: the lorem-append branch must not turn a
+    # NULL-text doc into a NULL page (concat(NULL, ...) is NULL in Spark
+    # but '' || ... is ' lorem ipsum' in the oracle)
+    t = F.replace(
+        F.trim(F.coalesce(F.col("text"), F.lit(""))),
+        F.lit(" merge "), F.lit(".\n"),
+    )
     t = F.when(
         F.col("doc_id") % 97 == 0, F.concat(t, F.lit(" lorem ipsum"))
     ).otherwise(t)
@@ -643,17 +649,15 @@ _LM_FREQS = {
 
 
 def _lm_cost_table() -> tuple[dict[str, int], int]:
-    """The SAME integer micro-nat costs unigram_lm_scores derives — one
-    Python computation embedded as literals on BOTH engine sides, so no
-    cross-engine transcendental-function mismatch is possible."""
-    import math
+    """The SAME integer micro-nat costs unigram_lm_scores uses — the one
+    shared derivation (textstats.unigram_cost_table) embedded as literals
+    on BOTH engine sides, so no cross-engine transcendental-function or
+    copy-drift mismatch is possible."""
+    from dss_plugin_nlp_analysis_spark.operators.textstats import (
+        unigram_cost_table,
+    )
 
-    total = sum(_LM_FREQS.values())
-    cost = {
-        w: int(round(-(math.log(c) - math.log(total)) * 1e6))
-        for w, c in _LM_FREQS.items()
-    }
-    return cost, int(round(math.log(total) * 1e6))
+    return unigram_cost_table(_LM_FREQS)
 
 
 def _q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -823,8 +827,11 @@ def oracle_sql() -> dict[str, str]:
             -- the fold and this GROUP BY agree bit-exactly
             WITH lm(w, cost) AS (VALUES {lm_values}),
             t AS (
+              -- empty/NULL/whitespace-only text must contribute NO tokens
+              -- (string_split('') is [''] in DuckDB; Spark's token_count
+              -- maps empty norm to 0) — filter before splitting
               SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w
-              FROM documents
+              FROM documents WHERE {_NORM} != ''
             ),
             j AS (
               SELECT t.doc_id,
@@ -838,9 +845,12 @@ def oracle_sql() -> dict[str, str]:
                      sum(cost)::BIGINT AS nll_micro
               FROM j GROUP BY 1
             )
-            SELECT doc_id, n_tokens, n_oov, nll_micro,
-                   round(nll_micro / n_tokens / 1e6, 6) AS avg_nll
-            FROM agg
+            SELECT d.doc_id,
+                   coalesce(a.n_tokens, 0) AS n_tokens,
+                   coalesce(a.n_oov, 0) AS n_oov,
+                   coalesce(a.nll_micro, 0) AS nll_micro,
+                   coalesce(round(a.nll_micro / a.n_tokens / 1e6, 6), 0.0) AS avg_nll
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         """,
         "tag_match": f"""
             WITH {onto},
@@ -990,10 +1000,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "c4_filters": r"""
             WITH m AS (
+              -- coalesce: NULL text must behave as '' (operator contract)
               SELECT doc_id,
                      CASE WHEN doc_id % 97 = 0
-                          THEN replace(trim(text), ' merge ', '.' || chr(10)) || ' lorem ipsum'
-                          ELSE replace(trim(text), ' merge ', '.' || chr(10)) END AS t
+                          THEN replace(trim(coalesce(text, '')), ' merge ', '.' || chr(10)) || ' lorem ipsum'
+                          ELSE replace(trim(coalesce(text, '')), ' merge ', '.' || chr(10)) END AS t
               FROM documents
             ),
             l AS (

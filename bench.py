@@ -139,7 +139,6 @@ def bench_queries(spark: SparkSession) -> tuple[dict, int]:
     # (multi-line docs derived the same way as the gated query)
     from dss_plugin_nlp_analysis_spark.operators.webclean import line_dedup
 
-    lined = docs_small
     t = F.trim(F.col("text"))
     for sep in (" table ", " value ", " a ", " the "):
         t = F.replace(t, F.lit(sep), F.lit("\n"))

@@ -127,9 +127,9 @@ import os as _os
 
 _MISSING = object()
 
-# lang -> (word -> logprob, max word length, single-char OOV logprob)
-#         | None when the lang has no dict
-_SEG_DICT_CACHE: dict[str, tuple[dict, int, float] | None] = {}
+# lang -> (word -> logprob, max word length, single-char OOV logprob,
+#          derived BMES HMM params — see _derive_hmm) | None (no dict)
+_SEG_DICT_CACHE: dict[str, tuple[dict, int, float, tuple] | None] = {}
 
 
 def _seg_dict(lang: str):
@@ -258,7 +258,8 @@ def _hmm_group(run: str, hmm) -> list[int]:
                     best, best_src = score, src
             cur[state] = best + e(state, ch)
             bp[state] = best_src
-        prev, back = cur, back + [bp]
+        prev = cur
+        back.append(bp)
     # path must end a word: final state E or S
     state = "E" if prev["E"] >= prev["S"] else "S"
     if prev[state] == NEG:

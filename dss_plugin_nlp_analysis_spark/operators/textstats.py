@@ -20,6 +20,8 @@ __all__ = [
     "regex_token_count",
     "quality_features",
     "repetition_features",
+    "unigram_cost_table",
+    "unigram_lm_scores",
     "marker_langid",
     "remove_stopwords",
     "EN_STOPWORDS",
@@ -145,6 +147,21 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def unigram_cost_table(freqs: dict[str, int]) -> tuple[dict[str, int], int]:
+    """(word → integer micro-nat cost, OOV cost) for ``unigram_lm_scores``
+    — the ONE derivation of the cost literals; oracle builders must call
+    this rather than re-deriving, so both engine sides stay byte-identical
+    by construction."""
+    import math
+
+    total = sum(freqs.values()) or 1
+    cost = {
+        w: int(round(-(math.log(c) - math.log(total)) * 1e6))
+        for w, c in freqs.items()
+    }
+    return cost, int(round(math.log(total) * 1e6))
+
+
 def unigram_lm_scores(
     df: DataFrame, id_col: str, text_col: str, freqs: dict[str, int]
 ) -> DataFrame:
@@ -165,14 +182,7 @@ def unigram_lm_scores(
     web-scale LM vocabulary, swap the literal for a broadcast-join on
     exploded tokens and re-aggregate by id — one equi-key shuffle).
     """
-    import math
-
-    total = sum(freqs.values()) or 1
-    cost = {
-        w: int(round(-(math.log(c) - math.log(total)) * 1e6))
-        for w, c in freqs.items()
-    }
-    oov_cost = int(round(math.log(total) * 1e6))
+    cost, oov_cost = unigram_cost_table(freqs)
     pairs: list[Column] = []
     for w, c in sorted(cost.items()):
         pairs += [F.lit(w), F.lit(c)]

@@ -111,7 +111,11 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.col(id_col).alias("id"),
             F.posexplode(_lines(F.col(text_col))).alias("pos", "line"),
         )
-        .withColumn("ord", F.col("id") * F.lit(1_000_000) + F.col("pos"))
+        .withColumn(
+            # long arithmetic: an INT id column would overflow (ANSI
+            # ARITHMETIC_OVERFLOW) at id >= 2148 without the cast
+            "ord", F.col("id").cast("long") * F.lit(1_000_000) + F.col("pos")
+        )
     )
     # distinct output names on the aggregated side: `firsts` derives from
     # `lines`, so joining on same-named columns trips the ambiguous-self-

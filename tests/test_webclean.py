@@ -126,3 +126,14 @@ def test_unigram_lm_scores_values_and_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_line_dedup_int_ids_no_overflow(spark):
+    # IntegerType id columns must not overflow the ord encoding (ANSI
+    # ARITHMETIC_OVERFLOW at id >= 2148 without the long cast)
+    df = spark.createDataFrame(
+        [(2, "shared line"), (3000, "shared line\nkeep me")],
+        "doc_id int, text string",
+    )
+    out = {r["id"]: r["clean_text"] for r in line_dedup(df, "doc_id", "text").collect()}
+    assert out == {2: "shared line", 3000: "keep me"}
