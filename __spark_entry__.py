@@ -36,6 +36,7 @@ from dss_plugin_nlp_analysis_spark.operators.ontology import TagOptions, clean_o
 from dss_plugin_nlp_analysis_spark.operators.similarity import cosine_topk, lsh_ann_topk
 from dss_plugin_nlp_analysis_spark.operators.tagger import tag_documents
 from dss_plugin_nlp_analysis_spark.operators.textprep import (
+    chunk_documents,
     clean_linebreaks_col,
     extract_text_udf,
     split_sentences_udf,
@@ -699,6 +700,15 @@ def _q_tag_match_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "tag", "tag_keyword")
 
 
+def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window chunking (16-token chunks, 4-token overlap) —
+    the embedding/training-sample prep stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=16, overlap=4).select(
+        F.col("id").alias("doc_id"), "chunk_idx", "chunk_text", "n_tokens"
+    )
+
+
 def _q_kg_triples_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full north-star chain in one gate: mention extraction →
     context-window entity linking (ambiguous 'merge') → alias-graph
@@ -759,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "unigram_lm": _q_unigram_lm,
         "kg_triples_linked": _q_kg_triples_linked,
+        "chunk_docs": _q_chunk_docs,
         "tag_match_ignorecase": _q_tag_match_ignorecase,
         "tag_match_diacritics": _q_tag_match_diacritics,
         "events_window": _q_events_window,
@@ -970,6 +981,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, l.tag AS tag, l.kw AS tag_keyword
             FROM documents d LEFT JOIN linked l ON d.doc_id = l.doc_id
+        """,
+        "chunk_docs": f"""
+            -- 16-token chunks, step 12 (overlap 4): starts at 0,12,24,...
+            -- while start < n; last chunk may be short; empty docs emit
+            -- no rows (range(0, n, step) is end-exclusive like the Spark
+            -- sequence bound)
+            WITH nt AS (SELECT doc_id, {_NORM} AS t FROM documents),
+            w AS (
+              SELECT doc_id, string_split(t, ' ') AS toks,
+                     len(string_split(t, ' ')) AS n
+              FROM nt WHERE t != ''
+            ),
+            s AS (
+              SELECT doc_id, toks, n, unnest(range(0, n, 12)) AS start
+              FROM w
+            )
+            SELECT doc_id,
+                   (start / 12)::INT AS chunk_idx,
+                   array_to_string(list_slice(toks, start + 1, start + 16), ' ') AS chunk_text,
+                   least(16, n - start)::INT AS n_tokens
+            FROM s
         """,
         "kg_triples_linked": r"""
             -- full chain: per-occurrence mentions, context-scored pred

@@ -25,6 +25,7 @@ __all__ = [
     "clean_text_rows",
     "split_sentences_udf",
     "extract_text_udf",
+    "chunk_documents",
 ]
 
 
@@ -88,3 +89,52 @@ def extract_text_udf():
             )
 
     return _extract
+
+
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+):
+    """Fixed-size token-window chunking with optional overlap — the
+    standard prep for embedding / training-sample pipelines (each chunk
+    becomes one training row or one embedding input).
+
+    Contract: tokens = whitespace split of the normalized text (lowercase,
+    collapsed whitespace — `dedup.normalized_text`); chunk starts at
+    0, step, 2·step, … (step = chunk_tokens − overlap > 0) while
+    start < n_tokens; the last chunk may be shorter; empty/NULL documents
+    emit NO rows. Output: (id, chunk_idx, chunk_text, n_tokens).
+
+    Pure per-row transform + explode: zero shuffle at any corpus size
+    (chunking 100 TB is a map; the explode multiplies rows ~n/step×
+    before the next stage, which is why it stays upstream of
+    repartitioning, not after).
+    """
+    from .dedup import normalized_text
+
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    norm = normalized_text(F.col(text_col))
+    toks = F.split(norm, " ")
+    n = F.when(norm == "", 0).otherwise(F.size(toks))
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(step))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.array_join(F.slice(toks, s + 1, chunk_tokens), " ").alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - s).alias("n_tokens"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(chunks).alias("chunk_idx", "c")
+    ).select(
+        "id", "chunk_idx",
+        F.col("c")["chunk_text"].alias("chunk_text"),
+        F.col("c")["n_tokens"].alias("n_tokens"),
+    )

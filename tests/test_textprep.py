@@ -65,3 +65,31 @@ def test_native_equals_kernel_random_batch(spark):
     got = [r["c"] for r in df.select(clean_linebreaks_col(F.col("text")).alias("c")).collect()]
     expected = [clean_linebreaks(c) for c in cases]
     assert got == expected
+
+
+def test_chunk_documents_contract(spark):
+    from dss_plugin_nlp_analysis_spark.operators.textprep import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = [
+        tuple(r)
+        for r in chunk_documents(df, "doc_id", "text", chunk_tokens=3, overlap=1)
+        .orderBy("id", "chunk_idx").collect()
+    ]
+    # starts 0,2,4,6 over 7 tokens; last chunk short; empty/NULL: no rows
+    assert rows == [
+        (1, 0, "a b c", 3), (1, 1, "c d e", 3), (1, 2, "e f g", 3),
+        (1, 3, "g", 1), (2, 0, "x", 1),
+    ]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=3, overlap=3)
+    # chunking is a map: no shuffle at any corpus size
+    plan = (
+        chunk_documents(df, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
