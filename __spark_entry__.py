@@ -700,6 +700,23 @@ def _q_tag_match_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "tag", "tag_keyword")
 
 
+_SAMPLE_FRACTIONS = {"en": 0.2, "zh": 0.5}  # downsample the big strata
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus rebalancing: keep 20% of en, 50% of zh, all
+    other languages whole — decided per row by md5(seed|id), so the
+    oracle replicates the exact keep set (no RNG)."""
+    from dss_plugin_nlp_analysis_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "doc_id", "lang", _SAMPLE_FRACTIONS, default_fraction=1.0,
+        seed="rebalance",
+    )
+    return out.select("doc_id", "lang")
+
+
 def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token-window chunking (16-token chunks, 4-token overlap) —
     the embedding/training-sample prep stage."""
@@ -770,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm": _q_unigram_lm,
         "kg_triples_linked": _q_kg_triples_linked,
         "chunk_docs": _q_chunk_docs,
+        "stratified_sample": _q_stratified_sample,
         "tag_match_ignorecase": _q_tag_match_ignorecase,
         "tag_match_diacritics": _q_tag_match_diacritics,
         "events_window": _q_events_window,
@@ -831,7 +849,22 @@ def oracle_sql() -> dict[str, str]:
     onto = DEMO_ONTOLOGY_SQL
     lm_cost, lm_oov = _lm_cost_table()
     lm_values = ", ".join(f"('{w}', {c})" for w, c in sorted(lm_cost.items()))
+    from dss_plugin_nlp_analysis_spark.operators.sampling import _threshold
+
+    # same integer thresholds the operator derives (one shared helper)
+    thr_case = "CASE " + " ".join(
+        f"WHEN lang = '{v}' THEN {_threshold(f)}"
+        for v, f in sorted(_SAMPLE_FRACTIONS.items())
+    ) + f" ELSE {_threshold(1.0)} END"
     return {
+        "stratified_sample": f"""
+            -- md5(seed|id) first 15 hex as int (matches Spark conv(...,16,10)
+            -- bit-exactly, verified); keep iff below the stratum threshold
+            SELECT doc_id, lang
+            FROM documents
+            WHERE ('0x' || substr(md5('rebalance|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                  < {thr_case}
+        """,
         "unigram_lm": f"""
             -- integer micro-nat costs, identical literals to the Spark
             -- side (_lm_cost_table): integer summation is order-free, so
