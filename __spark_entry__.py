@@ -52,6 +52,7 @@ from dss_plugin_nlp_analysis_spark.operators.textstats import (
     repetition_features,
     token_count,
     unigram_lm_scores,
+    winnow_fingerprints,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -726,6 +727,34 @@ def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=3 token grams, window=4), exploded to
+    (doc_id, fingerprint) rows; empty docs emit nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = winnow_fingerprints(docs, "doc_id", "text", k=3, window=4)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.explode(F.col("fingerprints")).alias("fingerprint"),
+    )
+
+
+def _q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-passage detection: non-overlapping
+    3-token chunks that appear in ≥2 places corpus-wide, with occurrence
+    count and first containing doc — the span-level complement of
+    line_dedup (map-side-combinable groupBy, no window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, "doc_id", "text", chunk_tokens=3, overlap=0)
+    return (
+        ch.groupBy("chunk_text")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.min("id").alias("first_doc"),
+        )
+        .where(F.col("n_occurrences") >= 2)
+    )
+
+
 def _q_kg_triples_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full north-star chain in one gate: mention extraction →
     context-window entity linking (ambiguous 'merge') → alias-graph
@@ -788,6 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_linked": _q_kg_triples_linked,
         "chunk_docs": _q_chunk_docs,
         "stratified_sample": _q_stratified_sample,
+        "dup_passages": _q_dup_passages,
+        "winnow": _q_winnow,
         "tag_match_ignorecase": _q_tag_match_ignorecase,
         "tag_match_diacritics": _q_tag_match_diacritics,
         "events_window": _q_events_window,
@@ -1014,6 +1045,68 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, l.tag AS tag, l.kw AS tag_keyword
             FROM documents d LEFT JOIN linked l ON d.doc_id = l.doc_id
+        """,
+        "winnow": f"""
+            -- winnowing k=3 / window=4: per-window min over md5 gram
+            -- hashes (same '0x'||hex::BIGINT ≡ Spark conv construction);
+            -- docs with 1..3 grams keep the single global min; the
+            -- output is the DISTINCT fingerprint set so the window-min
+            -- frame (vs Spark's slice fold) cannot disagree on ties
+            WITH nt AS (SELECT doc_id, {_NORM} AS t FROM documents),
+            w AS (
+              SELECT doc_id, string_split(t, ' ') AS toks,
+                     len(string_split(t, ' ')) AS n
+              FROM nt WHERE t != ''
+            ),
+            g AS (
+              SELECT doc_id, i,
+                     array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+              FROM w, unnest(range(1, n - 1)) AS u(i)
+              WHERE n >= 3
+            ),
+            h AS (
+              SELECT doc_id, i,
+                     ('0x' || substr(md5(gram), 1, 15))::BIGINT AS hv,
+                     count(*) OVER (PARTITION BY doc_id) AS ng
+              FROM g
+            ),
+            sel AS (
+              SELECT doc_id, i, ng,
+                     min(hv) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+                     ) AS mn
+              FROM h
+            ),
+            fp AS (
+              SELECT DISTINCT doc_id, mn AS fingerprint
+              FROM sel WHERE i <= ng - 3 AND ng >= 4
+              UNION
+              SELECT doc_id, min(hv) AS fingerprint
+              FROM h GROUP BY doc_id HAVING count(*) < 4
+            )
+            SELECT doc_id, fingerprint FROM fp
+        """,
+        "dup_passages": f"""
+            -- 3-token non-overlapping chunks repeated >= 2x corpus-wide
+            WITH nt AS (SELECT doc_id, {_NORM} AS t FROM documents),
+            w AS (
+              SELECT doc_id, string_split(t, ' ') AS toks,
+                     len(string_split(t, ' ')) AS n
+              FROM nt WHERE t != ''
+            ),
+            s AS (
+              SELECT doc_id, toks, n, unnest(range(0, n, 3)) AS start
+              FROM w
+            ),
+            ch AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(toks, start + 1, start + 3), ' ') AS chunk_text
+              FROM s
+            )
+            SELECT chunk_text, count(*)::BIGINT AS n_occurrences,
+                   min(doc_id) AS first_doc
+            FROM ch GROUP BY 1 HAVING count(*) >= 2
         """,
         "chunk_docs": f"""
             -- 16-token chunks, step 12 (overlap 4): starts at 0,12,24,...

@@ -22,6 +22,7 @@ __all__ = [
     "repetition_features",
     "unigram_cost_table",
     "unigram_lm_scores",
+    "winnow_fingerprints",
     "marker_langid",
     "remove_stopwords",
     "EN_STOPWORDS",
@@ -206,6 +207,61 @@ def unigram_lm_scores(
         F.round(
             F.when(n > 0, nll_micro / n / F.lit(1e6)).otherwise(0.0), 6
         ).alias("avg_nll"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm, public): hash every k-token gram of the
+    normalized text, slide a ``window``-wide window over the gram-hash
+    sequence, keep each window's minimum; the distinct selected hashes
+    are the document's fingerprint set. Guarantee: two documents sharing
+    any token run of length ≥ window + k − 1 share ≥ 1 fingerprint —
+    the local, position-robust complement of MinHash (which is global
+    per document). Documents with fewer grams than ``window`` (but ≥ 1)
+    keep the single global minimum; empty documents have no fingerprints.
+
+    Hashes are md5-derived (first 15 hex as int) — engine-portable, so
+    the DuckDB oracle reproduces the exact fingerprint sets. Pure
+    per-row expression work, zero shuffle; at 100 TB the O(n·w) per-row
+    window-min fold is the cost — for char-level grams on large docs,
+    move the same logic into a Pandas UDF with a monotone-deque O(n)
+    sliding minimum (same output contract).
+
+    Output: (id, fingerprints array<long> sorted ascending, n_fingerprints).
+    """
+    norm = normalized_text(F.col(text_col))
+    toks = F.split(norm, " ")
+    n = F.when(norm == "", 0).otherwise(F.size(toks))
+    n_grams = n - (k - 1)
+    grams = F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    )
+    ng = F.size(hashes)
+    n_windows = ng - (window - 1)
+    sel = F.when(
+        n_windows > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+            lambda j: F.array_min(F.slice(hashes, j, window)),
+        ),
+    ).when(ng > 0, F.array(F.array_min(hashes))).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    fps = F.array_sort(F.array_distinct(sel))
+    return df.select(
+        F.col(id_col).alias("id"),
+        fps.alias("fingerprints"),
+        F.size(fps).alias("n_fingerprints"),
     )
 
 

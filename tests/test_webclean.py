@@ -137,3 +137,39 @@ def test_line_dedup_int_ids_no_overflow(spark):
     )
     out = {r["id"]: r["clean_text"] for r in line_dedup(df, "doc_id", "text").collect()}
     assert out == {2: "shared line", 3000: "keep me"}
+
+
+def test_winnow_fingerprints_invariants(spark):
+    from dss_plugin_nlp_analysis_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = window+k-1
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} one two three"),
+            (2, f"zero {shared} nine"),   # same 6-token run, shifted
+            (3, "tiny doc"),              # < k tokens: 0 grams
+            (4, "just four little words"),  # 2 grams < window: 1 global min
+            (5, ""),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in winnow_fingerprints(df, "doc_id", "text", k=3, window=4).collect()}
+    # winnowing guarantee: a shared run of >= window+k-1 tokens yields a
+    # shared fingerprint
+    assert set(out[1]["fingerprints"]) & set(out[2]["fingerprints"])
+    assert out[3]["n_fingerprints"] == 0
+    assert out[4]["n_fingerprints"] == 1
+    for empty_id in (5, 6):
+        assert out[empty_id]["n_fingerprints"] == 0
+    # sorted distinct, and never more fingerprints than windows
+    fp1 = out[1]["fingerprints"]
+    assert fp1 == sorted(set(fp1)) and len(fp1) <= 9 - 3  # 9 tokens -> 7 grams -> 4 windows... bound loose
+    # pure map
+    plan = (
+        winnow_fingerprints(df, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
