@@ -50,6 +50,7 @@ from dss_plugin_nlp_analysis_spark.operators.textstats import (
     quality_features,
     regex_token_count,
     repetition_features,
+    tfidf_top_terms,
     token_count,
     unigram_lm_scores,
     winnow_fingerprints,
@@ -727,6 +728,14 @@ def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per doc (integer micro-nat idf ranking)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3).select(
+        F.col("id").alias("doc_id"), "rank", "token", "tf", "dfc", "score_micro"
+    )
+
+
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (k=3 token grams, window=4), exploded to
     (doc_id, fingerprint) rows; empty docs emit nothing."""
@@ -819,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "dup_passages": _q_dup_passages,
         "winnow": _q_winnow,
+        "tfidf_top": _q_tfidf_top,
         "tag_match_ignorecase": _q_tag_match_ignorecase,
         "tag_match_diacritics": _q_tag_match_diacritics,
         "events_window": _q_events_window,
@@ -1045,6 +1055,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, l.tag AS tag, l.kw AS tag_keyword
             FROM documents d LEFT JOIN linked l ON d.doc_id = l.doc_id
+        """,
+        "tfidf_top": f"""
+            -- integer micro-nat idf: round(ln(N/df)*1e6) then tf-multiply,
+            -- so ranking is pure integer comparison on both engines
+            -- (ties: token ascending); N = total documents
+            WITH nt AS (SELECT doc_id, {_NORM} AS t FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(string_split(t, ' ')) AS token
+              FROM nt WHERE t != ''
+            ),
+            tf AS (
+              SELECT doc_id, token, count(*)::BIGINT AS tf
+              FROM tok GROUP BY 1, 2
+            ),
+            dfc AS (SELECT token, count(*)::BIGINT AS dfc FROM tf GROUP BY 1),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            sc AS (
+              SELECT tf.doc_id, tf.token, tf.tf, dfc.dfc,
+                     tf.tf * round(ln(n.n / dfc.dfc) * 1e6)::BIGINT AS score_micro
+              FROM tf JOIN dfc USING (token), n
+            ),
+            rk AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score_micro DESC, token ASC
+              ) AS rank
+              FROM sc
+            )
+            SELECT doc_id, rank::INT AS rank, token, tf, dfc, score_micro
+            FROM rk WHERE rank <= 3
         """,
         "winnow": f"""
             -- winnowing k=3 / window=4: per-window min over md5 gram

@@ -20,6 +20,7 @@ __all__ = [
     "regex_token_count",
     "quality_features",
     "repetition_features",
+    "tfidf_top_terms",
     "unigram_cost_table",
     "unigram_lm_scores",
     "winnow_fingerprints",
@@ -207,6 +208,73 @@ def unigram_lm_scores(
         F.round(
             F.when(n > 0, nll_micro / n / F.lit(1e6)).otherwise(0.0), 6
         ).alias("avg_nll"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_df: int = 1,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — corpus keyword extraction.
+
+    Two corpus passes: term frequency per (doc, token), document
+    frequency per token (both map-side-combinable groupBys), then a join
+    and a per-doc top-k. ``idf`` is materialized as an INTEGER —
+    ``round(ln(N/df) · 10⁶)`` — so ``score_micro = tf · idf_micro`` ranks
+    with integer comparisons (engine-stable; a raw double product could
+    order differently across libm implementations on near-ties like
+    2·ln(4) vs 1·ln(16)). Ties break on token ascending. ``n_docs``
+    defaults to ``df.count()`` (one scalar job).
+
+    100 TB shape: the token groupBy's output is vocabulary-sized, so the
+    df table broadcast-joins back to the tf table; the final per-doc
+    top-k groups are bounded by document vocabulary. No windows.
+    """
+    n = n_docs if n_docs is not None else df.count()
+    norm = normalized_text(F.col(text_col))
+    toks = F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("token"))
+        .groupBy("id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfc = tf.groupBy("token").agg(F.count("*").alias("dfc"))
+    idf_micro = F.round(F.log(F.lit(float(n)) / F.col("dfc")) * 1e6).cast("long")
+    scored = (
+        tf.join(F.broadcast(dfc.where(F.col("dfc") >= min_df)), "token")
+        .withColumn("score_micro", F.col("tf") * idf_micro)
+    )
+    ranked = scored.groupBy("id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("score_micro")).alias("neg"),
+                        F.col("token"),
+                        F.col("tf"),
+                        F.col("dfc"),
+                    )
+                )
+            ),
+            1,
+            k,
+        ).alias("top")
+    )
+    return ranked.select(
+        "id", F.posexplode("top").alias("pos", "t")
+    ).select(
+        "id",
+        (F.col("pos") + 1).alias("rank"),
+        F.col("t")["token"].alias("token"),
+        F.col("t")["tf"].alias("tf"),
+        F.col("t")["dfc"].alias("dfc"),
+        (-F.col("t")["neg"]).alias("score_micro"),
     )
 
 

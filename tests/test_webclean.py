@@ -173,3 +173,23 @@ def test_winnow_fingerprints_invariants(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_tfidf_top_terms_hand_values(spark):
+    import math
+
+    from dss_plugin_nlp_analysis_spark.operators.textstats import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry cherry cherry")],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in tfidf_top_terms(df, "doc_id", "text", k=2).collect():
+        out.setdefault(r["id"], []).append((r["rank"], r["token"], r["tf"], r["dfc"], r["score_micro"]))
+    i3 = int(round(math.log(3 / 1) * 1e6))   # df=1
+    i32 = int(round(math.log(3 / 2) * 1e6))  # df=2
+    assert sorted(out[1]) == [(1, "apple", 2, 1, 2 * i3), (2, "banana", 1, 2, i32)]
+    # doc 2: equal scores -> tie broken by token ascending
+    assert sorted(out[2]) == [(1, "banana", 1, 2, i32), (2, "cherry", 1, 2, i32)]
+    assert sorted(out[3]) == [(1, "cherry", 3, 2, 3 * i32)]
