@@ -728,6 +728,37 @@ def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mixed_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language page detection: 8-token chunks → per-chunk marker
+    language-ID → per-doc majority language (ties to the smaller code,
+    matching marker_langid's strict-> fold), chunk count, and language
+    diversity. Composes three verified primitives (chunk_documents,
+    marker_langid, groupBy-min majority); docs with no chunks emit
+    nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, "doc_id", "text", chunk_tokens=8, overlap=0)
+    ch = ch.withColumn(
+        "chunk_uid", F.col("id") * F.lit(100_000) + F.col("chunk_idx")
+    )
+    lid = marker_langid(ch, "chunk_uid", "chunk_text").withColumn(
+        "doc_id", F.floor(F.col("id") / F.lit(100_000)).cast("long")
+    )
+    per = lid.groupBy("doc_id", "pred_lang").agg(F.count("*").alias("cnt"))
+    agg = per.groupBy("doc_id").agg(
+        F.min(
+            F.struct((-F.col("cnt")).alias("neg"), F.col("pred_lang"))
+        ).alias("m"),
+        F.count("*").alias("n_langs"),
+        F.sum("cnt").alias("n_chunks"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("m")["pred_lang"].alias("majority_lang"),
+        F.col("n_langs").cast("int").alias("n_langs"),
+        F.col("n_chunks").cast("int").alias("n_chunks"),
+    )
+
+
 def _q_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per doc (integer micro-nat idf ranking)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -829,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_passages": _q_dup_passages,
         "winnow": _q_winnow,
         "tfidf_top": _q_tfidf_top,
+        "mixed_lang": _q_mixed_lang,
         "tag_match_ignorecase": _q_tag_match_ignorecase,
         "tag_match_diacritics": _q_tag_match_diacritics,
         "events_window": _q_events_window,
@@ -1055,6 +1087,58 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, l.tag AS tag, l.kw AS tag_keyword
             FROM documents d LEFT JOIN linked l ON d.doc_id = l.doc_id
+        """,
+        "mixed_lang": f"""
+            -- 8-token chunks, per-chunk marker langid (same strict-> fold
+            -- as langid_markers: ties keep the earlier language code),
+            -- then per-doc majority (cnt DESC, lang ASC) + diversity
+            WITH nt AS (SELECT doc_id, {_NORM} AS t FROM documents),
+            w0 AS (
+              SELECT doc_id, string_split(t, ' ') AS toks,
+                     len(string_split(t, ' ')) AS n
+              FROM nt WHERE t != ''
+            ),
+            s AS (SELECT doc_id, toks, n, unnest(range(0, n, 8)) AS start FROM w0),
+            c AS (
+              SELECT doc_id, (start / 8)::INT AS chunk_idx,
+                     list_slice(toks, start + 1, start + 8) AS ctoks
+              FROM s
+            ),
+            h AS (
+              SELECT doc_id, chunk_idx,
+                     len(list_filter(ctoks, x -> x IN ('der','die','und','das','mit'))) AS de_h,
+                     len(list_filter(ctoks, x -> x IN ('the','and','of','is','with'))) AS en_h,
+                     len(list_filter(ctoks, x -> x IN ('el','los','las','y','una'))) AS es_h,
+                     len(list_filter(ctoks, x -> x IN ('le','la','les','et','des'))) AS fr_h
+              FROM c
+            ),
+            m1 AS (SELECT doc_id, chunk_idx, es_h, fr_h,
+                          CASE WHEN en_h > de_h THEN en_h ELSE de_h END AS b,
+                          CASE WHEN en_h > de_h THEN 'en' ELSE 'de' END AS l FROM h),
+            m2 AS (SELECT doc_id, chunk_idx, fr_h,
+                          CASE WHEN es_h > b THEN es_h ELSE b END AS b,
+                          CASE WHEN es_h > b THEN 'es' ELSE l END AS l FROM m1),
+            m3 AS (SELECT doc_id, chunk_idx,
+                          CASE WHEN fr_h > b THEN fr_h ELSE b END AS b,
+                          CASE WHEN fr_h > b THEN 'fr' ELSE l END AS l FROM m2),
+            lid AS (
+              SELECT doc_id, CASE WHEN b > 0 THEN l ELSE 'xx' END AS pred
+              FROM m3
+            ),
+            per AS (SELECT doc_id, pred, count(*) AS cnt FROM lid GROUP BY 1, 2),
+            maj AS (
+              SELECT doc_id, pred,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY cnt DESC, pred ASC
+                     ) AS rn
+              FROM per
+            ),
+            div AS (
+              SELECT doc_id, count(*)::INT AS n_langs, sum(cnt)::INT AS n_chunks
+              FROM per GROUP BY 1
+            )
+            SELECT div.doc_id, maj.pred AS majority_lang, div.n_langs, div.n_chunks
+            FROM div JOIN maj ON div.doc_id = maj.doc_id AND maj.rn = 1
         """,
         "tfidf_top": f"""
             -- integer micro-nat idf: round(ln(N/df)*1e6) then tf-multiply,
