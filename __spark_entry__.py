@@ -1297,7 +1297,8 @@ def oracle_sql() -> dict[str, str]:
             k AS (
               SELECT doc_id, t, lines,
                      list_filter(lines, x -> x[-1] IN ('.', '!', '?', '"')
-                                            AND len(string_split(x, ' ')) >= 5) AS kept
+                                            AND len(list_filter(string_split(x, ' '),
+                                                                y -> y != '')) >= 5) AS kept
               FROM l
             ),
             c AS (
@@ -1336,10 +1337,18 @@ def oracle_sql() -> dict[str, str]:
                      generate_subscripts(lines, 1) - 1 AS pos
               FROM arrs
             ),
-            f AS (SELECT line, min(doc_id * 1000000 + pos) AS k FROM l GROUP BY 1),
+            -- first occurrence = min(id) per line, then min(pos) within
+            -- that id: the pure-ANSI replication of Spark's
+            -- min(struct(id, pos)) lexicographic struct minimum
+            f1 AS (SELECT line AS fl, min(doc_id) AS fid FROM l GROUP BY 1),
+            f AS (
+              SELECT l.line AS fl, l.doc_id AS fid, min(l.pos) AS fpos
+              FROM l JOIN f1 ON l.line = f1.fl AND l.doc_id = f1.fid
+              GROUP BY 1, 2
+            ),
             kept AS (
               SELECT l.doc_id, l.pos, l.line
-              FROM l JOIN f ON l.line = f.line AND l.doc_id * 1000000 + l.pos = f.k
+              FROM l JOIN f ON l.line = f.fl AND l.doc_id = f.fid AND l.pos = f.fpos
             ),
             agg AS (
               SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text

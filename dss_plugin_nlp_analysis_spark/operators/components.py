@@ -72,27 +72,39 @@ def connected_components(
     pipeline) executes exactly once, not once per round.
 
     ``checkpoint_dir``: when set, each round's lineage cut is a parquet
-    round-trip under this directory (reliable — survives executor loss;
-    superseded round files are deleted as the loop advances). When None,
-    ``localCheckpoint`` is used: fine in-sandbox, NOT durable on a real
-    cluster — set ``checkpoint_dir`` for long production runs."""
+    round-trip under a per-invocation subdirectory
+    ``{checkpoint_dir}/cc_run_<uuid>`` (reliable — survives executor
+    loss; superseded round files are deleted as the loop advances, and
+    the whole run directory is deleted if the loop raises). The unique
+    subdir means concurrent jobs can safely share one ``checkpoint_dir``
+    without clobbering each other's round files. On success the FINAL
+    round's files are kept — the returned DataFrame reads from them;
+    delete the run directory once the result has been consumed or
+    written out. When None, ``localCheckpoint`` is used: fine
+    in-sandbox, NOT durable on a real cluster — set ``checkpoint_dir``
+    for long production runs."""
     spark = edges.sparkSession
+    run_dir = None
+    if checkpoint_dir is not None:
+        import uuid
+
+        run_dir = f"{checkpoint_dir}/cc_run_{uuid.uuid4().hex[:12]}"
 
     def cut(df: DataFrame, rnd: int) -> DataFrame:
         # A lineage cut is REQUIRED each round, not an optimization: labels
         # feeds the next round twice (neighbor-min + the self join), so
         # without a cut the logical plan doubles per round (2^k nodes ->
         # driver OOM around round ~20).
-        if checkpoint_dir is None:
+        if run_dir is None:
             return df.localCheckpoint()
-        path = _round_path(checkpoint_dir, rnd)
+        path = _round_path(run_dir, rnd)
         df.write.mode("overwrite").parquet(path)
         out = spark.read.parquet(path)
         if rnd >= 1:
             # the previous round is fully superseded once this write is
             # complete (the write above is an action) — drop its files so
             # the on-disk footprint stays at two rounds of labels
-            _hadoop_rm(spark, _round_path(checkpoint_dir, rnd - 1))
+            _hadoop_rm(spark, _round_path(run_dir, rnd - 1))
         return out
 
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -144,6 +156,10 @@ def connected_components(
                 break
     finally:
         und.unpersist()
+        if not converged and run_dir is not None:
+            # raise/exception path: the result is never returned, so no
+            # reader depends on the round files — remove the whole run dir
+            _hadoop_rm(spark, run_dir)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "

@@ -43,7 +43,10 @@ def _lines(text: Column) -> Column:
 
 
 def _word_count(line: Column) -> Column:
-    return F.size(F.split(line, " "))
+    # filter empty tokens so runs of whitespace ('a\t\tb  c') don't inflate
+    # the count — matches C4's whitespace-split word count; still a literal
+    # op the DuckDB oracle mirrors exactly
+    return F.size(F.filter(F.split(line, " "), lambda x: x != ""))
 
 
 def c4_line_filter(
@@ -100,32 +103,30 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ``clean_text`` = the document's surviving lines ('' when every line
     was a repeat of an earlier document's line).
 
-    First occurrence = smallest ``(id, position)`` — encoded as one long
-    (``id * 1_000_000 + pos``; documents are far below 10^6 lines) so the
-    aggregate is a plain ``min`` with map-side partials. Dedup keys on the
+    First occurrence = smallest ``(id, position)`` under the id column's
+    own ordering — ``min(struct(id, pos))``, which Spark compares
+    lexicographically field-by-field, so ANY orderable id type works
+    (string doc ids are standard in web corpora; a numeric-packing scheme
+    like ``id*1e6+pos`` would NULL out on strings and silently drop every
+    line). Still a plain ``min`` with map-side partials. Dedup keys on the
     exact line text; at 100 TB swap the join key for ``xxhash64(line)`` to
     shrink shuffle width (collision-free in practice, same plan shape).
     """
-    lines = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(_lines(F.col(text_col))).alias("pos", "line"),
-        )
-        .withColumn(
-            # long arithmetic: an INT id column would overflow (ANSI
-            # ARITHMETIC_OVERFLOW) at id >= 2148 without the cast
-            "ord", F.col("id").cast("long") * F.lit(1_000_000) + F.col("pos")
-        )
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_lines(F.col(text_col))).alias("pos", "line"),
     )
     # distinct output names on the aggregated side: `firsts` derives from
     # `lines`, so joining on same-named columns trips the ambiguous-self-
     # join analyzer check
     firsts = lines.groupBy(F.col("line").alias("first_line")).agg(
-        F.min("ord").alias("first_ord")
+        F.min(F.struct("id", "pos")).alias("first")
     )
     survivors = lines.join(
         firsts,
-        (F.col("line") == F.col("first_line")) & (F.col("ord") == F.col("first_ord")),
+        (F.col("line") == F.col("first_line"))
+        & (F.col("id") == F.col("first.id"))
+        & (F.col("pos") == F.col("first.pos")),
     ).select("id", "pos", "line")
     rebuilt = survivors.groupBy("id").agg(
         F.array_join(

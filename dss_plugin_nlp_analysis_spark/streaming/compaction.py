@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["compact_dedup_snapshot", "latest_snapshot"]
+__all__ = ["compact_dedup_snapshot", "compact_raw_snapshot", "latest_snapshot"]
 
 _SNAP_PREFIX = "as_of_epoch_"
 
@@ -57,6 +57,48 @@ def compact_dedup_snapshot(
         .select(F.col("_w.id").alias("id"), "fingerprint")
     )
     out = f"{snapshot_dir.rstrip('/')}/{_SNAP_PREFIX}{max_epoch}"
+    first.write.mode("overwrite").parquet(out)
+    return out
+
+
+def compact_raw_snapshot(
+    spark: SparkSession,
+    raw_dir: str,
+    snapshot_dir: str,
+    id_col: str,
+    text_col: str,
+    as_of: int,
+) -> str:
+    """Exact first-seen snapshot derived from the durable RAW archive
+    instead of the dedup-stream sink: ``<snapshot_dir>/as_of_epoch_<as_of>``
+    with one ``(id, fingerprint)`` row per distinct fingerprint,
+    smallest id winning.
+
+    This is the completeness half of the lambda split: the TTL stream
+    DISCARDS late-beyond-horizon rows (Spark's stateful late-event filter
+    removes them before the state function — stateful_dedup's late-data
+    contract), so a late-but-unique document never reaches the stream
+    sink and ``compact_dedup_snapshot`` cannot recover it. The raw
+    archive (the crawl's append-only input, which a production pipeline
+    retains anyway) does contain it; this job recomputes fingerprints
+    from text and takes the same map-side-combinable
+    ``groupBy(fingerprint).min`` — exactness AND completeness, at the
+    cost of scanning raw instead of the much smaller deduped sink. Run it
+    on the nightly cadence; serve ``latest_snapshot`` in between.
+
+    ``as_of`` names the snapshot (e.g. the newest raw epoch/partition it
+    covers) so re-runs on the same raw state are idempotent."""
+    from ..operators.dedup import fingerprint as _fp
+
+    raw = spark.read.parquet(raw_dir).select(
+        F.col(id_col).alias("id"), _fp(F.col(text_col)).alias("fingerprint")
+    )
+    first = (
+        raw.groupBy("fingerprint")
+        .agg(F.min("id").alias("id"))
+        .select("id", "fingerprint")
+    )
+    out = f"{snapshot_dir.rstrip('/')}/{_SNAP_PREFIX}{as_of}"
     first.write.mode("overwrite").parquet(out)
     return out
 

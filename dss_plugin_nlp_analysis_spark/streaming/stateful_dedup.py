@@ -15,11 +15,15 @@ Two retention modes:
   state each time the group is touched, and a group-level
   ``EventTimeTimeout`` reaps groups that stop receiving data entirely —
   so state size is O(docs inside the horizon), NOT O(corpus over the
-  stream lifetime). A fingerprint re-appearing after the horizon re-emits;
+  stream lifetime). A fingerprint re-appearing after the horizon re-emits,
+  and a row arriving late-beyond-horizon is DROPPED by Spark's stateful
+  late-event filter (see ``streaming_exact_dedup``'s late-data contract);
   ``streaming.compaction.compact_dedup_snapshot`` is the periodic batch
   compactor that restores whole-corpus exactness over the accumulated
-  sink (the standard lambda split: bounded-state stream + exact nightly
-  batch — wired end-to-end in tests/test_round3_fixes.py).
+  sink, and ``compact_raw_snapshot`` over the raw archive additionally
+  recovers late-discarded documents (the standard lambda split:
+  bounded-state stream + exact nightly batch — wired end-to-end in
+  tests/test_round3_fixes.py).
 - **unbounded** (default, no ``ts_col``): exact across the whole stream
   lifetime. State grows with every distinct fingerprint — fine for
   bounded backfills, a scale-killer for a long-running crawl stream; use
@@ -88,7 +92,14 @@ def _dedup_group_ttl(
         ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
         for i, fp, ts in zip(pdf["id"], pdf["fingerprint"], ts_ms):
             if ts < wm:
-                continue  # late beyond the horizon: no exactness claim
+                # defensive only: Spark's stateful-operator late-event
+                # filter drops pre-watermark rows BEFORE the function runs
+                # (verified empirically — see test_late_rows_are_dropped_
+                # by_spark_and_recovered_by_raw_compactor), so this branch
+                # is unreachable in practice. The real recovery path for
+                # late-beyond-horizon documents is compact_raw_snapshot
+                # over the durable raw archive (compaction.py).
+                continue
             if fp not in seen:
                 out_ids.append(i)
                 out_fps.append(fp)
@@ -116,8 +127,21 @@ def streaming_exact_dedup(
 ) -> DataFrame:
     """First-seen rows only. With ``ts_col`` + ``watermark`` (e.g.
     ``"1 hour"``): exact within the watermark horizon, state bounded by it
-    (the long-running-stream mode). Without: exact across the stream
-    lifetime, state O(distinct fingerprints) — bounded backfills only."""
+    (the long-running-stream mode).
+
+    **Late-data contract (TTL mode):** rows whose event time has fallen
+    behind the watermark are DISCARDED — Spark's stateful-operator
+    late-event filter removes them before the state function runs, so
+    they never reach the dedup output or its sink. A late-but-unique
+    document is therefore *lost on the stream path*, not merely exempt
+    from the exactness claim. The recovery path is the batch half of the
+    lambda split: ``compaction.compact_raw_snapshot`` derives an exact
+    first-seen snapshot from the durable raw archive (which retains late
+    arrivals), so nightly compaction restores both whole-corpus
+    exactness AND late-document completeness.
+
+    Without ``ts_col``: exact across the stream lifetime, state
+    O(distinct fingerprints) — bounded backfills only."""
     if (ts_col is None) != (watermark is None):
         raise ValueError("ts_col and watermark must be set together")
     cols = [

@@ -48,15 +48,64 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     got = {r["node"]: r["component"] for r in labels.collect()}
     assert got == _union_find_components(edges)
 
-    # superseded round files are deleted as the loop advances: exactly one
-    # round directory (the final one, backing the returned DataFrame) remains
-    round_dirs = sorted(d for d in os.listdir(ckpt) if d.startswith("cc_round_"))
+    # rounds live under a per-invocation cc_run_<uuid> subdir; superseded
+    # round files are deleted as the loop advances: exactly one round
+    # directory (the final one, backing the returned DataFrame) remains
+    run_dirs = sorted(d for d in os.listdir(ckpt) if d.startswith("cc_run_"))
+    assert len(run_dirs) == 1, run_dirs
+    round_dirs = sorted(
+        d for d in os.listdir(os.path.join(ckpt, run_dirs[0]))
+        if d.startswith("cc_round_")
+    )
     assert len(round_dirs) == 1, round_dirs
 
     # the returned frame stays readable after the loop (files not cleaned up
     # from under the caller) and carries no internal columns
     assert labels.columns == ["node", "component"]
     assert labels.count() == len(got)
+
+
+def test_connected_components_shared_checkpoint_dir_no_clobber(spark, tmp_path):
+    # two invocations sharing one checkpoint_dir must not overwrite or
+    # delete each other's round files (per-run uuid namespacing): run both
+    # loops, THEN collect both results — under the old fixed cc_round_NNNN
+    # paths run B's loop would have deleted the files backing run A
+    from dss_plugin_nlp_analysis_spark.operators.components import (
+        connected_components,
+    )
+
+    ckpt = str(tmp_path / "cc_shared")
+    df_a = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    df_b = spark.createDataFrame([(7, 8), (8, 9), (20, 21)], "src long, dst long")
+    labels_a = connected_components(df_a, max_iter=10, checkpoint_dir=ckpt)
+    labels_b = connected_components(df_b, max_iter=10, checkpoint_dir=ckpt)
+    assert {r["node"]: r["component"] for r in labels_a.collect()} == {
+        1: 1, 2: 1, 3: 1,
+    }
+    assert {r["node"]: r["component"] for r in labels_b.collect()} == {
+        7: 7, 8: 7, 9: 7, 20: 20, 21: 20,
+    }
+    run_dirs = sorted(d for d in os.listdir(ckpt) if d.startswith("cc_run_"))
+    assert len(run_dirs) == 2, run_dirs
+
+
+def test_connected_components_nonconvergence_cleans_run_dir(spark, tmp_path):
+    # the raise path returns nothing, so its run directory must be removed
+    # (the old code leaked every round file on non-convergence)
+    import pytest
+
+    from dss_plugin_nlp_analysis_spark.operators.components import (
+        connected_components,
+    )
+
+    ckpt = str(tmp_path / "cc_raise")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2, checkpoint_dir=ckpt)
+    leftovers = [d for d in os.listdir(ckpt) if d.startswith("cc_run_")]
+    assert leftovers == []
 
 
 def test_connected_components_convergence_without_label_rejoin(spark):
@@ -121,6 +170,11 @@ def test_streaming_dedup_ttl_bounds_state(spark, tmp_path):
         # wm is now 10:35 > 10:00 -> id 1's fingerprint was evicted, so the
         # repeat re-emits; id 6 is plain new data
         [(4, "alpha beta", "2026-01-01 10:45:00"), (6, "zeta", "2026-01-01 10:45:00")],
+        # wm is now 10:40: id 7 is late-beyond-horizon — Spark's stateful
+        # late-event filter discards it before the state function runs
+        # (the documented late-data contract); the raw compactor recovers
+        # it in the follow-up test below
+        [(7, "omega unique", "2026-01-01 10:00:00")],
     ):
         spark.createDataFrame(
             [(i, t, __import__("datetime").datetime.fromisoformat(s)) for i, t, s in batch],
@@ -148,8 +202,55 @@ def test_streaming_dedup_ttl_bounds_state(spark, tmp_path):
         r["id"] for r in spark.sql("SELECT id FROM dedup_ttl_out").collect()
     )
     # 1,2 first-seen; 3 suppressed (in-horizon dup of 2); 5 new; 4 re-emitted
-    # (dup of 1 but past the watermark horizon -> state was evicted); 6 new
+    # (dup of 1 but past the watermark horizon -> state was evicted); 6 new;
+    # 7 late-beyond-horizon -> DISCARDED by Spark's stateful late-event
+    # filter (the documented contract — recovery belongs to the raw-archive
+    # compactor, exercised in test_late_rows_..._recovered_by_raw_compactor)
     assert ids == [1, 2, 4, 5, 6], ids
+
+    # the unique late document really is absent from the stream sink even
+    # though its text never appeared before — the data-loss mode the raw
+    # compactor exists to close
+    assert 7 not in ids
+
+
+def test_late_rows_are_dropped_by_spark_and_recovered_by_raw_compactor(
+    spark, tmp_path
+):
+    """The lambda split's completeness half: a late-beyond-horizon UNIQUE
+    document is discarded by the stream (Spark's stateful late-event
+    filter), but compact_raw_snapshot over the durable raw archive
+    recovers it — exact first-seen including late arrivals."""
+    import datetime
+
+    from dss_plugin_nlp_analysis_spark.operators.dedup import fingerprint
+    from dss_plugin_nlp_analysis_spark.streaming.compaction import (
+        compact_raw_snapshot,
+        latest_snapshot,
+    )
+
+    raw, snaps = str(tmp_path / "raw"), str(tmp_path / "snaps")
+    schema = "id long, text string, ts timestamp"
+    rows = [
+        (1, "alpha beta", "2026-01-01 10:00:00"),
+        (5, "epsilon", "2026-01-01 10:40:00"),
+        (4, "alpha beta", "2026-01-01 10:45:00"),   # dup of 1
+        (7, "omega unique", "2026-01-01 10:00:00"), # late in the stream
+    ]
+    spark.createDataFrame(
+        [(i, t, datetime.datetime.fromisoformat(s)) for i, t, s in rows], schema
+    ).write.mode("overwrite").parquet(raw)
+
+    path = compact_raw_snapshot(spark, raw, snaps, "id", "text", as_of=1)
+    snap = {r["id"]: r["fingerprint"] for r in latest_snapshot(spark, snaps).collect()}
+    # one row per distinct text, smallest id wins — and 7 IS present
+    assert sorted(snap) == [1, 5, 7]
+    want_fp = spark.createDataFrame([("omega unique",)], "t string").select(
+        fingerprint(F.col("t")).alias("fp")
+    ).first()["fp"]
+    assert snap[7] == want_fp
+    # idempotent re-run: same as_of -> same path
+    assert compact_raw_snapshot(spark, raw, snaps, "id", "text", as_of=1) == path
 
 
 def test_repetition_features_values_and_maponly_plan(spark):
@@ -346,7 +447,9 @@ def test_stream_dedup_compactor_end_to_end(spark, tmp_path):
 
     # sink grows a later epoch with yet another re-emit of 'alpha beta':
     # a fresh compaction writes a NEW snapshot and latest_snapshot serves it
-    late = spark.createDataFrame([(9, snap[1])], "id long, fingerprint string")
+    late = spark.createDataFrame(
+        [(9, snap[1], False)], "id long, fingerprint string, late boolean"
+    )
     write_epoch(late, 99, sink)
     path2 = compact_dedup_snapshot(spark, sink, snaps)
     assert path2 != path1 and path2.endswith("_99")

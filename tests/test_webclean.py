@@ -129,14 +129,45 @@ def test_unigram_lm_scores_values_and_plan(spark):
 
 
 def test_line_dedup_int_ids_no_overflow(spark):
-    # IntegerType id columns must not overflow the ord encoding (ANSI
-    # ARITHMETIC_OVERFLOW at id >= 2148 without the long cast)
+    # IntegerType id columns must work at any magnitude (the former
+    # id*1e6+pos ord encoding hit ANSI ARITHMETIC_OVERFLOW at id >= 2148;
+    # min(struct(id, pos)) has no such limit)
     df = spark.createDataFrame(
         [(2, "shared line"), (3000, "shared line\nkeep me")],
         "doc_id int, text string",
     )
     out = {r["id"]: r["clean_text"] for r in line_dedup(df, "doc_id", "text").collect()}
     assert out == {2: "shared line", 3000: "keep me"}
+
+
+def test_line_dedup_string_ids(spark):
+    # string doc ids (urls — standard in web corpora): the former numeric
+    # ord packing cast them to NULL and silently emptied EVERY document;
+    # min(struct(id, pos)) orders by the id column's own type
+    df = spark.createDataFrame(
+        [
+            ("http://a.example/1", "shared line\nunique one"),
+            ("http://b.example/2", "shared line\nunique two"),
+            ("http://a.example/0", "late but lexicographically first\nshared line"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["id"]: r["clean_text"] for r in line_dedup(df, "doc_id", "text").collect()}
+    # 'shared line' survives only in the lexicographically-smallest url
+    assert out == {
+        "http://a.example/0": "late but lexicographically first\nshared line",
+        "http://a.example/1": "unique one",
+        "http://b.example/2": "unique two",
+    }
+
+
+def test_c4_word_count_ignores_whitespace_runs(spark):
+    # 'a\t\tb  c  .' must NOT pass min_words_per_line=5: runs of
+    # whitespace split into empty tokens which are filtered, not counted
+    df = _docs(spark, [(1, "a\t\tb  c  .\nreal words one two three.")])
+    out = c4_line_filter(df, "doc_id", "text", min_words_per_line=5).collect()[0]
+    assert out["clean_text"] == "real words one two three."
+    assert out["n_kept"] == 1
 
 
 def test_winnow_fingerprints_invariants(spark):
