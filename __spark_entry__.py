@@ -732,30 +732,17 @@ def _q_mixed_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-language page detection: 8-token chunks → per-chunk marker
     language-ID → per-doc majority language (ties to the smaller code,
     matching marker_langid's strict-> fold), chunk count, and language
-    diversity. Composes three verified primitives (chunk_documents,
-    marker_langid, groupBy-min majority); docs with no chunks emit
-    nothing."""
+    diversity (operators/textstats.mixed_language_profile — chunks keyed
+    by struct(id, chunk_idx), no per-doc chunk-count limit); docs with no
+    chunks emit nothing."""
+    from dss_plugin_nlp_analysis_spark.operators.textstats import (
+        mixed_language_profile,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    ch = chunk_documents(docs, "doc_id", "text", chunk_tokens=8, overlap=0)
-    ch = ch.withColumn(
-        "chunk_uid", F.col("id") * F.lit(100_000) + F.col("chunk_idx")
-    )
-    lid = marker_langid(ch, "chunk_uid", "chunk_text").withColumn(
-        "doc_id", F.floor(F.col("id") / F.lit(100_000)).cast("long")
-    )
-    per = lid.groupBy("doc_id", "pred_lang").agg(F.count("*").alias("cnt"))
-    agg = per.groupBy("doc_id").agg(
-        F.min(
-            F.struct((-F.col("cnt")).alias("neg"), F.col("pred_lang"))
-        ).alias("m"),
-        F.count("*").alias("n_langs"),
-        F.sum("cnt").alias("n_chunks"),
-    )
-    return agg.select(
-        "doc_id",
-        F.col("m")["pred_lang"].alias("majority_lang"),
-        F.col("n_langs").cast("int").alias("n_langs"),
-        F.col("n_chunks").cast("int").alias("n_chunks"),
+    out = mixed_language_profile(docs, "doc_id", "text", chunk_tokens=8)
+    return out.select(
+        F.col("id").alias("doc_id"), "majority_lang", "n_langs", "n_chunks"
     )
 
 

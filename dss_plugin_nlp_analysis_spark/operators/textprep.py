@@ -112,6 +112,13 @@ def chunk_documents(
     (chunking 100 TB is a map; the explode multiplies rows ~n/step×
     before the next stage, which is why it stays upstream of
     repartitioning, not after).
+
+    The token array is materialized as a PROJECTED COLUMN before the
+    higher-order transform: HOF lambdas evaluate interpreted, outside
+    whole-stage codegen, and a lambda body that references the
+    ``split(...)`` *subtree* re-splits the whole document once per chunk
+    — O(n²) per document, which visibly hangs on a 100k-token doc. A
+    bound column reference is read once per row, restoring O(n).
     """
     from .dedup import normalized_text
 
@@ -119,8 +126,14 @@ def chunk_documents(
     if step <= 0:
         raise ValueError("overlap must be smaller than chunk_tokens")
     norm = normalized_text(F.col(text_col))
-    toks = F.split(norm, " ")
-    n = F.when(norm == "", 0).otherwise(F.size(toks))
+    tokenized = df.select(
+        F.col(id_col).alias("id"),
+        F.when(norm == "", F.array().cast("array<string>"))
+        .otherwise(F.split(norm, " "))
+        .alias("_toks"),
+    )
+    toks = F.col("_toks")
+    n = F.size(toks)
     starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(step))).otherwise(
         F.array().cast("array<int>")
     )
@@ -131,8 +144,8 @@ def chunk_documents(
             F.least(F.lit(chunk_tokens), n - s).alias("n_tokens"),
         ),
     )
-    return df.select(
-        F.col(id_col).alias("id"), F.posexplode(chunks).alias("chunk_idx", "c")
+    return tokenized.select(
+        "id", F.posexplode(chunks).alias("chunk_idx", "c")
     ).select(
         "id", "chunk_idx",
         F.col("c")["chunk_text"].alias("chunk_text"),

@@ -9,6 +9,7 @@ shuffle-free native approximation that scales to 100 TB as a pure map.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -25,6 +26,7 @@ __all__ = [
     "unigram_lm_scores",
     "winnow_fingerprints",
     "marker_langid",
+    "mixed_language_profile",
     "remove_stopwords",
     "EN_STOPWORDS",
 ]
@@ -218,6 +220,7 @@ def tfidf_top_terms(
     k: int = 5,
     min_df: int = 1,
     n_docs: int | None = None,
+    broadcast_df: bool = False,
 ) -> DataFrame:
     """Top-k TF-IDF terms per document — corpus keyword extraction.
 
@@ -230,9 +233,16 @@ def tfidf_top_terms(
     2·ln(4) vs 1·ln(16)). Ties break on token ascending. ``n_docs``
     defaults to ``df.count()`` (one scalar job).
 
-    100 TB shape: the token groupBy's output is vocabulary-sized, so the
-    df table broadcast-joins back to the tf table; the final per-doc
-    top-k groups are bounded by document vocabulary. No windows.
+    100 TB shape: the document-frequency table is VOCABULARY-sized, and
+    a crawl-scale vocabulary (typo/garbage tokens included) runs to
+    billions of entries — NOT broadcastable. The dfc join is therefore a
+    shuffled token equi-join by default; the tf table is already
+    exchanged on ``token`` for the dfc groupBy, so AQE typically reuses
+    that partitioning instead of adding a new exchange. Pass
+    ``broadcast_df=True`` only when a meaningful ``min_df`` (or a small
+    closed vocabulary) provably shrinks the dfc side to broadcast size.
+    The final per-doc top-k groups are bounded by document vocabulary.
+    No windows.
     """
     n = n_docs if n_docs is not None else df.count()
     norm = normalized_text(F.col(text_col))
@@ -246,9 +256,11 @@ def tfidf_top_terms(
     )
     dfc = tf.groupBy("token").agg(F.count("*").alias("dfc"))
     idf_micro = F.round(F.log(F.lit(float(n)) / F.col("dfc")) * 1e6).cast("long")
-    scored = (
-        tf.join(F.broadcast(dfc.where(F.col("dfc") >= min_df)), "token")
-        .withColumn("score_micro", F.col("tf") * idf_micro)
+    dfc_kept = dfc.where(F.col("dfc") >= min_df)
+    if broadcast_df:
+        dfc_kept = F.broadcast(dfc_kept)
+    scored = tf.join(dfc_kept, "token").withColumn(
+        "score_micro", F.col("tf") * idf_micro
     )
     ranked = scored.groupBy("id").agg(
         F.slice(
@@ -278,8 +290,48 @@ def tfidf_top_terms(
     )
 
 
+def _winnow_one(text: str | None, k: int, window: int) -> list[int]:
+    """Python mirror of the winnowing expression path: same normalization
+    (Java ``\\s`` = ``[ \\t\\n\\x0b\\f\\r]`` — NOT Python's unicode
+    ``\\s``), same md5-first-15-hex gram hash, but an O(n) monotone-deque
+    sliding minimum instead of the expression path's O(n·w) per-window
+    ``array_min`` — the kernel for huge documents."""
+    import hashlib
+    import re
+    from collections import deque
+
+    norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", (text or "").lower()).strip()
+    if not norm:
+        return []
+    toks = norm.split(" ")
+    if len(toks) < k:
+        return []
+    grams = (" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1))
+    hashes = [
+        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16) for g in grams
+    ]
+    if len(hashes) < window:
+        return [min(hashes)]
+    sel: set[int] = set()
+    dq: deque[int] = deque()  # indices; hash values increasing front→back
+    for j, h in enumerate(hashes):
+        while dq and hashes[dq[-1]] >= h:
+            dq.pop()
+        dq.append(j)
+        if dq[0] <= j - window:
+            dq.popleft()
+        if j >= window - 1:
+            sel.add(hashes[dq[0]])
+    return sorted(sel)
+
+
 def winnow_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, window: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+    engine: str = "expr",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
     2003 — the MOSS algorithm, public): hash every k-token gram of the
@@ -292,17 +344,46 @@ def winnow_fingerprints(
     keep the single global minimum; empty documents have no fingerprints.
 
     Hashes are md5-derived (first 15 hex as int) — engine-portable, so
-    the DuckDB oracle reproduces the exact fingerprint sets. Pure
-    per-row expression work, zero shuffle; at 100 TB the O(n·w) per-row
-    window-min fold is the cost — for char-level grams on large docs,
-    move the same logic into a Pandas UDF with a monotone-deque O(n)
-    sliding minimum (same output contract).
+    the DuckDB oracle reproduces the exact fingerprint sets.
+
+    ``engine``: ``"expr"`` (default) is the all-native Catalyst path —
+    zero Python, SQL-reproducible, but its per-row window-min fold is
+    O(n·w); ``"kernel"`` is an Arrow-batched pandas UDF with a
+    monotone-deque O(n) sliding minimum — same output contract
+    (equivalence-tested), the right path for corpora of very long
+    documents (a 10^7-char doc at window 50 is ~50× less per-row work).
+    Both are pure per-row maps, zero shuffle.
 
     Output: (id, fingerprints array<long> sorted ascending, n_fingerprints).
     """
+    if engine not in ("expr", "kernel"):
+        raise ValueError(f"engine must be 'expr' or 'kernel', got {engine!r}")
+    if engine == "kernel":
+
+        @F.pandas_udf("array<long>")
+        def _fps(texts: pd.Series) -> pd.Series:
+            return texts.apply(lambda t: _winnow_one(t, k, window))
+
+        fps_col = _fps(F.col(text_col))
+        return df.select(
+            F.col(id_col).alias("id"),
+            fps_col.alias("fingerprints"),
+            F.size(fps_col).alias("n_fingerprints"),
+        )
+    # each HOF input is materialized as a projected column before the
+    # lambda that reads it: HOF lambdas evaluate interpreted, and a
+    # lambda body referencing an expression SUBTREE re-evaluates it per
+    # element (re-splitting the document once per gram is O(n²) per row);
+    # a bound column reference is read once per row — O(n·w) total
     norm = normalized_text(F.col(text_col))
-    toks = F.split(norm, " ")
-    n = F.when(norm == "", 0).otherwise(F.size(toks))
+    toks_df = df.select(
+        F.col(id_col).alias("id"),
+        F.when(norm == "", F.array().cast("array<string>"))
+        .otherwise(F.split(norm, " "))
+        .alias("_toks"),
+    )
+    toks = F.col("_toks")
+    n = F.size(toks)
     n_grams = n - (k - 1)
     grams = F.when(
         n_grams > 0,
@@ -311,9 +392,13 @@ def winnow_fingerprints(
             lambda i: F.array_join(F.slice(toks, i, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    hashes = F.transform(
-        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    hashed_df = toks_df.select(
+        "id",
+        F.transform(
+            grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+        ).alias("_hashes"),
     )
+    hashes = F.col("_hashes")
     ng = F.size(hashes)
     n_windows = ng - (window - 1)
     sel = F.when(
@@ -326,8 +411,8 @@ def winnow_fingerprints(
         F.array().cast("array<bigint>")
     )
     fps = F.array_sort(F.array_distinct(sel))
-    return df.select(
-        F.col(id_col).alias("id"),
+    return hashed_df.select(
+        "id",
         fps.alias("fingerprints"),
         F.size(fps).alias("n_fingerprints"),
     )
@@ -373,4 +458,45 @@ def marker_langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("id"),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("xx")).alias("pred_lang"),
         best["hits"].alias("marker_hits"),
+    )
+
+
+def mixed_language_profile(
+    df: DataFrame, id_col: str, text_col: str, chunk_tokens: int = 8
+) -> DataFrame:
+    """Mixed-language page detection: fixed-token-window chunks →
+    per-chunk ``marker_langid`` → per-doc majority language (ties to the
+    lexicographically smaller code), chunk count, and language diversity.
+    Docs with no chunks (empty/NULL text) emit nothing.
+
+    Chunks are keyed by ``struct(id, chunk_idx)`` — the id passes through
+    ``marker_langid`` intact, so there is NO per-document chunk-count
+    limit and any orderable id type works (an arithmetic uid packing like
+    ``id*100_000+idx`` silently collides across documents once a doc
+    exceeds 100k chunks, which a 10^7-char document does at 8-token
+    windows). Plan shape: pure map through langid, then two
+    map-side-combinable groupBys on the doc key — scale-safe.
+    """
+    from .textprep import chunk_documents
+
+    ch = chunk_documents(df, id_col, text_col, chunk_tokens=chunk_tokens, overlap=0)
+    ch = ch.withColumn(
+        "chunk_key", F.struct(F.col("id").alias("doc"), F.col("chunk_idx").alias("ci"))
+    )
+    lid = marker_langid(ch, "chunk_key", "chunk_text").withColumn(
+        "doc_id", F.col("id.doc")
+    )
+    per = lid.groupBy("doc_id", "pred_lang").agg(F.count("*").alias("cnt"))
+    agg = per.groupBy("doc_id").agg(
+        F.min(
+            F.struct((-F.col("cnt")).alias("neg"), F.col("pred_lang"))
+        ).alias("m"),
+        F.count("*").alias("n_langs"),
+        F.sum("cnt").alias("n_chunks"),
+    )
+    return agg.select(
+        F.col("doc_id").alias("id"),
+        F.col("m")["pred_lang"].alias("majority_lang"),
+        F.col("n_langs").cast("int").alias("n_langs"),
+        F.col("n_chunks").cast("int").alias("n_chunks"),
     )

@@ -126,3 +126,32 @@ def test_exact_dedup_no_unbounded_window_buffer(spark):
     plan = plan_of(out)
     assert "Window" not in plan
     assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_tfidf_dfc_join_not_broadcast_by_default(spark):
+    # the document-frequency table is vocabulary-sized (billions of rows on
+    # a crawl) — the default plan must NOT hint it broadcast; the tf table
+    # is already exchanged on token for the dfc groupBy, so the equi-join
+    # shuffles on an existing key. broadcast_df=True re-enables the hint
+    # for small closed vocabularies.
+    from dss_plugin_nlp_analysis_spark.operators.textstats import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma"), (3, "delta")],
+        "id long, t string",
+    )
+    # assert on the optimized plan's HINT, not the executed plan: AQE may
+    # still pick a broadcast join at runtime when the measured size is
+    # tiny — that size-gated runtime decision is exactly what we want;
+    # the bug was an unconditional compile-time broadcast of a table
+    # whose size is unbounded in the corpus vocabulary
+    def optimized(d):
+        return d._jdf.queryExecution().optimizedPlan().toString()
+
+    out = tfidf_top_terms(df, "id", "t", k=2)
+    assert "ResolvedHint" not in optimized(out)
+    assert out.count() > 0  # still executes
+
+    out_b = tfidf_top_terms(df, "id", "t", k=2, broadcast_df=True)
+    opt_b = optimized(out_b)
+    assert "ResolvedHint" in opt_b or "broadcast" in opt_b.lower()
