@@ -643,6 +643,33 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "clean_text")
 
 
+def _q_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value gate for the streaming TTL-dedup horizon semantics, in batch
+    form (operators/dedup.ttl_first_seen over Spark's native
+    session_window): key = first 8 normalized chars (planted collisions),
+    event time = deterministic minute-of-day derived from doc_id, gap =
+    30 min. One row per (key, activity session) with the first sighting
+    and the count it suppressed — the same re-emit-after-horizon /
+    suppress-within-horizon behavior the stateful stream implements, so
+    the TTL retention state machine gets a DuckDB value oracle, not just
+    unit tests."""
+    from dss_plugin_nlp_analysis_spark.operators.dedup import ttl_first_seen
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select(
+        F.col("doc_id").alias("id"),
+        F.substring(normalized_text(F.col("text")), 1, 8).alias("key"),
+        (F.col("doc_id") * 37 % 1440 * 60).alias("sec"),
+    )
+    out = ttl_first_seen(rows, "id", "sec", "key", gap="1800 seconds")
+    return out.select(
+        "key",
+        "first_id",
+        F.col("first_ts").cast("long").alias("first_sec"),
+        "n_in_session",
+    )
+
+
 # unigram-LM vocabulary for the quality filter (counts arbitrary but
 # fixed; every other corpus word is OOV under count-1 smoothing)
 _LM_FREQS = {
@@ -840,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_match_linked": _q_tag_match_linked,
         "c4_filters": _q_c4_filters,
         "line_dedup": _q_line_dedup,
+        "stream_dedup_ttl": _q_stream_dedup_ttl,
         "unigram_lm": _q_unigram_lm,
         "kg_triples_linked": _q_kg_triples_linked,
         "chunk_docs": _q_chunk_docs,
@@ -1343,6 +1371,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
+        "stream_dedup_ttl": f"""
+            -- gaps-and-islands replication of Spark's session_window
+            -- semantics: an event EXTENDS the session when its gap from
+            -- the previous same-key event is <= 1800 s (sessions merge at
+            -- the exact boundary — asserted in tests/test_round4_fixes),
+            -- a strictly larger gap starts a new session
+            WITH rows AS (
+              SELECT doc_id AS id,
+                     substring({_NORM}, 1, 8) AS key,
+                     (doc_id * 37 % 1440) * 60 AS sec
+              FROM documents
+            ),
+            o AS (
+              SELECT *, lag(sec) OVER (PARTITION BY key ORDER BY sec, id) AS prev_sec
+              FROM rows
+            ),
+            s AS (
+              SELECT *,
+                     sum(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY key ORDER BY sec, id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            ),
+            r AS (
+              SELECT key, sid, sec, id,
+                     row_number() OVER (PARTITION BY key, sid ORDER BY sec, id) AS rn,
+                     count(*) OVER (PARTITION BY key, sid) AS n_in_session
+              FROM s
+            )
+            SELECT key, id AS first_id, sec AS first_sec, n_in_session
+            FROM r WHERE rn = 1
         """,
         "distinct_langs": "SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL",
         "kg_triples": r"""

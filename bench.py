@@ -78,19 +78,40 @@ def bench_queries(spark: SparkSession) -> tuple[dict, int]:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    warmups: dict[str, int] = {}
 
     runs = int(os.environ.get("KG_BENCH_TIMED_RUNS", "3"))
+    max_warm = int(os.environ.get("KG_BENCH_MAX_WARM", "6"))
+    stable_tol = float(os.environ.get("KG_BENCH_STABLE_TOL", "0.20"))
 
     def timed(name, fn):
-        # steady-state measurement: first run pays JIT/codegen/heap-growth
-        # (reported separately as cold); the engine number is the MIN over
-        # the remaining runs — the sandbox host is shared, so a single warm
-        # run can be inflated by an external load spike
+        # steady-state measurement with ADAPTIVE warmup: the first run pays
+        # JIT/codegen/heap-growth (reported separately as cold), and some
+        # plans need SEVERAL executions to leave the warmup regime — the
+        # fused minhash shingle projection's generated class takes 2-3 runs
+        # of C2 compilation to reach steady state (measured 15.6 → 26.6 →
+        # 5.0 → 4.7 s; disabling whole-stage codegen removes most of the
+        # cliff but loses ~10% steady state, so codegen stays on and the
+        # harness warms instead). We keep re-running until two consecutive
+        # runs agree within stable_tol (or max_warm runs), THEN take the
+        # MIN over the timed runs — the sandbox host is shared, so a single
+        # warm run can also be inflated by an external load spike.
         t0 = time.perf_counter()
         fn()
         cold[name] = round(time.perf_counter() - t0, 3)
-        best = float("inf")
-        for _ in range(max(runs - 1, 1)):
+        prev = cold[name]
+        dt = prev
+        w = 0
+        for w in range(1, max_warm + 1):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            if abs(dt - prev) <= stable_tol * prev:
+                break
+            prev = dt
+        warmups[name] = w
+        best = dt
+        for _ in range(max(runs - 2, 1)):
             t0 = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t0)
@@ -100,10 +121,17 @@ def bench_queries(spark: SparkSession) -> tuple[dict, int]:
     onto_cat = demo_ontology_df(spark, with_category=True)
 
     # spin up the Python worker pool + codegen before timing (one-time
-    # session cost, ~10 s for 32 workers; not a per-query property)
+    # session cost, ~10 s for 32 workers; not a per-query property), and
+    # pre-warm the minhash pipeline's generated classes on a small slice —
+    # JIT profiling starts cheaply here instead of inside the first full
+    # timed run (the adaptive warmup in timed() then converges in fewer
+    # full-corpus executions)
     tag_documents(docs, onto, lang_col="lang", languages=LANGS).select(
         F.count("*")
     ).collect()
+    minhash_candidate_pairs(
+        docs_small.limit(10_000), "doc_id", "text", num_hashes=8, bands=4
+    ).select(F.count("*")).collect()
 
     timed(
         "tag_match",
@@ -157,6 +185,7 @@ def bench_queries(spark: SparkSession) -> tuple[dict, int]:
     if docs_small is not docs:
         docs_small.unpersist()
     timings["_cold"] = cold
+    timings["_warmups"] = warmups
     timings["_n_docs_dedup"] = n_small
     return timings, n_docs
 
@@ -412,6 +441,7 @@ def main() -> None:
         t0 = time.perf_counter()
         timings, n_docs = bench_queries(spark)
         cold = timings.pop("_cold")
+        warm_runs = timings.pop("_warmups")
         n_docs_dedup = timings.pop("_n_docs_dedup")
         total = round(time.perf_counter() - t0, 3)
         sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -423,6 +453,7 @@ def main() -> None:
                     "unit": "docs/sec",
                     "queries": timings,
                     "cold_queries": cold,
+                    "warm_runs": warm_runs,
                     "total_sec": total,
                     "n_docs": n_docs,
                     "n_docs_dedup": n_docs_dedup,

@@ -164,7 +164,17 @@ def _seg_dict(lang: str):
         return None
     log_total = _math.log(sum(freqs.values()))
     logp = {w: _math.log(f) - log_total for w, f in freqs.items()}
-    entry = (logp, max(len(w) for w in logp), -log_total, _derive_hmm(freqs))
+    # BMES OOV parameters: corpus-trained table when provided
+    # ($KG_SEGMENT_DICT_DIR/<lang>_hmm.tsv — see _load_trained_hmm),
+    # else derived from the dictionary's positional char statistics
+    hmm = None
+    if user_dir:
+        hmm_path = _os.path.join(user_dir, f"{lang}_hmm.tsv")
+        if _os.path.exists(hmm_path):
+            hmm = _load_trained_hmm(hmm_path)
+    if hmm is None:
+        hmm = _derive_hmm(freqs)
+    entry = (logp, max(len(w) for w in logp), -log_total, hmm)
     _SEG_DICT_CACHE[lang] = entry
     return entry
 
@@ -188,11 +198,59 @@ def _seg_dict(lang: str):
 _HMM_STATES = ("B", "M", "E", "S")  # begin / middle / end / single
 
 
+def _load_trained_hmm(path: str):
+    """Corpus-trained BMES parameters from a plain-text table — the hook
+    for real training data (jieba ships corpus-trained ``prob_emit``/
+    ``prob_trans`` tables; this accepts the same information re-serialized
+    line-per-entry so no Python import of third-party data files is
+    needed). Lines (``#`` comments and blanks ignored)::
+
+        emit  <B|M|E|S> <char|*> <logprob>   # '*' = unseen-char floor
+        trans <src> <dst> <logprob>          # only legal BMES edges kept
+        start <B|S> <logprob>
+
+    Legal transitions are B→{M,E}, M→{M,E}, E→{B,S}, S→{B,S} (word-
+    structural constraints); others are ignored. Missing floors default
+    to -20 (effectively never emitted), missing transitions/starts to the
+    dictionary-derived defaults' shape with log(0.5). Returns the same
+    ``(emit, trans, start)`` triple ``_derive_hmm`` produces, so the two
+    sources are interchangeable in ``_hmm_group``."""
+    legal = {
+        ("B", "M"), ("B", "E"), ("M", "M"), ("M", "E"),
+        ("E", "B"), ("E", "S"), ("S", "B"), ("S", "S"),
+    }
+    emit: dict[str, dict] = {s: {} for s in _HMM_STATES}
+    trans = {edge: _math.log(0.5) for edge in legal}
+    start = {"B": _math.log(0.5), "S": _math.log(0.5)}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            if len(parts) != 4 and not (parts[0] == "start" and len(parts) == 3):
+                continue
+            kind = parts[0]
+            if kind == "emit" and parts[1] in _HMM_STATES:
+                ch = None if parts[2] == "*" else parts[2]
+                emit[parts[1]][ch] = float(parts[3])
+            elif kind == "trans" and (parts[1], parts[2]) in legal:
+                trans[(parts[1], parts[2])] = float(parts[3])
+            elif kind == "start" and parts[1] in ("B", "S"):
+                start[parts[1]] = float(parts[2])
+    for s in _HMM_STATES:
+        emit[s].setdefault(None, -20.0)
+    return emit, trans, start
+
+
 def _derive_hmm(freqs: dict[str, int]):
-    """(emit, log_continue, log_end, log_single) from dictionary stats.
+    """(emit, trans, start) from dictionary stats.
 
     ``emit[state][char]`` is a smoothed log-probability; lookups for
-    unseen chars use the add-one floor ``emit[state][None]``."""
+    unseen chars use the add-one floor ``emit[state][None]``. ``trans``
+    maps the 8 legal BMES edges to log-probabilities, ``start`` the B/S
+    sentence-initial states — the same shape ``_load_trained_hmm``
+    produces for corpus-trained tables."""
     counts = {s: {} for s in ("B", "M", "E")}
     len_mass_3plus = 0
     total_mass = 0
@@ -219,18 +277,24 @@ def _derive_hmm(freqs: dict[str, int]):
     emit["S"] = {None: -_math.log(v)}
     # inside a word: continue (→M) with the dictionary's len≥3 mass
     p_cont = min(max(len_mass_3plus / total_mass, 1e-6), 1 - 1e-6)
-    return (
-        emit,
-        _math.log(p_cont),          # B→M, M→M
-        _math.log(1.0 - p_cont),    # B→E, M→E
-        _math.log(0.5),             # E/S → B vs S: no inter-word evidence
-    )
+    log_cont = _math.log(p_cont)
+    log_end = _math.log(1.0 - p_cont)
+    log_half = _math.log(0.5)  # E/S → B vs S: no inter-word evidence
+    trans = {
+        ("B", "M"): log_cont, ("M", "M"): log_cont,
+        ("B", "E"): log_end, ("M", "E"): log_end,
+        ("E", "B"): log_half, ("E", "S"): log_half,
+        ("S", "B"): log_half, ("S", "S"): log_half,
+    }
+    return emit, trans, {"B": log_half, "S": log_half}
 
 
 def _hmm_group(run: str, hmm) -> list[int]:
     """Viterbi over BMES; returns word-end indices (exclusive) covering
-    ``run``. Transitions: B→{M,E}, M→{M,E}, E→{B,S}, S→{B,S}."""
-    emit, log_cont, log_end, log_half = hmm
+    ``run``. Transitions: B→{M,E}, M→{M,E}, E→{B,S}, S→{B,S}. ``hmm``
+    is the (emit, trans, start) triple from ``_derive_hmm``
+    (dictionary-derived) or ``_load_trained_hmm`` (corpus-trained)."""
+    emit, trans, start = hmm
     n = len(run)
 
     def e(state: str, ch: str) -> float:
@@ -239,17 +303,22 @@ def _hmm_group(run: str, hmm) -> list[int]:
 
     NEG = float("-inf")
     # scores[state] for position i; backpointers per position
-    prev = {"B": e("B", run[0]), "S": e("S", run[0]), "M": NEG, "E": NEG}
+    prev = {
+        "B": start["B"] + e("B", run[0]),
+        "S": start["S"] + e("S", run[0]),
+        "M": NEG,
+        "E": NEG,
+    }
     back: list[dict[str, str]] = [{}]
     for i in range(1, n):
         ch = run[i]
         cur: dict[str, float] = {}
         bp: dict[str, str] = {}
         for state, sources in (
-            ("B", (("E", log_half), ("S", log_half))),
-            ("M", (("B", log_cont), ("M", log_cont))),
-            ("E", (("B", log_end), ("M", log_end))),
-            ("S", (("E", log_half), ("S", log_half))),
+            ("B", (("E", trans[("E", "B")]), ("S", trans[("S", "B")]))),
+            ("M", (("B", trans[("B", "M")]), ("M", trans[("M", "M")]))),
+            ("E", (("B", trans[("B", "E")]), ("M", trans[("M", "E")]))),
+            ("S", (("E", trans[("E", "S")]), ("S", trans[("S", "S")]))),
         ):
             best, best_src = NEG, None
             for src, t in sources:

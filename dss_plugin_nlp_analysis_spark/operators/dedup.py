@@ -24,6 +24,7 @@ __all__ = [
     "exploded_shingles",
     "fingerprint",
     "exact_dedup",
+    "ttl_first_seen",
     "shingles",
     "minhash_signature",
     "minhash_candidate_pairs",
@@ -189,6 +190,58 @@ def minhash_candidate_pairs(
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+def ttl_first_seen(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    key_col: str,
+    gap: str = "1 hour",
+) -> DataFrame:
+    """Batch replication of the streaming TTL-dedup horizon semantics
+    (``streaming/stateful_dedup.streaming_exact_dedup`` with a watermark):
+    one emitted row per (key, activity session), where a session extends
+    while consecutive same-key sightings are within ``gap`` of each other
+    and a sighting arriving more than ``gap`` after the previous one
+    starts a new session — exactly the stream's "fingerprint evicted
+    after the horizon, re-emits" behavior, with the stream's sliding TTL
+    (every suppressed duplicate extends retention) mapping to the session
+    extending on every event.
+
+    Implemented with Spark's NATIVE ``session_window`` aggregation —
+    sessions merge via partial aggregation (UpdatingSessions /
+    MergingSessions are sort-based streaming iterators, no whole-group
+    buffering), so a degenerate key (boilerplate fingerprint with
+    billions of sightings) does not OOM a reducer the way a window
+    function would. One shuffle on (key, session).
+
+    Boundary rule (asserted in tests): an event exactly ``gap`` after the
+    previous one still EXTENDS the session (Spark merges sessions whose
+    start equals the previous end); a new session needs a strictly larger
+    gap.
+
+    Output: (key, first_id, first_ts, n_in_session) — the first sighting
+    (smallest (ts, id)) and the number of sightings it suppressed."""
+    t = F.col(ts_col).cast("timestamp")
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(id_col).alias("id"),
+            t.alias("ts"),
+        )
+        .groupBy("key", F.session_window("ts", gap).alias("_w"))
+        .agg(
+            F.min(F.struct("ts", "id")).alias("_first"),
+            F.count("*").alias("n_in_session"),
+        )
+        .select(
+            "key",
+            F.col("_first.id").alias("first_id"),
+            F.col("_first.ts").alias("first_ts"),
+            "n_in_session",
+        )
     )
 
 

@@ -191,3 +191,65 @@ def test_oov_hmm_ja_th_runs_stay_wellformed(monkeypatch):
         assert all(a.end == b.start for a, b in zip(toks, toks[1:]))
         assert "".join(t.text for t in toks) == s
     assert texts("ผมชอบกินข้าว", "th") == ["ผม", "ชอบ", "กิน", "ข้าว"]
+
+
+# --- corpus-trained BMES parameter hook (KG_SEGMENT_DICT_DIR/<lang>_hmm.tsv)
+
+def test_trained_hmm_params_beat_derived(tmp_path, monkeypatch):
+    """The loadable-trained-params hook: 小红书 (a product name jieba's
+    corpus-trained HMM groups as one word) stays CHAR-LEVEL under the
+    dictionary-derived parameters (none of its chars carry positional
+    dictionary evidence), and groups once a trained emission table marks
+    小 as word-begin, 红 as middle, 书 as end — real corpus-trained
+    tables slot in where the derived fallback stops."""
+    import dss_plugin_nlp_analysis_spark.functions.tokenizer as tok
+
+    monkeypatch.setenv("KG_SEGMENT_OOV_HMM", "1")
+
+    # derived parameters: char-level (the 'beat' baseline)
+    monkeypatch.setattr(tok, "_SEG_DICT_CACHE", {})
+    assert texts("小红书", "zh") == ["小", "红", "书"]
+
+    (tmp_path / "zh_hmm.tsv").write_text(
+        "# corpus-trained BMES table (fixture)\n"
+        "emit B 小 -1.0\n"
+        "emit M 红 -1.0\n"
+        "emit E 书 -1.0\n"
+        "emit B * -12.0\n"
+        "emit M * -12.0\n"
+        "emit E * -12.0\n"
+        "emit S * -12.0\n"
+        "trans B M -0.2\n"
+        "trans M E -0.2\n",
+        encoding="utf-8",
+    )
+    monkeypatch.setenv("KG_SEGMENT_DICT_DIR", str(tmp_path))
+    monkeypatch.setattr(tok, "_SEG_DICT_CACHE", {})
+    assert texts("小红书", "zh") == ["小红书"]
+    # dictionary words are untouched: the lattice still wins where the
+    # dictionary has coverage; only OOV spans consult the trained table
+    assert texts("我们研究人工智能。", "zh") == ["我们", "研究", "人工智能", "。"]
+
+
+def test_trained_hmm_malformed_lines_ignored(tmp_path, monkeypatch):
+    # junk lines, illegal transitions and unknown states must not crash
+    # the loader or corrupt legal entries
+    import dss_plugin_nlp_analysis_spark.functions.tokenizer as tok
+
+    (tmp_path / "zh_hmm.tsv").write_text(
+        "emit B 网 -1.0\n"
+        "trans E M -0.1\n"        # illegal edge: ignored
+        "trans B M\n"             # too few fields: ignored
+        "emit X 网 -1.0\n"        # unknown state: ignored
+        "bogus line here\n"
+        "start B -0.5\n",
+        encoding="utf-8",
+    )
+    monkeypatch.setenv("KG_SEGMENT_DICT_DIR", str(tmp_path))
+    monkeypatch.setenv("KG_SEGMENT_OOV_HMM", "1")
+    monkeypatch.setattr(tok, "_SEG_DICT_CACHE", {})
+    toks = tokenize("网民热议。", "zh")
+    assert "".join(t.text for t in toks) == "网民热议。"
+    emit, trans, start = tok._load_trained_hmm(str(tmp_path / "zh_hmm.tsv"))
+    assert emit["B"]["网"] == -1.0 and ("E", "M") not in trans
+    assert start["B"] == -0.5
