@@ -45,7 +45,9 @@ from dss_plugin_nlp_analysis_spark.operators.webclean import (
     c4_line_filter,
     line_dedup,
 )
+from dss_plugin_nlp_analysis_spark.operators.pii import redact_pii
 from dss_plugin_nlp_analysis_spark.operators.textstats import (
+    gopher_filter,
     marker_langid,
     quality_features,
     regex_token_count,
@@ -54,6 +56,7 @@ from dss_plugin_nlp_analysis_spark.operators.textstats import (
     token_count,
     unigram_lm_scores,
     winnow_fingerprints,
+    winnow_overlap_pairs,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -773,6 +776,73 @@ def _q_mixed_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a corpus with deterministically planted emails
+    (every 5th doc), IPv4 addresses (every 7th) and phone numbers (every
+    11th) — the literal concat is mirrored verbatim in the oracle, and
+    every pattern lives in the Java-regex ∩ RE2 subset so the redacted
+    text is byte-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" host 10.0."), (F.col("doc_id") % 250).cast("string"),
+                F.lit(".1 up"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call +1 415-555-"),
+                (F.col("doc_id") % 9000 + 1000).cast("string"), F.lit(" ok"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    out = redact_pii(docs.withColumn("text", t), "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"), "clean_text", "n_emails", "n_ipv4", "n_phones"
+    )
+
+
+def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copied-passage candidate pairs via shared winnowing fingerprints
+    (MOSS): the mutated dup corpus (base ∪ 4-word-truncated copies)
+    guarantees each base/copy pair shares nearly every selected hash;
+    min_shared=2, hot fingerprints capped at doc-freq 50 before the
+    quadratic join."""
+    out = winnow_overlap_pairs(
+        _dup_corpus(spark, sf_dir, mutate=True), "id", "t",
+        k=3, window=4, min_shared=2, max_doc_freq=50,
+    )
+    return out.select("id_a", "id_b", "n_shared")
+
+
+def _q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite keep/drop gate: thresholds chosen so the
+    corpus actually splits on every signal (token floor 30, avg token
+    length 3-9, stop-word floor 0.04, repetition caps)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_filter(
+        docs, "doc_id", "text",
+        min_tokens=30, max_tokens=100_000,
+        min_avg_len=3.0, max_avg_len=9.0,
+        min_stopword_ratio=0.04,
+        max_top_unigram_ratio=0.25, max_dup_word_ratio=0.60,
+    ).select(
+        F.col("id").alias("doc_id"), "n_tokens", "avg_token_len",
+        "stopword_ratio", "top_unigram_ratio", "dup_word_ratio", "keep",
+    )
+
+
 def _q_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per doc (integer micro-nat idf ranking)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -788,8 +858,12 @@ def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = winnow_fingerprints(docs, "doc_id", "text", k=3, window=4)
     return out.select(
         F.col("id").alias("doc_id"),
-        F.explode(F.col("fingerprints")).alias("fingerprint"),
-    )
+        # explode_outer + null-drop: a plain explode over the projected
+        # attribute triggers InferFiltersFromGenerate, whose size(...)>0
+        # filter pushes down and re-inlines the whole winnow expression
+        # (textstats.winnow_overlap_pairs has the full story)
+        F.explode_outer(F.col("fingerprints")).alias("fingerprint"),
+    ).where(F.col("fingerprint").isNotNull())
 
 
 def _q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -874,6 +948,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "dup_passages": _q_dup_passages,
         "winnow": _q_winnow,
+        "winnow_pairs": _q_winnow_pairs,
+        "pii_redact": _q_pii_redact,
+        "gopher": _q_gopher,
         "tfidf_top": _q_tfidf_top,
         "mixed_lang": _q_mixed_lang,
         "tag_match_ignorecase": _q_tag_match_ignorecase,
@@ -896,6 +973,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # NULL-safe like dedup.normalized_text (NULL text -> ''), so every
 # _NORM-paired query stays aligned with the Spark side even on NULL rows
 _NORM = r"trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))"
+
+# PII patterns shared with operators/pii.py — the ONE definition, inserted
+# into the oracle SQL verbatim (Java-regex ∩ RE2 subset by construction)
+from dss_plugin_nlp_analysis_spark.operators.pii import (  # noqa: E402
+    EMAIL_PATTERN as _PII_EMAIL,
+    IPV4_PATTERN as _PII_IPV4,
+    PHONE_PATTERN as _PII_PHONE,
+)
 
 _CORPUS_EXACT = f"""
     corpus AS (
@@ -1224,6 +1309,133 @@ def oracle_sql() -> dict[str, str]:
               FROM h GROUP BY doc_id HAVING count(*) < 4
             )
             SELECT doc_id, fingerprint FROM fp
+        """,
+        "winnow_pairs": f"""
+            -- winnow fingerprints over the mutated dup corpus (t already
+            -- normalized in _CORPUS_MUT), doc-freq cap 50, then the
+            -- shared-count self-join (id_a < id_b, >= 2 shared)
+            WITH {_CORPUS_MUT},
+            w AS (
+              SELECT id, string_split(t, ' ') AS toks,
+                     len(string_split(t, ' ')) AS n
+              FROM corpus WHERE t != ''
+            ),
+            g AS (
+              SELECT id, i,
+                     array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+              FROM w, unnest(range(1, n - 1)) AS u(i)
+              WHERE n >= 3
+            ),
+            h AS (
+              SELECT id, i,
+                     ('0x' || substr(md5(gram), 1, 15))::BIGINT AS hv,
+                     count(*) OVER (PARTITION BY id) AS ng
+              FROM g
+            ),
+            sel AS (
+              SELECT id, i, ng,
+                     min(hv) OVER (
+                       PARTITION BY id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+                     ) AS mn
+              FROM h
+            ),
+            fp AS (
+              SELECT DISTINCT id, mn AS fingerprint
+              FROM sel WHERE i <= ng - 3 AND ng >= 4
+              UNION
+              SELECT id, min(hv) AS fingerprint
+              FROM h GROUP BY id HAVING count(*) < 4
+            ),
+            freq AS (SELECT fingerprint, count(*) AS f FROM fp GROUP BY 1),
+            kept AS (
+              SELECT fp.id, fp.fingerprint
+              FROM fp JOIN freq USING (fingerprint) WHERE f <= 50
+            )
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+            FROM kept a JOIN kept b
+              ON a.fingerprint = b.fingerprint AND a.id < b.id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "pii_redact": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     coalesce(text, '')
+                     || CASE WHEN doc_id % 5 = 0
+                        THEN ' contact user' || doc_id || '@example.com now'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                        THEN ' host 10.0.' || (doc_id % 250) || '.1 up'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                        THEN ' call +1 415-555-' || (doc_id % 9000 + 1000) || ' ok'
+                        ELSE '' END AS t
+              FROM documents
+            ),
+            e AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+                     regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+              FROM m
+            ),
+            i AS (
+              SELECT doc_id, n_emails,
+                     len(regexp_extract_all(t1, '{_PII_IPV4}')) AS n_ipv4,
+                     regexp_replace(t1, '{_PII_IPV4}', '<IP>', 'g') AS t2
+              FROM e
+            ),
+            p AS (
+              SELECT doc_id, n_emails, n_ipv4,
+                     len(regexp_extract_all(t2, '{_PII_PHONE}')) AS n_phones,
+                     regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') AS t3
+              FROM i
+            )
+            SELECT doc_id, t3 AS clean_text,
+                   n_emails::INT AS n_emails, n_ipv4::INT AS n_ipv4,
+                   n_phones::INT AS n_phones
+            FROM p
+        """,
+        "gopher": f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+            w AS (
+              SELECT doc_id,
+                     CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS toks
+              FROM n
+            ),
+            uni AS (
+              SELECT doc_id, max(c) AS topu FROM (
+                SELECT doc_id, wd, count(*) AS c
+                FROM (SELECT doc_id, unnest(toks) AS wd FROM w)
+                GROUP BY 1, 2
+              ) GROUP BY 1
+            ),
+            f AS (
+              SELECT w.doc_id, len(toks) AS nt,
+                     length(array_to_string(toks, '')) AS charsum,
+                     len(list_filter(toks, x -> x IN
+                         ('the','a','an','of','and','to','in','is','it','that'))) AS nstop,
+                     len(list_distinct(toks)) AS ndistinct,
+                     coalesce(uni.topu, 0) AS topu
+              FROM w LEFT JOIN uni USING (doc_id)
+            ),
+            r AS (
+              SELECT doc_id, nt,
+                     CASE WHEN nt > 0 THEN charsum::DOUBLE / nt ELSE 0.0 END AS avg_len,
+                     CASE WHEN nt > 0 THEN nstop::DOUBLE / nt ELSE 0.0 END AS stop_r,
+                     CASE WHEN nt > 0 THEN topu::DOUBLE / nt ELSE 0.0 END AS topu_r,
+                     CASE WHEN nt > 0 THEN 1.0 - ndistinct::DOUBLE / nt ELSE 0.0 END AS dup_r
+              FROM f
+            )
+            SELECT doc_id, nt::INT AS n_tokens,
+                   round(avg_len, 6) AS avg_token_len,
+                   round(stop_r, 6) AS stopword_ratio,
+                   round(topu_r, 6) AS top_unigram_ratio,
+                   round(dup_r, 6) AS dup_word_ratio,
+                   (nt >= 30 AND nt <= 100000
+                    AND avg_len >= 3.0 AND avg_len <= 9.0
+                    AND stop_r >= 0.04
+                    AND topu_r <= 0.25 AND dup_r <= 0.60)::INT AS keep
+            FROM r
         """,
         "dup_passages": f"""
             -- 3-token non-overlapping chunks repeated >= 2x corpus-wide

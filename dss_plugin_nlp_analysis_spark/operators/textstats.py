@@ -21,10 +21,12 @@ __all__ = [
     "regex_token_count",
     "quality_features",
     "repetition_features",
+    "gopher_filter",
     "tfidf_top_terms",
     "unigram_cost_table",
     "unigram_lm_scores",
     "winnow_fingerprints",
+    "winnow_overlap_pairs",
     "marker_langid",
     "mixed_language_profile",
     "remove_stopwords",
@@ -148,6 +150,66 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(top_uni, 6).alias("top_unigram_ratio"),
         F.round(dup_ratio, 6).alias("dup_word_ratio"),
         F.round(top_bi, 6).alias("top_bigram_ratio"),
+    )
+
+
+def gopher_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_avg_len: float = 3.0,
+    max_avg_len: float = 10.0,
+    min_stopword_ratio: float = 0.06,
+    max_top_unigram_ratio: float = 0.20,
+    max_dup_word_ratio: float = 0.30,
+) -> DataFrame:
+    """Gopher-style composite quality gate (Rae et al. 2021, public):
+    keep a document iff token count, mean token length, stop-word ratio
+    and repetition signals are all inside their thresholds — the standard
+    crawl pre-training cut, with the thresholds exposed as parameters
+    (defaults follow the published rules where they transfer to
+    whitespace tokens).
+
+    All signals are computed in ONE projection (the same frozen formulas
+    as ``quality_features`` / ``repetition_features``) — no join between
+    feature tables, so the filter stays a pure per-row map with zero
+    shuffle at any corpus size.
+
+    Output: (id, n_tokens, avg_token_len, stopword_ratio,
+    top_unigram_ratio, dup_word_ratio, keep int)."""
+    t = F.col(text_col)
+    norm = normalized_text(t)
+    toks = F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    avg_len = F.when(n > 0, F.length(F.array_join(toks, "")) / n).otherwise(0.0)
+    stop_ratio = F.when(n > 0, n_stop / n).otherwise(0.0)
+    top_uni = F.when(n > 0, _max_multiplicity(F.array_sort(toks)) / n).otherwise(0.0)
+    dup_ratio = F.when(
+        n > 0, F.lit(1.0) - F.size(F.array_distinct(toks)) / n
+    ).otherwise(0.0)
+    keep = (
+        (n >= min_tokens)
+        & (n <= max_tokens)
+        & (avg_len >= min_avg_len)
+        & (avg_len <= max_avg_len)
+        & (stop_ratio >= min_stopword_ratio)
+        & (top_uni <= max_top_unigram_ratio)
+        & (dup_ratio <= max_dup_word_ratio)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_tokens"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(top_uni, 6).alias("top_unigram_ratio"),
+        F.round(dup_ratio, 6).alias("dup_word_ratio"),
+        keep.cast("int").alias("keep"),
     )
 
 
@@ -415,6 +477,56 @@ def winnow_fingerprints(
         "id",
         fps.alias("fingerprints"),
         F.size(fps).alias("n_fingerprints"),
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int = 100,
+    engine: str = "expr",
+) -> DataFrame:
+    """Local-overlap candidate pairs from winnowing fingerprints — the
+    MOSS use case: documents sharing ≥ ``min_shared`` selected hashes
+    share at least that many token runs of length ≥ window + k − 1
+    (copied passages), the position-robust complement of MinHash's
+    whole-document similarity.
+
+    Plan: fingerprints (pure map) → explode to (id, fp) → drop
+    fingerprints appearing in more than ``max_doc_freq`` documents (the
+    boilerplate guard — identical role to ngram_jaccard's posting-list
+    cap: a fingerprint shared by f docs contributes f²/2 pairs, so hot
+    fps are excluded BEFORE the quadratic step) → self-equi-join on fp →
+    per-pair shared-count aggregate. Both shuffles are equi-key
+    (fingerprint, then pair) and map-side combinable.
+
+    Output: (id_a, id_b, n_shared) with id_a < id_b, n_shared ≥
+    ``min_shared``."""
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window, engine=engine)
+    # explode_OUTER, not explode: for a plain explode over a projected
+    # attribute, InferFiltersFromGenerate adds `size(col) > 0` and
+    # predicate pushdown then substitutes the alias — re-inlining the
+    # whole winnow expression into a Filter evaluated per input row
+    # (measured 40× slower on the gated corpus). explode_outer infers
+    # nothing; the null row an empty fingerprint set produces is dropped
+    # ABOVE the Generate, where `fp` is just an attribute.
+    posting = fps.select("id", F.explode_outer("fingerprints").alias("fp")).where(
+        F.col("fp").isNotNull()
+    )
+    freq = posting.groupBy("fp").agg(F.count("*").alias("_f"))
+    kept = posting.join(
+        freq.where(F.col("_f") <= max_doc_freq).select("fp"), "fp"
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )
 
 
