@@ -168,10 +168,16 @@ def lsh_ann_topk(
 
     ``dim`` (the embedding width, known from the table's contract) is
     required — see ``hyperplane_buckets``."""
+    # explode_OUTER everywhere a bucket ARRAY attribute is exploded: plain
+    # explode triggers InferFiltersFromGenerate, whose size(bucket)>0
+    # filter pushes below the projection and re-evaluates the whole
+    # hyperplane aggregate a second time per row; bucket arrays are
+    # constant-size (one entry per table), so outer semantics are
+    # identical and the inferred filter never existed to begin with.
     c = hyperplane_buckets(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
         "_cv", num_planes, seed, dim, tables=tables,
-    ).withColumn("bucket", F.explode("bucket"))
+    ).withColumn("bucket", F.explode_outer("bucket"))
     q = hyperplane_buckets(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
         "_qv", num_planes, seed, dim, tables=tables,
@@ -356,9 +362,9 @@ def cosine_dup_pairs(
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     if use_lsh:
         ab = hyperplane_buckets(a, "_va", num_planes, seed, dim, tables=tables) \
-            .withColumn("bucket", F.explode("bucket"))
+            .withColumn("bucket", F.explode_outer("bucket"))
         bb = hyperplane_buckets(b, "_vb", num_planes, seed, dim, tables=tables) \
-            .withColumn("bucket", F.explode("bucket"))
+            .withColumn("bucket", F.explode_outer("bucket"))
         cand = (
             ab.join(bb, "bucket")
             .where(F.col("id_a") < F.col("id_b"))
