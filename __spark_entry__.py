@@ -776,6 +776,73 @@ def _q_mixed_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over deterministically synthesized crawl
+    urls (mixed-case scheme/host, utm params in every position, fragments,
+    trailing slashes, a NULL every 97th row) — the literal construction
+    is mirrored in the oracle; every regex is Java∩RE2."""
+    from dss_plugin_nlp_analysis_spark.operators.url import url_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = F.concat(
+        F.lit("HTTPS://WWW.Example"), (d % 50).cast("string"),
+        F.lit(".COM/Path/"), d.cast("string"),
+    )
+    tail = (
+        F.when(d % 3 == 0, F.concat(F.lit("?utm_source=x&ref="), d.cast("string")))
+        .when(d % 3 == 1, F.lit("/?a=1&utm_campaign=y#frag"))
+        .otherwise(F.lit("#sec"))
+    )
+    url = F.when(d % 97 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(base, tail)
+    )
+    out = url_table(docs.withColumn("url", url), "doc_id", "url")
+    return out.select(
+        F.col("id").alias("doc_id"), "url_norm", "host", "domain"
+    )
+
+
+def _q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line removal: the separator-derived
+    multi-line docs with every page's body doubled (template repeat),
+    so kept = each distinct line at its first position."""
+    from dss_plugin_nlp_analysis_spark.operators.webclean import (
+        dedup_lines_in_doc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.trim(F.coalesce(F.col("text"), F.lit("")))
+    for sep in _LINE_SEPARATORS:
+        t = F.replace(t, F.lit(sep), F.lit("\n"))
+    t = F.concat(t, F.lit("\n"), t)
+    out = dedup_lines_in_doc(docs.withColumn("text", t), "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"), "clean_text", "n_lines", "n_kept"
+    )
+
+
+def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writing-system profile over a corpus with planted CJK / Cyrillic /
+    Arabic suffixes (every 4th doc each) — dominant-script routing."""
+    from dss_plugin_nlp_analysis_spark.operators.textstats import script_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(d % 4 == 1, F.lit(" 中文内容页面测试文本"))
+        .when(d % 4 == 2, F.lit(" русский текст страницы"))
+        .when(d % 4 == 3, F.lit(" نص عربي ١٢٣"))
+        .otherwise(F.lit("")),
+    )
+    out = script_profile(docs.withColumn("text", t), "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"), "n_arabic", "n_cjk", "n_cyrillic",
+        "n_digit", "n_latin", "dominant_script", "dominant_share",
+    )
+
+
 def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over a corpus with deterministically planted emails
     (every 5th doc), IPv4 addresses (every 7th) and phone numbers (every
@@ -951,6 +1018,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": _q_winnow_pairs,
         "pii_redact": _q_pii_redact,
         "gopher": _q_gopher,
+        "url_norm": _q_url_norm,
+        "doc_line_dedup": _q_doc_line_dedup,
+        "script_profile": _q_script_profile,
         "tfidf_top": _q_tfidf_top,
         "mixed_lang": _q_mixed_lang,
         "tag_match_ignorecase": _q_tag_match_ignorecase,
@@ -980,6 +1050,15 @@ from dss_plugin_nlp_analysis_spark.operators.pii import (  # noqa: E402
     EMAIL_PATTERN as _PII_EMAIL,
     IPV4_PATTERN as _PII_IPV4,
     PHONE_PATTERN as _PII_PHONE,
+)
+from dss_plugin_nlp_analysis_spark.operators.url import (  # noqa: E402
+    _FRAGMENT as _URL_FRAG,
+    _SCHEME_HOST as _URL_PREFIX,
+    _UTM_END as _URL_UTM_END,
+    _UTM_MID as _URL_UTM_MID,
+)
+from dss_plugin_nlp_analysis_spark.operators.textstats import (  # noqa: E402
+    SCRIPT_RANGES as _SCRIPTS,
 )
 
 _CORPUS_EXACT = f"""
@@ -1356,6 +1435,113 @@ def oracle_sql() -> dict[str, str]:
             FROM kept a JOIN kept b
               ON a.fingerprint = b.fingerprint AND a.id < b.id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "url_norm": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 97 = 0 THEN NULL
+                          ELSE 'HTTPS://WWW.Example' || (doc_id % 50)
+                               || '.COM/Path/' || doc_id
+                               || CASE WHEN doc_id % 3 = 0
+                                       THEN '?utm_source=x&ref=' || doc_id
+                                       WHEN doc_id % 3 = 1
+                                       THEN '/?a=1&utm_campaign=y#frag'
+                                       ELSE '#sec' END
+                     END AS url
+              FROM documents
+            ),
+            s1 AS (SELECT doc_id,
+                          regexp_replace(coalesce(url, ''), '{_URL_FRAG}', '', 'g') AS u
+                   FROM m),
+            s2 AS (SELECT doc_id,
+                          regexp_replace(u, '{_URL_UTM_MID}', '', 'g') AS u FROM s1),
+            s3 AS (SELECT doc_id,
+                          regexp_replace(u, '{_URL_UTM_END}', '', 'g') AS u FROM s2),
+            s4 AS (SELECT doc_id,
+                          lower(regexp_extract(u, '{_URL_PREFIX}'))
+                          || substr(u, length(regexp_extract(u, '{_URL_PREFIX}')) + 1)
+                            AS u
+                   FROM s3),
+            s5 AS (SELECT doc_id, regexp_replace(u, '/$', '') AS url_norm FROM s4),
+            h AS (SELECT doc_id, url_norm,
+                         regexp_extract(url_norm,
+                           '^[a-z][a-z0-9+.-]*://([^/:?#@]*@)?([^/:?#]+)', 2) AS host
+                  FROM s5)
+            SELECT doc_id, url_norm, host,
+                   regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+            FROM h
+        """,
+        "doc_line_dedup": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     replace(replace(replace(replace(trim(coalesce(text, '')),
+                       ' table ', chr(10)), ' value ', chr(10)),
+                       ' a ', chr(10)), ' the ', chr(10)) AS t
+              FROM documents
+            ),
+            d AS (SELECT doc_id, t || chr(10) || t AS t2 FROM m),
+            arrs AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split(t2, chr(10)), x -> trim(x)),
+                                 x -> x != '') AS ls
+              FROM d
+            ),
+            k AS (
+              SELECT doc_id, ls,
+                     list_filter(ls, (x, i) -> NOT list_contains(ls[1:i-1], x)) AS kept
+              FROM arrs
+            )
+            SELECT doc_id,
+                   coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+                   len(ls)::INT AS n_lines, len(kept)::INT AS n_kept
+            FROM k
+        """,
+        "script_profile": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     coalesce(text, '')
+                     || CASE WHEN doc_id % 4 = 1 THEN ' 中文内容页面测试文本'
+                             WHEN doc_id % 4 = 2 THEN ' русский текст страницы'
+                             WHEN doc_id % 4 = 3 THEN ' نص عربي ١٢٣'
+                             ELSE '' END AS t
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t, '{_SCRIPTS['arabic']}')) AS na,
+                     len(regexp_extract_all(t, '{_SCRIPTS['cjk']}')) AS nj,
+                     len(regexp_extract_all(t, '{_SCRIPTS['cyrillic']}')) AS ny,
+                     len(regexp_extract_all(t, '{_SCRIPTS['digit']}')) AS nd,
+                     len(regexp_extract_all(t, '{_SCRIPTS['latin']}')) AS nl
+              FROM m
+            ),
+            -- strict-> fold in sorted name order (arabic, cjk, cyrillic,
+            -- digit, latin): ties keep the earlier (smaller) name —
+            -- the exact replication of script_profile's when-chain
+            -- (distinct alias names per step: DuckDB lateral aliases
+            -- would otherwise bind to the NEW column)
+            f1 AS (SELECT doc_id, na, nj, ny, nd, nl,
+                          na AS b1, 'arabic' AS s1 FROM c),
+            f2 AS (SELECT doc_id, na, nj, ny, nd, nl,
+                          CASE WHEN nj > b1 THEN nj ELSE b1 END AS b2,
+                          CASE WHEN nj > b1 THEN 'cjk' ELSE s1 END AS s2 FROM f1),
+            f3 AS (SELECT doc_id, na, nj, ny, nd, nl,
+                          CASE WHEN ny > b2 THEN ny ELSE b2 END AS b3,
+                          CASE WHEN ny > b2 THEN 'cyrillic' ELSE s2 END AS s3 FROM f2),
+            f4 AS (SELECT doc_id, na, nj, ny, nd, nl,
+                          CASE WHEN nd > b3 THEN nd ELSE b3 END AS b4,
+                          CASE WHEN nd > b3 THEN 'digit' ELSE s3 END AS s4 FROM f3),
+            f5 AS (SELECT doc_id, na, nj, ny, nd, nl,
+                          CASE WHEN nl > b4 THEN nl ELSE b4 END AS b5,
+                          CASE WHEN nl > b4 THEN 'latin' ELSE s4 END AS s5 FROM f4)
+            SELECT doc_id,
+                   na::INT AS n_arabic, nj::INT AS n_cjk, ny::INT AS n_cyrillic,
+                   nd::INT AS n_digit, nl::INT AS n_latin,
+                   CASE WHEN b5 > 0 THEN s5 ELSE 'none' END AS dominant_script,
+                   round(CASE WHEN (na + nj + ny + nd + nl) > 0
+                              THEN b5::DOUBLE / (na + nj + ny + nd + nl)
+                              ELSE 0.0 END, 6) AS dominant_share
+            FROM f5
         """,
         "pii_redact": f"""
             WITH m AS (

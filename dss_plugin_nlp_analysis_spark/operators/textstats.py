@@ -29,6 +29,8 @@ __all__ = [
     "winnow_overlap_pairs",
     "marker_langid",
     "mixed_language_profile",
+    "script_profile",
+    "SCRIPT_RANGES",
     "remove_stopwords",
     "EN_STOPWORDS",
 ]
@@ -570,6 +572,50 @@ def marker_langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("id"),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("xx")).alias("pred_lang"),
         best["hits"].alias("marker_hits"),
+    )
+
+
+# writing-system character classes (BMP core blocks; Java-regex ∩ RE2
+# syntax — \x{...} ranges work identically in both engines, so the
+# DuckDB oracle counts the same characters)
+SCRIPT_RANGES = {
+    "latin": r"[A-Za-z\x{00C0}-\x{024F}]",
+    "cjk": r"[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]",
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "arabic": r"[\x{0600}-\x{06FF}]",
+    "digit": r"[0-9]",
+}
+
+
+def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document writing-system profile: character counts per script
+    class (SCRIPT_RANGES), the dominant script (most characters; ties
+    resolve to the lexicographically smaller name; 'none' when no class
+    matches), and the dominant script's share of counted characters.
+
+    The routing signal for script-dependent stages (which segmenter to
+    use, which lemma tables apply) that is cheaper and more robust than
+    full language-ID — a page's script is unambiguous even when its
+    language is mixed. Five regexp_count expressions in one projection:
+    pure map, zero shuffle at any corpus size."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        name: F.regexp_count(t, F.lit(pat)) for name, pat in SCRIPT_RANGES.items()
+    }
+    best = None
+    for name in sorted(counts):
+        cand = F.struct(counts[name].alias("n"), F.lit(name).alias("script"))
+        best = cand if best is None else F.when(cand["n"] > best["n"], cand).otherwise(best)
+    total = sum(counts.values(), F.lit(0))
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[counts[name].cast("int").alias(f"n_{name}") for name in sorted(counts)],
+        F.when(best["n"] > 0, best["script"]).otherwise(F.lit("none")).alias(
+            "dominant_script"
+        ),
+        F.round(
+            F.when(total > 0, best["n"] / total).otherwise(F.lit(0.0)), 6
+        ).alias("dominant_share"),
     )
 
 

@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["c4_line_filter", "line_dedup", "TERMINAL_PUNCT"]
+__all__ = [
+    "c4_line_filter",
+    "line_dedup",
+    "dedup_lines_in_doc",
+    "TERMINAL_PUNCT",
+]
 
 TERMINAL_PUNCT = (".", "!", "?", '"')
 
@@ -94,6 +99,33 @@ def c4_line_filter(
         F.size(kept).alias("n_kept"),
         n_sent.alias("n_sentences"),
         page_kept.alias("page_kept"),
+    )
+
+
+def dedup_lines_in_doc(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """WITHIN-document repeated-line removal (RefinedWeb-style template
+    cleanup: nav bars and footers repeat inside one page): keep each
+    distinct trimmed line at its first position, preserving order.
+    Returns (id, clean_text, n_lines, n_kept).
+
+    Pure per-row map — the intra-doc complement of the corpus-global
+    ``line_dedup`` (no shuffle; run this first so the global pass sees
+    each page's line set once). The keep-first filter is an index lambda
+    over a PROJECTED line-array column (O(lines²) per row — bounded by
+    page size, and the array must be a bound reference: a lambda over
+    the `_lines(...)` subtree would re-split the document per line)."""
+    lines_df = df.select(
+        F.col(id_col).alias("id"), _lines(F.col(text_col)).alias("_ls")
+    )
+    ls = F.col("_ls")
+    kept = F.filter(
+        ls, lambda x, i: ~F.array_contains(F.slice(ls, 1, i), x)
+    )
+    return lines_df.select(
+        "id",
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(ls).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
     )
 
 

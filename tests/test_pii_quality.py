@@ -115,3 +115,79 @@ def test_gopher_filter_semantics_and_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # one projection, no feature-table join
+
+
+def test_normalize_url_contract(spark):
+    from dss_plugin_nlp_analysis_spark.operators.url import url_table
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM/Path/To?utm_source=x&ref=7#frag"),
+        (2, "http://Sub.Site.org/dir/"),
+        (3, "https://a.b.co/?utm_campaign=y"),
+        (4, "https://x.io/p?a=1&utm_medium=m&b=2"),
+        (5, "https://User@Host.Example.net:8080/P"),
+        (6, None),
+        (7, "relative/no/scheme"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["id"]: r for r in url_table(df, "doc_id", "url").collect()}
+    # case: scheme+host lowered, path case preserved; utm gone, ref kept
+    assert out[1]["url_norm"] == "https://www.example.com/Path/To?ref=7"
+    assert out[1]["host"] == "www.example.com"
+    assert out[1]["domain"] == "example.com"
+    assert out[2]["url_norm"] == "http://sub.site.org/dir"  # trailing / stripped
+    assert out[2]["domain"] == "site.org"
+    assert out[3]["url_norm"] == "https://a.b.co"  # '?utm...' fully gone, then '/'
+    assert out[4]["url_norm"] == "https://x.io/p?a=1&b=2"
+    assert out[5]["host"] == "host.example.net"  # userinfo+port excluded
+    assert out[6]["url_norm"] == "" and out[6]["domain"] == ""
+    assert out[7]["url_norm"] == "relative/no/scheme"  # untouched but lower-noop
+
+
+def test_dedup_lines_in_doc(spark):
+    from dss_plugin_nlp_analysis_spark.operators.webclean import (
+        dedup_lines_in_doc,
+    )
+
+    rows = [
+        (1, "nav bar\nreal content one\nnav bar\nreal content two\nnav bar"),
+        (2, "only once"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in dedup_lines_in_doc(df, "doc_id", "text").collect()}
+    assert out[1]["clean_text"] == "nav bar\nreal content one\nreal content two"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (5, 3)
+    assert out[2]["clean_text"] == "only once"
+    for i in (3, 4):
+        assert out[i]["clean_text"] == "" and out[i]["n_lines"] == 0
+
+    plan = (
+        dedup_lines_in_doc(df, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure per-row map
+
+
+def test_script_profile(spark):
+    from dss_plugin_nlp_analysis_spark.operators.textstats import script_profile
+
+    rows = [
+        (1, "hello world café"),          # latin incl. accents
+        (2, "中文内容 mixed latin"),        # cjk + latin
+        (3, "русский текст полностью"),
+        (4, "١٢٣ نص"),                    # arabic incl. arabic-indic digits
+        (5, "12345 678"),                 # ascii digits only
+        (6, "!!! ---"),                   # nothing counted
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in script_profile(df, "doc_id", "text").collect()}
+    assert out[1]["dominant_script"] == "latin" and out[1]["n_latin"] == 14
+    assert out[2]["n_cjk"] == 4 and out[2]["dominant_script"] == "latin"
+    assert out[3]["dominant_script"] == "cyrillic"
+    assert out[4]["dominant_script"] == "arabic" and out[4]["n_arabic"] == 5
+    assert out[5]["dominant_script"] == "digit" and out[5]["n_digit"] == 8
+    assert out[6]["dominant_script"] == "none" and out[6]["dominant_share"] == 0.0
+    assert out[7]["dominant_script"] == "none"
