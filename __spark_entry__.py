@@ -843,6 +843,30 @@ def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot dedup: urls synthesized as doc_id % 200 (≈
+    corpus/200 fetches per url), fetch time = minute-of-day derived from
+    doc_id; keep the newest (ts, id) per url."""
+    from dss_plugin_nlp_analysis_spark.operators.dedup import latest_by_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(
+            F.lit("https://example"), (F.col("doc_id") % 200).cast("string"),
+            F.lit(".com/page"),
+        ).alias("url"),
+        (F.col("doc_id") * 53 % 1440 * 60).alias("sec"),
+    )
+    out = latest_by_key(rows, "url", "sec", "id")
+    return out.select(
+        F.col("key").alias("url"),
+        F.col("id").alias("doc_id"),
+        F.col("ts").alias("fetch_sec"),
+        "n_snapshots",
+    )
+
+
 def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over a corpus with deterministically planted emails
     (every 5th doc), IPv4 addresses (every 7th) and phone numbers (every
@@ -1021,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_norm": _q_url_norm,
         "doc_line_dedup": _q_doc_line_dedup,
         "script_profile": _q_script_profile,
+        "latest_snapshot": _q_latest_snapshot,
         "tfidf_top": _q_tfidf_top,
         "mixed_lang": _q_mixed_lang,
         "tag_match_ignorecase": _q_tag_match_ignorecase,
@@ -1435,6 +1460,26 @@ def oracle_sql() -> dict[str, str]:
             FROM kept a JOIN kept b
               ON a.fingerprint = b.fingerprint AND a.id < b.id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "latest_snapshot": f"""
+            -- newest (sec, id) per url: two-level max = the pure-ANSI
+            -- replication of Spark's max(struct(ts, id))
+            WITH rows AS (
+              SELECT doc_id AS id,
+                     'https://example' || (doc_id % 200) || '.com/page' AS url,
+                     (doc_id * 53 % 1440) * 60 AS sec
+              FROM documents
+            ),
+            m1 AS (SELECT url, max(sec) AS msec, count(*) AS n_snapshots
+                   FROM rows GROUP BY 1),
+            m2 AS (
+              SELECT r.url, max(r.id) AS mid
+              FROM rows r JOIN m1 ON r.url = m1.url AND r.sec = m1.msec
+              GROUP BY 1
+            )
+            SELECT m1.url, m2.mid AS doc_id, m1.msec AS fetch_sec,
+                   m1.n_snapshots
+            FROM m1 JOIN m2 ON m1.url = m2.url
         """,
         "url_norm": f"""
             WITH m AS (

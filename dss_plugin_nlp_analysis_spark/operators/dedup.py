@@ -24,6 +24,7 @@ __all__ = [
     "exploded_shingles",
     "fingerprint",
     "exact_dedup",
+    "latest_by_key",
     "ttl_first_seen",
     "shingles",
     "minhash_signature",
@@ -190,6 +191,36 @@ def minhash_candidate_pairs(
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+def latest_by_key(
+    df: DataFrame, key_col: str, ts_col: str, id_col: str
+) -> DataFrame:
+    """Newest row per key — crawl-snapshot dedup: a Common-Crawl-style
+    table holds one row per (url, warc_ts) fetch, and most pipelines
+    want only the latest fetch of each url before any content work.
+
+    Winner = maximum ``(ts, id)`` (lexicographic struct max, so ties on
+    the timestamp resolve deterministically to the larger id). One
+    map-side-combinable ``groupBy(key).max(struct)`` — no window (an
+    unordered window would buffer a hot url's whole fetch history in one
+    reducer), no join (the struct carries the winner's columns out).
+
+    Output: (key, id, ts, n_snapshots)."""
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.struct(F.col(ts_col).alias("ts"), F.col(id_col).alias("id")).alias("_w"),
+        )
+        .groupBy("key")
+        .agg(F.max("_w").alias("_w"), F.count("*").alias("n_snapshots"))
+        .select(
+            "key",
+            F.col("_w.id").alias("id"),
+            F.col("_w.ts").alias("ts"),
+            "n_snapshots",
+        )
     )
 
 

@@ -191,3 +191,26 @@ def test_script_profile(spark):
     assert out[5]["dominant_script"] == "digit" and out[5]["n_digit"] == 8
     assert out[6]["dominant_script"] == "none" and out[6]["dominant_share"] == 0.0
     assert out[7]["dominant_script"] == "none"
+
+
+def test_latest_by_key(spark):
+    from dss_plugin_nlp_analysis_spark.operators.dedup import latest_by_key
+
+    rows = [
+        (1, "u1", 100), (2, "u1", 300), (3, "u1", 200),
+        (4, "u2", 50),
+        (5, "u3", 70), (6, "u3", 70),   # ts tie -> larger id wins
+    ]
+    df = spark.createDataFrame(rows, "id long, url string, sec long")
+    out = {r["key"]: r for r in latest_by_key(df, "url", "sec", "id").collect()}
+    assert (out["u1"]["id"], out["u1"]["ts"], out["u1"]["n_snapshots"]) == (2, 300, 3)
+    assert out["u2"]["id"] == 4 and out["u2"]["n_snapshots"] == 1
+    assert out["u3"]["id"] == 6  # deterministic tie
+
+    # plan: one map-side-combinable aggregate, no Window, no join
+    plan = (
+        latest_by_key(df, "url", "sec", "id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan and "Join" not in plan
+    assert "partial_max" in plan or "HashAggregate" in plan
