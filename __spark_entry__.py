@@ -1499,7 +1499,8 @@ def oracle_sql() -> dict[str, str]:
                           regexp_replace(coalesce(url, ''), '{_URL_FRAG}', '', 'g') AS u
                    FROM m),
             s2 AS (SELECT doc_id,
-                          regexp_replace(u, '{_URL_UTM_MID}', '', 'g') AS u FROM s1),
+                          -- RE2 replacement syntax: \\1 where Java uses $1
+                          regexp_replace(u, '{_URL_UTM_MID}', '\\1', 'g') AS u FROM s1),
             s3 AS (SELECT doc_id,
                           regexp_replace(u, '{_URL_UTM_END}', '', 'g') AS u FROM s2),
             s4 AS (SELECT doc_id,

@@ -81,7 +81,10 @@ def bench_queries(spark: SparkSession) -> tuple[dict, int]:
     warmups: dict[str, int] = {}
 
     runs = int(os.environ.get("KG_BENCH_TIMED_RUNS", "3"))
-    max_warm = int(os.environ.get("KG_BENCH_MAX_WARM", "6"))
+    # at least one warmup run always happens — otherwise `best` would seed
+    # from the cold measurement and the "steady-state" number could BE the
+    # JIT-inflated cold time
+    max_warm = max(1, int(os.environ.get("KG_BENCH_MAX_WARM", "6")))
     stable_tol = float(os.environ.get("KG_BENCH_STABLE_TOL", "0.20"))
 
     def timed(name, fn):

@@ -60,6 +60,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    keep_checkpoint: bool = False,
 ) -> DataFrame:
     """Return (node, component) for every node appearing in ``edges``;
     component = min node id of the connected component.
@@ -77,12 +78,19 @@ def connected_components(
     loss; superseded round files are deleted as the loop advances, and
     the whole run directory is deleted if the loop raises). The unique
     subdir means concurrent jobs can safely share one ``checkpoint_dir``
-    without clobbering each other's round files. On success the FINAL
-    round's files are kept — the returned DataFrame reads from them;
-    delete the run directory once the result has been consumed or
-    written out. When None, ``localCheckpoint`` is used: fine
-    in-sandbox, NOT durable on a real cluster — set ``checkpoint_dir``
-    for long production runs."""
+    without clobbering each other's round files. By default
+    (``keep_checkpoint=False``) the run directory is ALSO removed on
+    success: the converged labels are handed off through a final
+    ``localCheckpoint`` so nothing on disk backs the returned DataFrame
+    — repeated scheduled runs leave zero accumulated files, and no
+    caller ever needs to know the internal uuid path. Pass
+    ``keep_checkpoint=True`` to keep the final round's parquet under the
+    run directory instead (the returned DataFrame then reads from it —
+    durable across executor loss until the caller deletes the
+    directory; the path is logged via the DataFrame's file scan).
+    When ``checkpoint_dir`` is None, ``localCheckpoint`` is used for
+    every round: fine in-sandbox, NOT durable on a real cluster — set
+    ``checkpoint_dir`` for long production runs."""
     spark = edges.sparkSession
     run_dir = None
     if checkpoint_dir is not None:
@@ -166,4 +174,11 @@ def connected_components(
             "rounds — labels would be wrong; raise max_iter (rounds needed ≈ "
             "max eccentricity from each component's minimum node)"
         )
+    if run_dir is not None and not keep_checkpoint:
+        # hand the converged labels off through an in-cluster cut so the
+        # run directory can be removed NOW — zero files accumulate across
+        # scheduled runs (the durable parquet cuts have already done
+        # their job: protecting the iterations)
+        labels = labels.localCheckpoint()
+        _hadoop_rm(spark, run_dir)
     return labels

@@ -357,14 +357,17 @@ def tfidf_top_terms(
 def _winnow_one(text: str | None, k: int, window: int) -> list[int]:
     """Python mirror of the winnowing expression path: same normalization
     (Java ``\\s`` = ``[ \\t\\n\\x0b\\f\\r]`` — NOT Python's unicode
-    ``\\s``), same md5-first-15-hex gram hash, but an O(n) monotone-deque
-    sliding minimum instead of the expression path's O(n·w) per-window
-    ``array_min`` — the kernel for huge documents."""
+    ``\\s``; ``strip(" ")`` because ``F.trim`` removes ONLY ASCII spaces,
+    while bare ``str.strip()`` would also eat NBSP/U+2028/etc. and
+    diverge on web text full of ``&nbsp;``), same md5-first-15-hex gram
+    hash, but an O(n) monotone-deque sliding minimum instead of the
+    expression path's O(n·w) per-window ``array_min`` — the kernel for
+    huge documents."""
     import hashlib
     import re
     from collections import deque
 
-    norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", (text or "").lower()).strip()
+    norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", (text or "").lower()).strip(" ")
     if not norm:
         return []
     toks = norm.split(" ")
@@ -491,6 +494,7 @@ def winnow_overlap_pairs(
     min_shared: int = 2,
     max_doc_freq: int = 100,
     engine: str = "expr",
+    persist: bool = True,
 ) -> DataFrame:
     """Local-overlap candidate pairs from winnowing fingerprints — the
     MOSS use case: documents sharing ≥ ``min_shared`` selected hashes
@@ -507,7 +511,16 @@ def winnow_overlap_pairs(
     (fingerprint, then pair) and map-side combinable.
 
     Output: (id_a, id_b, n_shared) with id_a < id_b, n_shared ≥
-    ``min_shared``."""
+    ``min_shared``.
+
+    ``persist`` (default True) caches the exploded posting list: it
+    feeds BOTH the doc-frequency aggregate and the join probe side, and
+    the two exchanges are not shape-equal so ReuseExchange cannot
+    deduplicate them — without the cache the expensive per-row winnow
+    map executes twice over the corpus. The cache is evictable
+    (MEMORY_AND_DISK LRU) and sized at one (id, fp) row per selected
+    hash; pass False to keep the plan fully lazy (e.g. when a caller
+    materializes posting itself)."""
     fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window, engine=engine)
     # explode_OUTER, not explode: for a plain explode over a projected
     # attribute, InferFiltersFromGenerate adds `size(col) > 0` and
@@ -519,6 +532,8 @@ def winnow_overlap_pairs(
     posting = fps.select("id", F.explode_outer("fingerprints").alias("fp")).where(
         F.col("fp").isNotNull()
     )
+    if persist:
+        posting = posting.persist()
     freq = posting.groupBy("fp").agg(F.count("*").alias("_f"))
     kept = posting.join(
         freq.where(F.col("_f") <= max_doc_freq).select("fp"), "fp"

@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 __all__ = ["normalize_url", "url_table"]
 
 _FRAGMENT = r"#.*$"
-_UTM_MID = r"utm_[a-z]+=[^&#]*&"
+# anchored to a real [?&] separator (kept via the capture group — '$1' in
+# Java, '\\1' in RE2 — so 'xutm_source=1' style params are NOT corrupted),
+# and matching a whole RUN of adjacent utm params in one pass so
+# '?utm_a=1&utm_b=2&c=3' collapses to '?c=3'
+_UTM_MID = r"([?&])(?:utm_[a-z]+=[^&#]*&)+"
 _UTM_END = r"[?&]utm_[a-z]+=[^&#]*$"
 _SCHEME_HOST = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
 
@@ -39,7 +43,7 @@ def normalize_url(col: Column) -> Column:
     """Canonical url (see module contract). NULL → ''."""
     u = F.coalesce(col, F.lit(""))
     u = F.regexp_replace(u, _FRAGMENT, "")
-    u = F.regexp_replace(u, _UTM_MID, "")
+    u = F.regexp_replace(u, _UTM_MID, "$1")
     u = F.regexp_replace(u, _UTM_END, "")
     prefix = F.regexp_extract(u, _SCHEME_HOST, 0)
     u = F.concat(F.lower(prefix), F.substring(u, F.length(prefix) + 1, 1 << 30))

@@ -214,3 +214,25 @@ def test_latest_by_key(spark):
     )
     assert "Window" not in plan and "Join" not in plan
     assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_normalize_url_utm_anchor_and_runs(spark):
+    # the mid-url utm pattern must be anchored to a real [?&] separator
+    # (a param merely ENDING in 'utm_...' is not tracking) and must
+    # collapse RUNS of adjacent utm params in one pass
+    from dss_plugin_nlp_analysis_spark.operators.url import url_table
+
+    rows = [
+        (1, "https://a.com/?xutm_source=1&b=2"),     # NOT a utm param
+        (2, "https://a.com/?a=1&gutm_term=x&b=2"),   # NOT a utm param
+        (3, "https://a.com/?utm_a=1&utm_b=2&c=3"),   # adjacent run, mid
+        (4, "https://a.com/?a=1&utm_x=1&utm_y=2"),   # run at the end
+        (5, "https://a.com/?utm_a=1&utm_b=2"),       # all params are utm
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["id"]: r["url_norm"] for r in url_table(df, "doc_id", "url").collect()}
+    assert out[1] == "https://a.com/?xutm_source=1&b=2"
+    assert out[2] == "https://a.com/?a=1&gutm_term=x&b=2"
+    assert out[3] == "https://a.com/?c=3"
+    assert out[4] == "https://a.com/?a=1"
+    assert out[5] == "https://a.com"

@@ -44,13 +44,16 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     df = spark.createDataFrame(edges, "src long, dst long")
     ckpt = str(tmp_path / "cc_ckpt")
 
-    labels = connected_components(df, max_iter=30, checkpoint_dir=ckpt)
+    labels = connected_components(
+        df, max_iter=30, checkpoint_dir=ckpt, keep_checkpoint=True
+    )
     got = {r["node"]: r["component"] for r in labels.collect()}
     assert got == _union_find_components(edges)
 
-    # rounds live under a per-invocation cc_run_<uuid> subdir; superseded
-    # round files are deleted as the loop advances: exactly one round
-    # directory (the final one, backing the returned DataFrame) remains
+    # keep_checkpoint=True: rounds live under a per-invocation
+    # cc_run_<uuid> subdir; superseded round files are deleted as the
+    # loop advances: exactly one round directory (the final one, backing
+    # the returned DataFrame) remains
     run_dirs = sorted(d for d in os.listdir(ckpt) if d.startswith("cc_run_"))
     assert len(run_dirs) == 1, run_dirs
     round_dirs = sorted(
@@ -63,6 +66,13 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     # from under the caller) and carries no internal columns
     assert labels.columns == ["node", "component"]
     assert labels.count() == len(got)
+
+    # DEFAULT mode removes the run directory on success too (scheduled
+    # runs must not accumulate files) while the result stays readable
+    labels2 = connected_components(df, max_iter=30, checkpoint_dir=ckpt)
+    assert {r["node"]: r["component"] for r in labels2.collect()} == got
+    run_dirs2 = sorted(d for d in os.listdir(ckpt) if d.startswith("cc_run_"))
+    assert run_dirs2 == run_dirs  # only the keep_checkpoint run remains
 
 
 def test_connected_components_shared_checkpoint_dir_no_clobber(spark, tmp_path):
@@ -77,8 +87,12 @@ def test_connected_components_shared_checkpoint_dir_no_clobber(spark, tmp_path):
     ckpt = str(tmp_path / "cc_shared")
     df_a = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
     df_b = spark.createDataFrame([(7, 8), (8, 9), (20, 21)], "src long, dst long")
-    labels_a = connected_components(df_a, max_iter=10, checkpoint_dir=ckpt)
-    labels_b = connected_components(df_b, max_iter=10, checkpoint_dir=ckpt)
+    labels_a = connected_components(
+        df_a, max_iter=10, checkpoint_dir=ckpt, keep_checkpoint=True
+    )
+    labels_b = connected_components(
+        df_b, max_iter=10, checkpoint_dir=ckpt, keep_checkpoint=True
+    )
     assert {r["node"]: r["component"] for r in labels_a.collect()} == {
         1: 1, 2: 1, 3: 1,
     }

@@ -87,6 +87,10 @@ def test_winnow_kernel_equivalence_and_plan(spark):
         (3, "one two three"),            # exactly k -> 1 gram, < window
         (4, "a a a a a a a a a a"),      # all-tie hashes
         (5, "  spaced\t\tout   tokens here now  "),
+        # unicode whitespace at boundaries: F.trim strips ONLY ascii
+        # spaces, so NBSP/U+2028 must survive normalization identically
+        # in both engines (web text is full of &nbsp;)
+        (6, "  nbsp lead and trail mid line word  "),
     ] + [
         (10 + i, " ".join(random.choices(vocab, k=random.randint(0, 40))))
         for i in range(30)
