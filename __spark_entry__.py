@@ -843,6 +843,42 @@ def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source gate: serialize the documents table into multi-record
+    WARC/1.0 blobs (25 archives, records ordered by doc_id, byte-exact
+    Content-Length framing built natively), parse them back with
+    sources/warc.warc_records (mapInPandas), and return the recovered
+    rows — the oracle is the documents table itself, so any framing or
+    header-parse defect breaks payload equality."""
+    from dss_plugin_nlp_analysis_spark.sources.warc import warc_records
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.coalesce(F.col("text"), F.lit(""))
+    url = F.concat(F.lit("https://example.org/doc/"), F.col("doc_id").cast("string"))
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
+        F.lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit("\r\n\r\n"), payload, F.lit("\r\n\r\n"),
+    )
+    blobs = (
+        docs.select(
+            (F.col("doc_id") % 25).alias("grp"),
+            F.struct(F.col("doc_id").alias("did"), record.alias("rec")).alias("s"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda s: s["rec"]),
+                "",
+            ).alias("blob_str")
+        )
+        .select(F.col("blob_str").cast("binary").alias("blob"))
+    )
+    out = warc_records(blobs, "blob")
+    return out.select("url", "warc_date", "warc_type", "payload", "n_skipped")
+
+
 def _q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-snapshot dedup: urls synthesized as doc_id % 200 (≈
     corpus/200 fetches per url), fetch time = minute-of-day derived from
@@ -1046,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": _q_doc_line_dedup,
         "script_profile": _q_script_profile,
         "latest_snapshot": _q_latest_snapshot,
+        "warc_roundtrip": _q_warc_roundtrip,
         "tfidf_top": _q_tfidf_top,
         "mixed_lang": _q_mixed_lang,
         "tag_match_ignorecase": _q_tag_match_ignorecase,
@@ -1460,6 +1497,16 @@ def oracle_sql() -> dict[str, str]:
             FROM kept a JOIN kept b
               ON a.fingerprint = b.fingerprint AND a.id < b.id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "warc_roundtrip": """
+            -- identity oracle: the WARC blobs are synthesized FROM the
+            -- documents table, so a correct parser returns exactly it
+            SELECT 'https://example.org/doc/' || doc_id AS url,
+                   '2026-01-01T00:00:00Z' AS warc_date,
+                   'response' AS warc_type,
+                   coalesce(text, '') AS payload,
+                   0 AS n_skipped
+            FROM documents
         """,
         "latest_snapshot": f"""
             -- newest (sec, id) per url: two-level max = the pure-ANSI
