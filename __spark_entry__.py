@@ -843,6 +843,32 @@ def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join on the events table: odd events (queries) pick
+    up the newest even event (quotes) at-or-before their timestamp per
+    user. The DuckDB oracle uses the engine's NATIVE ASOF LEFT JOIN — an
+    independent implementation of the same semantics."""
+    from dss_plugin_nlp_analysis_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_id") % 2 == 1)
+    right = ev.where(F.col("event_id") % 2 == 0)
+    out = asof_join(
+        left, right, "user_id", "ts",
+        left_cols=["event_id"], right_cols=["event_id", "value"],
+        seq_col="event_id",
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        # events.ts is TIMESTAMP_NTZ: route through TIMESTAMP (session tz
+        # is pinned UTC) to reach epoch seconds
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+        "event_id",
+        "r_event_id",
+        "r_value",
+    )
+
+
 def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source gate: serialize the documents table into multi-record
     WARC/1.0 blobs (25 archives, records ordered by doc_id, byte-exact
@@ -1083,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": _q_script_profile,
         "latest_snapshot": _q_latest_snapshot,
         "warc_roundtrip": _q_warc_roundtrip,
+        "events_asof": _q_events_asof,
         "tfidf_top": _q_tfidf_top,
         "mixed_lang": _q_mixed_lang,
         "tag_match_ignorecase": _q_tag_match_ignorecase,
@@ -1497,6 +1524,32 @@ def oracle_sql() -> dict[str, str]:
             FROM kept a JOIN kept b
               ON a.fingerprint = b.fingerprint AND a.id < b.id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "events_asof": """
+            -- DuckDB's native ASOF LEFT JOIN as an independent oracle;
+            -- right-side (user_id, ts) ties pre-collapsed to the max
+            -- event_id on both engines so the winner is unique
+            WITH r0 AS (
+              SELECT user_id, ts, event_id, value FROM events
+              WHERE event_id % 2 = 0
+            ),
+            r1 AS (
+              SELECT user_id, ts, max(event_id) AS event_id
+              FROM r0 GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT r0.user_id, r0.ts, r0.event_id, r0.value
+              FROM r1 JOIN r0 USING (user_id, ts, event_id)
+            ),
+            l AS (
+              SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 1
+            )
+            -- floor(epoch): Spark's timestamp->long cast truncates the
+            -- sub-second part; a plain ::BIGINT would ROUND it
+            SELECT l.user_id, floor(epoch(l.ts))::BIGINT AS sec, l.event_id,
+                   r.event_id AS r_event_id, r.value AS r_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "warc_roundtrip": """
             -- identity oracle: the WARC blobs are synthesized FROM the

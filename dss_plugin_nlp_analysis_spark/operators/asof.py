@@ -1,0 +1,90 @@
+"""As-of join: for every left row, the newest right row at-or-before its
+timestamp, per key — the standard point-in-time join (market data,
+feature stores, crawl-snapshot attribution) that Spark's DataFrame API
+lacks as a primitive (the build brief's canonical example of a custom
+operator).
+
+Implemented as a composition of existing operators, not a UDF: tag the
+two sides, UNION them, and per key take a running ``last(right_payload,
+ignorenulls=True)`` over the (ts, side, seq) ordering — one ordered
+window pass instead of a range join (Spark would otherwise plan
+key-equi + ts-inequality as a broadcast nested loop or a full sort-merge
+with per-row scan-back).
+
+Determinism: right rows sharing (key, ts) are pre-collapsed to the one
+with the greatest ``seq`` (``latest_by_key`` shape — max(struct)), so
+the as-of winner is unique; a right row at EXACTLY the left row's ts
+matches (right sorts before left at equal ts via the side bit).
+
+Scale note: the window is ordered per key — a degenerate key buffers its
+history in one reducer's sort (unlike the repo's unordered-window bans,
+an ORDERED window spills to disk rather than OOM, but it still
+serializes one key). At crawl scale pre-partition by (key,
+time-bucket) and run the join within buckets, carrying each bucket's
+last-known right value in from the previous bucket (documented, not
+needed at gate scale)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    seq_col: str,
+) -> DataFrame:
+    """Point-in-time join. Output: one row per left row —
+    (key, ts, <left_cols>, <right_cols as r_*>) where the ``r_*`` columns
+    come from the matched right row (NULL when no right row exists at or
+    before ``ts`` for the key). ``seq_col`` must be a right-side column
+    that breaks (key, ts) ties deterministically (e.g. an event id)."""
+    rd = (
+        right.select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).alias("ts"),
+            F.struct(
+                F.col(seq_col).alias("_seq"),
+                *[F.col(c).alias(c) for c in right_cols],
+            ).alias("_payload"),
+        )
+        .groupBy("key", "ts")
+        .agg(F.max("_payload").alias("_payload"))
+    )
+    l_tagged = left.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c).alias(c) for c in left_cols]).alias("_l"),
+        F.lit(None).cast(rd.schema["_payload"].dataType).alias("_payload"),
+    )
+    r_tagged = rd.select(
+        "key",
+        "ts",
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
+        "_payload",
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("_rv", F.last("_payload", ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+        .select(
+            "key",
+            "ts",
+            *[F.col("_l")[c].alias(c) for c in left_cols],
+            *[F.col("_rv")[c].alias(f"r_{c}") for c in right_cols],
+        )
+    )
