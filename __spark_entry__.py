@@ -869,6 +869,39 @@ def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment: even events become per-user intervals
+    [sec, sec + (event_id%7+1) minutes]; odd events are points; every
+    (point, interval) pair with the point inside counts. The bucketed
+    equi-join must equal DuckDB's plain inequality join."""
+    from dss_plugin_nlp_analysis_spark.operators.asof import range_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+    )
+    points = ev.where(F.col("event_id") % 2 == 1).select(
+        "user_id", "sec", F.col("event_id").alias("p_id")
+    )
+    intervals = ev.where(F.col("event_id") % 2 == 0).select(
+        "user_id",
+        F.col("sec").alias("start_sec"),
+        (F.col("sec") + (F.col("event_id") % 7 + 1) * 60).alias("end_sec"),
+        F.col("event_id").alias("i_id"),
+    )
+    out = range_join(
+        points, intervals, "user_id", "sec", "start_sec", "end_sec",
+        bucket_seconds=120,
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        F.col("point")["p_id"].alias("p_id"),
+        F.col("ts").alias("sec"),
+        F.col("interval")["i_id"].alias("i_id"),
+        "start", "end",
+    )
+
+
 def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source gate: serialize the documents table into multi-record
     WARC/1.0 blobs (25 archives, records ordered by doc_id, byte-exact
@@ -1110,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_snapshot": _q_latest_snapshot,
         "warc_roundtrip": _q_warc_roundtrip,
         "events_asof": _q_events_asof,
+        "events_range_join": _q_events_range_join,
         "tfidf_top": _q_tfidf_top,
         "mixed_lang": _q_mixed_lang,
         "tag_match_ignorecase": _q_tag_match_ignorecase,
@@ -1524,6 +1558,25 @@ def oracle_sql() -> dict[str, str]:
             FROM kept a JOIN kept b
               ON a.fingerprint = b.fingerprint AND a.id < b.id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "events_range_join": """
+            -- plain inequality join as the oracle for the bucketed
+            -- equi-join + containment-filter plan
+            WITH ev AS (
+              SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS sec
+              FROM events
+            ),
+            p AS (SELECT user_id, sec, event_id AS p_id FROM ev
+                  WHERE event_id % 2 = 1),
+            i AS (SELECT user_id, sec AS start_sec,
+                         sec + (event_id % 7 + 1) * 60 AS end_sec,
+                         event_id AS i_id
+                  FROM ev WHERE event_id % 2 = 0)
+            SELECT p.user_id, p.p_id, p.sec, i.i_id,
+                   i.start_sec AS start, i.end_sec AS "end"
+            FROM p JOIN i
+              ON p.user_id = i.user_id
+             AND i.start_sec <= p.sec AND p.sec <= i.end_sec
         """,
         "events_asof": """
             -- DuckDB's native ASOF LEFT JOIN as an independent oracle;

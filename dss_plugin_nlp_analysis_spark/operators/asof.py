@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join"]
 
 
 def asof_join(
@@ -87,4 +87,57 @@ def asof_join(
             *[F.col("_l")[c].alias(c) for c in left_cols],
             *[F.col("_rv")[c].alias(f"r_{c}") for c in right_cols],
         )
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_col: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 300,
+) -> DataFrame:
+    """Interval containment join: every (point, interval) pair with the
+    same key and ``start ≤ ts ≤ end`` — the brief's second canonical
+    Spark-missing primitive (a naive theta join plans as a per-key nested
+    loop).
+
+    Bucketing strategy: each interval explodes to the time buckets it
+    covers (``sequence(floor(start/b), floor(end/b))``); each point maps
+    to its single bucket; the join becomes an EQUI-join on (key, bucket)
+    plus an exact containment filter. A point's bucket appears at most
+    once per covering interval, so no pair-dedup is needed. Cost scales
+    with interval length / ``bucket_seconds`` rows per interval — set the
+    bucket near the typical interval length (the standard trade: larger
+    buckets = fewer interval copies but more false candidates for the
+    filter).
+
+    Timestamps are non-negative integer epoch seconds on both sides
+    (cast upstream) so the bucket arithmetic is engine-exact. Output:
+    (key, ts, start, end, point struct<all point columns>, interval
+    struct<all interval columns>) — one row per matching pair."""
+    b = F.lit(int(bucket_seconds))
+    pts = points.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        (F.col(ts_col) / b).cast("long").alias("bucket"),
+        F.struct(*[F.col(c) for c in points.columns]).alias("point"),
+    )
+    ivs = intervals.select(
+        F.col(key_col).alias("ikey"),
+        F.col(start_col).alias("start"),
+        F.col(end_col).alias("end"),
+        F.struct(*[F.col(c) for c in intervals.columns]).alias("interval"),
+    ).select(
+        "ikey", "start", "end", "interval",
+        F.explode(
+            F.sequence((F.col("start") / b).cast("long"), (F.col("end") / b).cast("long"))
+        ).alias("bucket"),
+    )
+    return (
+        pts.join(ivs, (pts["key"] == ivs["ikey"]) & (pts["bucket"] == ivs["bucket"]))
+        .where((F.col("start") <= F.col("ts")) & (F.col("ts") <= F.col("end")))
+        .select("key", "ts", "start", "end", "point", "interval")
     )

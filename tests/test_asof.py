@@ -41,3 +41,33 @@ def test_asof_join_semantics(spark):
     assert got[5] == (None, None)
     assert got[7] == (None, None)
     assert out.count() == 4     # exactly one output row per left row
+
+
+def test_range_join_semantics(spark):
+    from dss_plugin_nlp_analysis_spark.operators.asof import range_join
+
+    points = spark.createDataFrame(
+        [("u1", 100, 1), ("u1", 650, 3), ("u1", 2000, 5), ("u2", 100, 7)],
+        "user string, sec long, pid long",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("u1", 50, 200, 10),    # contains pid 1
+            ("u1", 100, 700, 20),   # contains pids 1 and 3 (boundary 100)
+            ("u1", 651, 900, 30),   # just after pid 3 -> no match
+            ("u2", 0, 99, 40),      # ends just before pid 7 -> no match
+        ],
+        "user string, s long, e long, iid long",
+    )
+    out = range_join(points, intervals, "user", "sec", "s", "e", bucket_seconds=128)
+    pairs = sorted(
+        (r["point"]["pid"], r["interval"]["iid"]) for r in out.collect()
+    )
+    assert pairs == [(1, 10), (1, 20), (3, 20)]
+
+    # tiny buckets (every interval explodes into many buckets) must give
+    # the SAME pairs — no duplicates from multi-bucket coverage
+    out_small = range_join(points, intervals, "user", "sec", "s", "e", bucket_seconds=7)
+    assert sorted(
+        (r["point"]["pid"], r["interval"]["iid"]) for r in out_small.collect()
+    ) == pairs
