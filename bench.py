@@ -95,25 +95,32 @@ def bench_queries(spark: SparkSession) -> tuple[dict, int]:
         # of C2 compilation to reach steady state (measured 15.6 → 26.6 →
         # 5.0 → 4.7 s; disabling whole-stage codegen removes most of the
         # cliff but loses ~10% steady state, so codegen stays on and the
-        # harness warms instead). We keep re-running until two consecutive
-        # runs agree within stable_tol (or max_warm runs), THEN take the
-        # MIN over the timed runs — the sandbox host is shared, so a single
-        # warm run can also be inflated by an external load spike.
+        # harness warms instead). Convergence criterion: keep re-running
+        # until TWO CONSECUTIVE runs fail to beat the best-so-far by more
+        # than stable_tol (a plain "two adjacent runs agree" check can
+        # terminate INSIDE the cliff — adjacent cliff runs are often
+        # within 20% of each other while still 4× above steady state,
+        # e.g. 23.6 → 20 → ... → 4.5). Then take the MIN over the timed
+        # runs — the sandbox host is shared, so a single warm run can
+        # also be inflated by an external load spike.
         t0 = time.perf_counter()
         fn()
         cold[name] = round(time.perf_counter() - t0, 3)
-        prev = cold[name]
-        dt = prev
+        best = cold[name]
+        strikes = 0
         w = 0
-        for w in range(1, max_warm + 1):
+        while w < max_warm and strikes < 2:
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
-            if abs(dt - prev) <= stable_tol * prev:
-                break
-            prev = dt
+            w += 1
+            if dt < best * (1.0 - stable_tol):
+                best = dt
+                strikes = 0
+            else:
+                best = min(best, dt)
+                strikes += 1
         warmups[name] = w
-        best = dt
         for _ in range(max(runs - 2, 1)):
             t0 = time.perf_counter()
             fn()
