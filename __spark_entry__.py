@@ -843,6 +843,39 @@ def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the same measure at 5-min
+    and 1-hour granularities in one union, keyed by event_type. Sums are
+    carried as floor(value·10⁶) BIGINTs — integer sums are order-free,
+    so partition order can't flip a float bit across engines."""
+    from dss_plugin_nlp_analysis_spark.operators.rollup import rollup_time
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+        "event_type",
+        F.floor(F.col("value") * 1e6).cast("long").alias("micros"),
+    )
+    out = rollup_time(
+        ev, "sec", "micros", {"5m": 300, "1h": 3600}, key_col="event_type"
+    )
+    return out.select(
+        "gran", "bucket_start", F.col("key").alias("event_type"),
+        "n", F.col("sum_value").alias("sum_micros"),
+        F.col("min_value").alias("min_micros"),
+        F.col("max_value").alias("max_micros"),
+    )
+
+
+def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV cardinality sketch over document texts (k=64): deterministic
+    given the data, so the k-th hash AND the estimate are value-gated —
+    a sketch the oracle can check exactly, unlike HLL."""
+    from dss_plugin_nlp_analysis_spark.operators.rollup import kmv_distinct
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kmv_distinct(docs, "text", k=64)
+
+
 def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join on the events table: odd events (queries) pick
     up the newest even event (quotes) at-or-before their timestamp per
@@ -1144,6 +1177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "events_asof": _q_events_asof,
         "events_range_join": _q_events_range_join,
+        "events_rollup": _q_events_rollup,
+        "kmv_distinct": _q_kmv_distinct,
         "tfidf_top": _q_tfidf_top,
         "mixed_lang": _q_mixed_lang,
         "tag_match_ignorecase": _q_tag_match_ignorecase,
@@ -1558,6 +1593,40 @@ def oracle_sql() -> dict[str, str]:
             FROM kept a JOIN kept b
               ON a.fingerprint = b.fingerprint AND a.id < b.id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "events_rollup": """
+            WITH ev AS (
+              SELECT floor(epoch(ts))::BIGINT AS sec, event_type,
+                     floor(value * 1000000)::BIGINT AS micros
+              FROM events
+            ),
+            g1 AS (
+              SELECT '1h' AS gran, sec - sec % 3600 AS bucket_start,
+                     event_type, count(*) AS n, sum(micros) AS sum_micros,
+                     min(micros) AS min_micros, max(micros) AS max_micros
+              FROM ev GROUP BY 2, 3
+            ),
+            g2 AS (
+              SELECT '5m' AS gran, sec - sec % 300 AS bucket_start,
+                     event_type, count(*) AS n, sum(micros) AS sum_micros,
+                     min(micros) AS min_micros, max(micros) AS max_micros
+              FROM ev GROUP BY 2, 3
+            )
+            SELECT * FROM g1 UNION ALL SELECT * FROM g2
+        """,
+        "kmv_distinct": """
+            -- same 60-bit md5-prefix hash space as the engine
+            WITH h AS (
+              SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+              FROM documents WHERE text IS NOT NULL
+            ),
+            k AS (SELECT h FROM h ORDER BY h LIMIT 64),
+            a AS (SELECT count(*) AS k_used, max(h) AS kth_hash FROM k)
+            SELECT k_used, kth_hash,
+                   CASE WHEN k_used < 64 THEN k_used::DOUBLE
+                        ELSE (k_used - 1) * 1152921504606846976.0 / kth_hash
+                   END AS estimate
+            FROM a
         """,
         "events_range_join": """
             -- plain inequality join as the oracle for the bucketed

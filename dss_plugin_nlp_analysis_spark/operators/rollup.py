@@ -1,0 +1,89 @@
+"""Time-series rollups and a deterministic distinct-count sketch.
+
+``rollup_time`` is the hypertable-style continuous-aggregate shape
+(TimescaleDB's public concept): the same measure pre-aggregated at
+several time granularities in one pass, labeled by granularity, so
+dashboards read the coarse rows and drill into the fine ones.
+
+``kmv_distinct`` is a K-Minimum-Values cardinality sketch (Bar-Yossef
+et al. 2002, public): the k smallest md5 hashes of the distinct values;
+estimate = (k−1) · 2^60 / kth_min (hashes uniform on [0, 2^60) via the
+15-hex-digit prefix). Unlike HLL it is fully DETERMINISTIC given the
+data — the oracle replicates it bit-for-bit — and mergeable (min-k of a
+union). The plan is scale-safe: distinct on the hash, then Spark's
+sort+limit (TakeOrderedAndProject = per-partition partial top-k, no
+global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["rollup_time", "kmv_distinct"]
+
+
+def rollup_time(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    granularities: dict[str, int],
+    key_col: str | None = None,
+) -> DataFrame:
+    """Union of per-granularity aggregates of ``value_col``:
+    (gran, bucket_start, [key], n, sum_value, min_value, max_value).
+
+    ``granularities`` maps label → seconds (e.g. {'1m': 60, '1h': 3600});
+    ``ts_col`` is integer epoch seconds (cast upstream — integer bucket
+    arithmetic ``ts - ts % g`` is engine-exact, unlike date_trunc whose
+    timezone/week rules differ across engines). Every aggregate is
+    map-side combinable; the union is G independent groupBys over one
+    scan each (Spark caches nothing here — persist upstream if the
+    source is expensive)."""
+    outs = []
+    keys = [F.col(key_col).alias("key")] if key_col else []
+    for label, g in sorted(granularities.items()):
+        bucket = (F.col(ts_col) - F.col(ts_col) % F.lit(int(g))).alias("bucket_start")
+        outs.append(
+            df.groupBy(F.lit(label).alias("gran"), bucket, *keys).agg(
+                F.count("*").alias("n"),
+                F.sum(value_col).alias("sum_value"),
+                F.min(value_col).alias("min_value"),
+                F.max(value_col).alias("max_value"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """K-Minimum-Values sketch of ``col``'s distinct cardinality.
+
+    Returns ONE row: (k_used, kth_hash, estimate) where ``k_used`` =
+    min(k, observed distinct count), ``kth_hash`` is the k_used-th
+    smallest 60-bit md5 hash, and ``estimate`` = (k_used−1)·2^60 /
+    kth_hash (the exact distinct count when fewer than k values exist —
+    the sketch degrades to exact below its capacity). NULLs are ignored.
+    Deterministic: same data ⇒ same sketch, any partitioning."""
+    hashed = (
+        df.select(F.col(col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .select(F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 15), 16, 10)
+                .cast("long").alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    agg = hashed.agg(
+        F.count("*").alias("k_used"), F.max("h").alias("kth_hash")
+    )
+    two60 = float(1 << 60)
+    return agg.select(
+        "k_used",
+        "kth_hash",
+        F.when(F.col("k_used") < k, F.col("k_used").cast("double"))
+        .otherwise((F.col("k_used") - 1) * F.lit(two60) / F.col("kth_hash"))
+        .alias("estimate"),
+    )
