@@ -1126,6 +1126,69 @@ def _q_distinct_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("lang").where(F.col("lang").isNotNull()).distinct()
 
 
+def _link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic link graph derived from the events table: user u
+    'links to' page (event_id mod 150) — a directed graph with hubs and
+    dangling nodes, the shape PageRank exists for."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").alias("src"), (F.col("event_id") % 150).alias("dst")
+    )
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank (3 iterations, micro-unit ranks): every step is an
+    int64 sum (order-free) or a floor-division both engines evaluate
+    identically, so the iterative fixpoint is value-hash gated — the
+    DuckDB oracle unrolls the same three iterations as CTEs."""
+    from dss_plugin_nlp_analysis_spark.operators.graph import pagerank
+
+    return pagerank(_link_edges(spark, sf_dir), iterations=3).select(
+        "node", F.col("rank").alias("rank_micro")
+    )
+
+
+def _q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node in/out/total degree of the link graph (distinct non-loop
+    edges) — the per-checkpoint graph metric surface."""
+    from dss_plugin_nlp_analysis_spark.operators.graph import degree_stats
+
+    return degree_stats(_link_edges(spark, sf_dir))
+
+
+def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any word 3-gram with the
+    'benchmark' subset (doc_id % 37 == 0) are flagged; n_hits counts
+    gram occurrences. The benchmark gram set is broadcast — the corpus
+    side never shuffles rows (plan-asserted in test_plans.py)."""
+    from dss_plugin_nlp_analysis_spark.operators.decontam import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0).select("text")
+    return decontaminate(docs, bench, "doc_id", "text", n=3)
+
+
+def _q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup: the mutated snapshot corpus anti-joined
+    against the previously-kept base documents on content fingerprint —
+    only genuinely-new content survives."""
+    from dss_plugin_nlp_analysis_spark.operators.dedup import cross_snapshot_dedup
+
+    new = _dup_corpus(spark, sf_dir, mutate=True)
+    seen = load_table(spark, sf_dir, "documents").select("text")
+    return cross_snapshot_dedup(new, seen, "id", "t", seen_text_col="text")
+
+
+def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams — executed as TakeOrderedAndProject
+    (per-partition k-row heaps), never a full sort; ties broken by gram
+    text so the top-k boundary is deterministic."""
+    from dss_plugin_nlp_analysis_spark.operators.textstats import top_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_ngrams(docs, "doc_id", "text", n=2, k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -1191,6 +1254,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_stopwords": _q_remove_stopwords,
         "token_classes": _q_token_classes,
         "salted_user_stats": _q_salted_user_stats,
+        "pagerank": _q_pagerank,
+        "graph_degrees": _q_graph_degrees,
+        "decontam": _q_decontam,
+        "cross_dedup": _q_cross_dedup,
+        "top_bigrams": _q_top_bigrams,
         "tag_doc_pivot": _q_tag_doc_pivot,
         "corpus_profile": _q_corpus_profile,
         "tag_doc_details": _q_tag_doc_details,
@@ -1252,6 +1320,43 @@ _SHINGLES = """
     ),
     sh3 AS (SELECT id, g FROM tri UNION ALL SELECT id, t FROM words WHERE len(w) < 3)
 """
+
+# the deterministic link graph of _link_edges, as a CTE (distinct non-loop
+# directed edges user_id -> event_id mod 150)
+_LINK_EDGES = """
+    e AS (SELECT DISTINCT user_id AS src, event_id % 150 AS dst
+          FROM events WHERE user_id != event_id % 150)
+"""
+
+
+def _pagerank_oracle(iterations: int = 3, init: int = 10**12,
+                     dnum: int = 85, dden: int = 100) -> str:
+    """Unrolled integer-PageRank CTE chain mirroring operators/graph.pagerank
+    iteration for iteration: int64 sums are order-free and ``//`` floors
+    exactly like Spark's ``div`` on non-negative values, so the iterative
+    fixpoint value-hashes identically across engines."""
+    base = (dden - dnum) * init // dden
+    parts = [
+        f"WITH {_LINK_EDGES},",
+        """
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+""",
+        f"    r0 AS (SELECT node, {init}::BIGINT AS rank FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+    i{i} AS (SELECT e.dst AS node, sum(r.rank // d.outdeg)::BIGINT AS incoming
+             FROM e JOIN r{i - 1} r ON r.node = e.src
+                    JOIN deg d ON d.src = e.src
+             GROUP BY e.dst),
+    r{i} AS (SELECT n.node,
+                    ({base}::BIGINT
+                     + ({dnum} * coalesce(i{i}.incoming, 0)) // {dden})::BIGINT
+                      AS rank
+             FROM nodes n LEFT JOIN i{i} ON i{i}.node = n.node)""")
+    parts.append(f"\n    SELECT node, rank AS rank_micro FROM r{iterations}")
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2723,6 +2828,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_rows,
                    count(DISTINCT event_type)::INT AS n_distinct
             FROM events GROUP BY 1
+        """,
+        "pagerank": _pagerank_oracle(iterations=3),
+        "graph_degrees": f"""
+            WITH {_LINK_EDGES},
+            o AS (SELECT src AS node, count(*) AS out_degree FROM e GROUP BY src),
+            i AS (SELECT dst AS node, count(*) AS in_degree FROM e GROUP BY dst)
+            SELECT coalesce(o.node, i.node) AS node,
+                   coalesce(out_degree, 0) AS out_degree,
+                   coalesce(in_degree, 0) AS in_degree,
+                   coalesce(out_degree, 0) + coalesce(in_degree, 0)
+                     AS total_degree
+            FROM o FULL JOIN i ON o.node = i.node
+        """,
+        # decontamination: benchmark = docs with doc_id % 37 == 0; a doc's
+        # n_hits counts its 3-gram OCCURRENCES present in the benchmark's
+        # DISTINCT gram set (short docs contribute their whole text — the
+        # same fallback as exploded_shingles)
+        "decontam": f"""
+            WITH corpus AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),
+            {_SHINGLES},
+            bg AS (SELECT DISTINCT g FROM sh3 WHERE id % 37 = 0),
+            hits AS (
+              SELECT id, count(*)::BIGINT AS n_hits
+              FROM sh3 JOIN bg USING (g) GROUP BY id
+            )
+            SELECT d.doc_id AS id,
+                   coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   CASE WHEN h.id IS NOT NULL THEN 1 ELSE 0 END AS contaminated
+            FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
+        """,
+        # incremental-crawl dedup: snapshot rows whose content fingerprint
+        # was never seen in the base corpus
+        "cross_dedup": f"""
+            WITH {_CORPUS_MUT},
+            newfp AS (SELECT id, md5(t) AS fingerprint FROM corpus),
+            seenfp AS (SELECT DISTINCT md5({_NORM}) AS fingerprint FROM documents)
+            SELECT id, fingerprint FROM newfp
+            WHERE fingerprint NOT IN (SELECT fingerprint FROM seenfp)
+        """,
+        "top_bigrams": f"""
+            WITH corpus AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),
+            words AS (SELECT id, t, string_split(t, ' ') AS w FROM corpus),
+            tok AS (SELECT id, unnest(w) AS wd,
+                           generate_subscripts(w, 1) AS pos FROM words),
+            bi AS (
+              SELECT a.id, a.wd || ' ' || b.wd AS g
+              FROM tok a JOIN tok b ON b.id = a.id AND b.pos = a.pos + 1
+            ),
+            sh2 AS (SELECT id, g FROM bi
+                    UNION ALL SELECT id, t FROM words WHERE len(w) < 2)
+            SELECT g AS gram, count(*)::BIGINT AS n_occurrences
+            FROM sh2 WHERE g != '' GROUP BY g
+            ORDER BY n_occurrences DESC, gram LIMIT 20
         """,
         # per-category pivot columns: first-appearance-ordered distinct tags
         # per (doc, category), JSON arrays, NULL when the doc has none

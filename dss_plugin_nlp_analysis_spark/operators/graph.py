@@ -1,0 +1,148 @@
+"""Link-graph analytics over the materialized KG / web-page link graph.
+
+PageRank is the canonical web-corpus salience signal: CCNet- and
+RefinedWeb-style curation pipelines rank pages by link authority before
+sampling training data, and a KG build ranks entities by alias-graph
+centrality when choosing canonical nodes. The reference plugin has no
+graph surface at all — this extends the engine's KG-materialize stage
+(north rule: "graph materialize") with the downstream analytics a
+trillion-page corpus needs.
+
+Determinism contract (the whole point of the integer formulation): ranks
+are kept in integer micro-units and every per-iteration step is either an
+integer sum (order-free — bit-identical no matter how partitions combine)
+or an integer floor-division that both Spark (``div``) and any ANSI engine
+(DuckDB ``//``) evaluate identically on non-negative values. Doubles would
+make the gated value-hash depend on reduction order; 64-bit integers do
+not. With init=1e12 micro-units, total mass is ``n_nodes * 1e12`` and the
+damped sum peaks below ``85 * total_mass`` — safely inside int64 for
+graphs up to ~10^5 nodes per unit of init; callers at 10^12 nodes lower
+``init`` accordingly (mass, not node count, is what must fit).
+
+Scale shape (what survives 100 TB):
+
+- edges are the big table; ranks/outdeg are node-sized. Every iteration is
+  ``edges ⋈ ranks`` (equi-join on src — AQE skew-splits hub domains) then
+  ``groupBy(dst).sum`` (map-side combinable: a page with 10^9 in-links
+  partial-sums inside each map task, the classic combiner win).
+- lineage is cut per iteration with ``localCheckpoint`` — persist() alone
+  does NOT cut lineage, and an iterative plan referenced twice per round
+  doubles per round (2^k nodes → driver OOM); see components.py for the
+  durable-parquet variant when executor loss matters.
+- dangling nodes (no out-edges) keep receiving rank but redistribute
+  nothing; their mass leaks rather than being re-spread. DIV from the
+  textbook formulation, chosen because the re-spread term is a global
+  scalar that would force a full collect-broadcast barrier per iteration;
+  documented in SEMANTICS.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank", "degree_stats"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 3,
+    init: int = 10**12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Deterministic integer PageRank over a directed edge list.
+
+    Returns (node, rank) with rank in integer micro-units. Self-loops are
+    dropped and parallel edges collapsed (DISTINCT) before iterating, so
+    out-degree counts distinct successors — the standard link-graph
+    convention.
+
+    Update rule per iteration, all in int64::
+
+        share(u)    = rank(u) div outdeg(u)
+        incoming(v) = sum(share(u) for each edge u -> v)        (order-free)
+        rank'(v)    = (1 - d) * init  +  (d * incoming(v)) div 1
+                    = ((damp_den - damp_num) * init) div damp_den
+                      + (damp_num * incoming(v)) div damp_den
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # edges ⋈ outdeg is iteration-invariant: precompute once, cut lineage
+    # once, reuse every round (outdeg >= 1 for every src by construction)
+    e_deg = e.join(outdeg, "src").localCheckpoint()
+    nodes = nodes.localCheckpoint()
+
+    base = (damp_den - damp_num) * init // damp_den
+    ranks = nodes.withColumn("rank", F.lit(init).cast("long"))
+    for _ in range(iterations):
+        incoming = (
+            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").alias("share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("share").alias("incoming"))
+        )
+        ranks = (
+            nodes.join(incoming, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"(cast({damp_num} as bigint)"
+                        f" * coalesce(incoming, cast(0 as bigint)))"
+                        f" div cast({damp_den} as bigint)"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()  # cut per-round lineage (see module doc)
+        )
+    return ranks
+
+
+def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node degree profile of a directed graph: (node, out_degree,
+    in_degree, total_degree) over DISTINCT non-loop edges.
+
+    Two map-side-combinable groupBys + one node-keyed outer join — the
+    degree histogram a KG build reports per checkpoint (north rule:
+    per-partition lineage + metrics)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    out_d = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_d = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "node", "full")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            (
+                F.coalesce("out_degree", F.lit(0)) + F.coalesce("in_degree", F.lit(0))
+            ).alias("total_degree"),
+        )
+    )

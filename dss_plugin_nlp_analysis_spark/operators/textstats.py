@@ -23,6 +23,7 @@ __all__ = [
     "repetition_features",
     "gopher_filter",
     "tfidf_top_terms",
+    "top_ngrams",
     "unigram_cost_table",
     "unigram_lm_scores",
     "winnow_fingerprints",
@@ -274,6 +275,34 @@ def unigram_lm_scores(
         F.round(
             F.when(n > 0, nll_micro / n / F.lit(1e6)).otherwise(0.0), 6
         ).alias("avg_nll"),
+    )
+
+
+def top_ngrams(df: DataFrame, id_col: str, text_col: str, *, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k word n-grams by occurrence count — the LM-stats
+    pass (vocabulary/collocation profiling, boilerplate discovery) every
+    pretraining corpus report includes.
+
+    Output: (gram, n_occurrences), the k most frequent n-grams, ties
+    broken by gram text so the result is deterministic.
+
+    Scale shape: grams come from the fused single-scan regex generator
+    (``dedup.exploded_shingles``), the count is one map-side-combinable
+    ``groupBy(gram)`` (hot boilerplate grams partial-sum inside each map
+    task — the combiner absorbs the skew), and the global top-k is
+    ``ORDER BY ... LIMIT k``, which Spark executes as
+    TakeOrderedAndProject: each partition keeps a k-row heap and only
+    k rows per partition reach the driver — never a full sort shuffle.
+    """
+    from .dedup import exploded_shingles
+
+    grams = exploded_shingles(df, id_col, text_col, n=n)
+    return (
+        grams.where(F.col("g") != "")
+        .groupBy(F.col("g").alias("gram"))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
+        .limit(k)
     )
 
 

@@ -1,0 +1,134 @@
+"""Unit tests for operators/graph.py (integer PageRank, degree stats),
+operators/decontam.py, dedup.cross_snapshot_dedup and textstats.top_ngrams
+— each against a pure-Python reference on hand-checkable inputs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_analysis_spark.operators.decontam import decontaminate
+from dss_plugin_nlp_analysis_spark.operators.dedup import cross_snapshot_dedup
+from dss_plugin_nlp_analysis_spark.operators.graph import degree_stats, pagerank
+from dss_plugin_nlp_analysis_spark.operators.textstats import top_ngrams
+
+
+def py_pagerank(edges, iterations=3, init=10**12, dnum=85, dden=100):
+    """Pure-Python mirror of the integer update rule."""
+    e = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    outdeg = {}
+    for s, _ in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (dden - dnum) * init // dden
+    rank = {n: init for n in nodes}
+    for _ in range(iterations):
+        incoming = {n: 0 for n in nodes}
+        for s, d in e:
+            incoming[d] += rank[s] // outdeg[s]
+        rank = {n: base + dnum * incoming[n] // dden for n in nodes}
+    return rank
+
+
+EDGES = [
+    (1, 2), (1, 3), (2, 3), (3, 1),
+    (4, 3),          # 4 is dangling-in only via out-edge; never receives
+    (5, 5),          # self-loop: dropped
+    (1, 2),          # parallel edge: collapsed
+]
+
+
+def test_pagerank_matches_python_reference(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=3).collect()}
+    assert got == py_pagerank(EDGES, iterations=3)
+
+
+def test_pagerank_dangling_and_isolated_semantics(spark):
+    # node 4 has out-edges but no in-edges: rank stays at the teleport base
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=2).collect()}
+    base = (100 - 85) * 10**12 // 100
+    assert got[4] == base
+    # self-loop-only node 5 is dropped entirely (no non-loop edges)
+    assert 5 not in got
+    # every rank at least the teleport base, and values match the
+    # pure-Python rule at this iteration count too
+    assert all(v >= base for v in got.values())
+    assert got == py_pagerank(EDGES, iterations=2)
+
+
+def test_pagerank_rejects_zero_iterations(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)
+
+
+def test_degree_stats(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {
+        r["node"]: (r["out_degree"], r["in_degree"], r["total_degree"])
+        for r in degree_stats(df).collect()
+    }
+    assert got == {
+        1: (2, 1, 3),   # ->2,->3 ; <-3
+        2: (1, 1, 2),   # ->3 ; <-1 (parallel edge collapsed)
+        3: (1, 3, 4),   # ->1 ; <-1,<-2,<-4
+        4: (1, 0, 1),
+    }
+
+
+def test_decontaminate_flags_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),     # shares 'the quick brown'
+            (2, "totally unrelated words here"),
+            (3, "the quick brown the quick brown x"),  # leaked gram twice
+            (4, "hi"),                            # short doc, whole-text gram
+        ],
+        "id long, text string",
+    )
+    bench = spark.createDataFrame([("the quick brown cat",)], "text string")
+    got = {
+        r["id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(docs, bench, "id", "text", n=3).collect()
+    }
+    assert got[1] == (1, 1)     # 'the quick brown'
+    assert got[2] == (0, 0)
+    assert got[3] == (2, 1)     # the leaked gram occurs twice -> 2 hits
+    assert got[4] == (0, 0)     # whole-text gram 'hi' not in the bench set
+
+
+def test_decontaminate_short_doc_whole_text_match(spark):
+    # a short benchmark answer copied verbatim must be caught via the
+    # whole-text fallback gram on both sides
+    docs = spark.createDataFrame([(1, "forty two")], "id long, text string")
+    bench = spark.createDataFrame([("forty two",)], "text string")
+    got = decontaminate(docs, bench, "id", "text", n=3).collect()[0]
+    assert (got["n_hits"], got["contaminated"]) == (1, 1)
+
+
+def test_cross_snapshot_dedup(spark):
+    seen = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "gamma delta")], "id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "Alpha   Beta"),   # normalizes to a seen fingerprint
+            (2, "epsilon zeta"),   # genuinely new
+            (3, "gamma delta"),    # exact seen
+        ],
+        "id long, text string",
+    )
+    out = cross_snapshot_dedup(new, seen, "id", "text")
+    assert [r["id"] for r in out.collect()] == [2]
+
+
+def test_top_ngrams_deterministic_ties(spark):
+    docs = spark.createDataFrame(
+        [(1, "b b a a c c"), (2, "z")], "id long, text string"
+    )
+    # bigrams: 'b b','b a','a a','a c','c c' each once; 'z' whole-text
+    out = top_ngrams(docs, "id", "text", n=2, k=3).collect()
+    # all counts tie at 1 -> lexicographic gram order decides the top-3
+    assert [(r["gram"], r["n_occurrences"]) for r in out] == [
+        ("a a", 1), ("a c", 1), ("b a", 1),
+    ]

@@ -155,3 +155,44 @@ def test_tfidf_dfc_join_not_broadcast_by_default(spark):
     out_b = tfidf_top_terms(df, "id", "t", k=2, broadcast_df=True)
     opt_b = optimized(out_b)
     assert "ResolvedHint" in opt_b or "broadcast" in opt_b.lower()
+
+
+def test_decontam_broadcasts_gram_set_corpus_never_shuffled(spark, docs):
+    # the benchmark gram set is eval-set-sized -> must broadcast; the
+    # corpus side must reach the hit-count aggregate without a row
+    # shuffle before it (the only hash exchange is the per-doc groupBy)
+    from dss_plugin_nlp_analysis_spark.operators.decontam import decontaminate
+
+    bench = docs.where(F.col("doc_id") % 37 == 0).select("text")
+    out = decontaminate(docs.select("doc_id", "text"), bench, "doc_id", "text")
+    out.collect()
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_top_ngrams_take_ordered_not_global_sort(spark, docs):
+    # global top-k must run as per-partition k-row heaps
+    # (TakeOrderedAndProject), never a full sort of the gram counts
+    from dss_plugin_nlp_analysis_spark.operators.textstats import top_ngrams
+
+    out = top_ngrams(docs, "doc_id", "text", n=2, k=10)
+    out.collect()
+    plan = plan_of(out)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
+
+
+def test_pagerank_iteration_lineage_is_cut(spark):
+    # each iteration ends in localCheckpoint: the final plan must be a
+    # scan of checkpointed rows, not a 3-round join tree (lineage growth
+    # is THE driver-killer for iterative DataFrame algorithms)
+    from dss_plugin_nlp_analysis_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 5) for i in range(30)], "src long, dst long"
+    )
+    out = pagerank(edges, iterations=3)
+    plan = plan_of(out)
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    assert "Join" not in plan, plan
