@@ -1179,6 +1179,33 @@ def _q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_snapshot_dedup(new, seen, "id", "t", seen_text_col="text")
 
 
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count of the undirected link graph via the
+    degree-orientation wedge join (per-node work bounded O(sqrt(m)) even
+    on power-law graphs); the oracle counts canonically-ordered a<b<c
+    triangles with a plain 3-way self-join — two independent
+    formulations of the same invariant."""
+    from dss_plugin_nlp_analysis_spark.operators.graph import triangle_count
+
+    return triangle_count(_link_edges(spark, sf_dir))
+
+
+def _q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality split: integer per-token LM cost -> exact
+    discrete quartiles from a value-space histogram (no float
+    interpolation, no corpus sort) -> head/mid/tail buckets."""
+    from dss_plugin_nlp_analysis_spark.operators.textstats import quantile_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = unigram_lm_scores(docs, "doc_id", "text", _LM_FREQS).select(
+        "id", F.expr("nll_micro div greatest(n_tokens, 1)").alias("avg_micro")
+    )
+    out = quantile_buckets(
+        scored, "id", "avg_micro", labels=("head", "mid_head", "mid_tail", "tail")
+    )
+    return out.select(F.col("id").alias("doc_id"), "avg_micro", "bucket")
+
+
 def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 word bigrams — executed as TakeOrderedAndProject
     (per-partition k-row heaps), never a full sort; ties broken by gram
@@ -1259,6 +1286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": _q_decontam,
         "cross_dedup": _q_cross_dedup,
         "top_bigrams": _q_top_bigrams,
+        "triangles": _q_triangles,
+        "lm_buckets": _q_lm_buckets,
         "tag_doc_pivot": _q_tag_doc_pivot,
         "corpus_profile": _q_corpus_profile,
         "tag_doc_details": _q_tag_doc_details,
@@ -2866,6 +2895,64 @@ def oracle_sql() -> dict[str, str]:
             seenfp AS (SELECT DISTINCT md5({_NORM}) AS fingerprint FROM documents)
             SELECT id, fingerprint FROM newfp
             WHERE fingerprint NOT IN (SELECT fingerprint FROM seenfp)
+        """,
+        # triangle count: oracle enumerates canonically-ordered a<b<c
+        # triangles directly — independent of the engine's
+        # degree-orientation formulation, same invariant
+        "triangles": f"""
+            WITH {_LINK_EDGES},
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                                    greatest(src, dst) AS b FROM e)
+            SELECT count(*)::BIGINT AS n_triangles
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        # CCNet-style quartile buckets over the integer per-token LM cost:
+        # thresholds = percentile_disc positions ceil(p*N) from a
+        # value-space histogram — all-integer, bit-identical cross-engine
+        "lm_buckets": f"""
+            WITH lm(w, cost) AS (VALUES {lm_values}),
+            t AS (
+              SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w
+              FROM documents WHERE {_NORM} != ''
+            ),
+            j AS (
+              SELECT t.doc_id, coalesce(lm.cost, {lm_oov}) AS cost
+              FROM t LEFT JOIN lm ON t.w = lm.w
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     sum(cost)::BIGINT AS nll_micro
+              FROM j GROUP BY 1
+            ),
+            scored AS (
+              SELECT d.doc_id AS id,
+                     (coalesce(a.nll_micro, 0)
+                      // greatest(coalesce(a.n_tokens, 0), 1))::BIGINT
+                       AS avg_micro
+              FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+            ),
+            tot AS (SELECT count(*) AS n FROM scored),
+            hist AS (SELECT avg_micro, count(*) AS c FROM scored GROUP BY 1),
+            cum AS (SELECT avg_micro,
+                           sum(c) OVER (ORDER BY avg_micro) AS cum FROM hist),
+            th AS (
+              SELECT
+                min(CASE WHEN cum >= (n * 25 + 99) // 100
+                         THEN avg_micro END) AS t1,
+                min(CASE WHEN cum >= (n * 50 + 99) // 100
+                         THEN avg_micro END) AS t2,
+                min(CASE WHEN cum >= (n * 75 + 99) // 100
+                         THEN avg_micro END) AS t3
+              FROM cum, tot
+            )
+            SELECT s.id AS doc_id, s.avg_micro,
+                   CASE WHEN s.avg_micro <= th.t1 THEN 'head'
+                        WHEN s.avg_micro <= th.t2 THEN 'mid_head'
+                        WHEN s.avg_micro <= th.t3 THEN 'mid_tail'
+                        ELSE 'tail' END AS bucket
+            FROM scored s, th
         """,
         "top_bigrams": f"""
             WITH corpus AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "degree_stats"]
+__all__ = ["pagerank", "degree_stats", "triangle_count"]
 
 
 def pagerank(
@@ -145,4 +145,81 @@ def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
                 F.coalesce("out_degree", F.lit(0)) + F.coalesce("in_degree", F.lit(0))
             ).alias("total_degree"),
         )
+    )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count of the UNDIRECTED simple graph underlying
+    ``edges`` (direction ignored, loops dropped, parallel edges collapsed).
+
+    Returns a single row (n_triangles BIGINT). Triangle density is the
+    standard alias-graph health metric (a canonicalization graph whose
+    clusters are cliques triangle-counts quadratically; bridges don't).
+
+    Scale shape — the degree-orientation trick (public, Cohen 2009 /
+    Suri-Vassilvitskii 2011): orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one. Every node's
+    out-degree is then O(sqrt(m)) even on power-law graphs — the wedge
+    self-join on the shared source explodes per-node as out-degree², so
+    orientation turns the celebrity-node O(d²) blowup into the graph-wide
+    minimum. Three equi-joins total (wedge build + closing-edge probe),
+    all map-side combinable into one final count."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orientation key: (degree, node id) — total order, ties by id
+    ranked = (
+        und.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")), "b"
+        )
+        .select(
+            F.when(
+                F.struct(F.col("deg_a"), F.col("a"))
+                < F.struct(F.col("deg_b"), F.col("b")),
+                F.struct(
+                    F.col("a").alias("u"),
+                    F.col("b").alias("v"),
+                    F.col("deg_b").alias("deg_v"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("b").alias("u"),
+                    F.col("a").alias("v"),
+                    F.col("deg_a").alias("deg_v"),
+                )
+            )
+            .alias("e")
+        )
+        .select("e.u", "e.v", "e.deg_v")
+    )
+    e1 = ranked.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("deg_v").alias("dv1")
+    )
+    e2 = ranked.select(
+        F.col("u"), F.col("v").alias("v2"), F.col("deg_v").alias("dv2")
+    )
+    # wedges at u with canonically-ordered endpoints (same (deg,id) order
+    # as the orientation, so the closing edge is oriented v1 -> v2)
+    wedges = e1.join(e2, "u").where(
+        F.struct(F.col("dv1"), F.col("v1")) < F.struct(F.col("dv2"), F.col("v2"))
+    )
+    closing = ranked.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    return wedges.join(closing, ["v1", "v2"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
     )

@@ -24,6 +24,7 @@ __all__ = [
     "gopher_filter",
     "tfidf_top_terms",
     "top_ngrams",
+    "quantile_buckets",
     "unigram_cost_table",
     "unigram_lm_scores",
     "winnow_fingerprints",
@@ -303,6 +304,61 @@ def top_ngrams(df: DataFrame, id_col: str, text_col: str, *, n: int = 2, k: int 
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
         .limit(k)
+    )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    *,
+    labels: tuple[str, str, str, str] = ("q1", "q2", "q3", "q4"),
+) -> DataFrame:
+    """Exact discrete quartile bucketing of an INTEGER metric — the
+    CCNet-style quality split (head/middle/tail by LM perplexity, here
+    quartiles of any integer score such as ``nll_micro div n_tokens``).
+
+    Threshold t_p = the metric value at sorted position ``ceil(p·N)``
+    (percentile_disc semantics) — pure integer arithmetic, so thresholds
+    and bucket assignments are bit-identical on any engine; float
+    interpolation (``percentile``/``quantile_cont``) is deliberately
+    avoided.
+
+    Scale shape: thresholds come from a VALUE-SPACE histogram
+    (``groupBy(value).count``, map-side combinable), not from sorting the
+    corpus — the cumulative window then runs over the histogram, whose
+    size is bounded by the metric's value range (micro-nat averages span
+    ~10^7 distinct values), independent of corpus row count. The 1-row
+    threshold table is broadcast back; no corpus sort, no driver collect.
+    Rows bucket as v <= t1 | t2 | t3 | else, lowest quartile first.
+    """
+    from pyspark.sql import Window
+
+    vals = df.select(
+        F.col(id_col).alias("id"), F.col(value_col).cast("long").alias("v")
+    )
+    hist = vals.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    tot = vals.agg(F.count(F.lit(1)).alias("n"))
+    th = cum.crossJoin(tot).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"(n * {p} + 99) div 100"), F.col("v")
+                )
+            ).alias(f"t{i}")
+            for i, p in ((1, 25), (2, 50), (3, 75))
+        ]
+    )
+    return vals.crossJoin(F.broadcast(th)).select(
+        "id",
+        F.col("v").alias(value_col),
+        F.when(F.col("v") <= F.col("t1"), F.lit(labels[0]))
+        .when(F.col("v") <= F.col("t2"), F.lit(labels[1]))
+        .when(F.col("v") <= F.col("t3"), F.lit(labels[2]))
+        .otherwise(F.lit(labels[3]))
+        .alias("bucket"),
     )
 
 

@@ -132,3 +132,42 @@ def test_top_ngrams_deterministic_ties(spark):
     assert [(r["gram"], r["n_occurrences"]) for r in out] == [
         ("a a", 1), ("a c", 1), ("b a", 1),
     ]
+
+
+def test_triangle_count_known_graphs(spark):
+    from dss_plugin_nlp_analysis_spark.operators.graph import triangle_count
+
+    # K4 = 4 triangles; edges given in mixed directions with dups/loops
+    k4 = [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (3, 3)]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    assert triangle_count(df).collect()[0]["n_triangles"] == 4
+
+    # path graph: no triangles
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    assert triangle_count(path).collect()[0]["n_triangles"] == 0
+
+    # K4 plus a pendant triangle sharing node 4
+    extra = spark.createDataFrame(
+        k4 + [(4, 5), (5, 6), (6, 4)], "src long, dst long"
+    )
+    assert triangle_count(extra).collect()[0]["n_triangles"] == 5
+
+
+def test_quantile_buckets_discrete_thresholds(spark):
+    from dss_plugin_nlp_analysis_spark.operators.textstats import quantile_buckets
+
+    # values 1..8: N=8, thresholds at positions ceil(.25*8)=2, 4, 6
+    # -> t1=2, t2=4, t3=6
+    df = spark.createDataFrame([(i, i) for i in range(1, 9)], "id long, v long")
+    got = {r["id"]: r["bucket"] for r in quantile_buckets(df, "id", "v").collect()}
+    assert got == {1: "q1", 2: "q1", 3: "q2", 4: "q2",
+                   5: "q3", 6: "q3", 7: "q4", 8: "q4"}
+
+
+def test_quantile_buckets_degenerate_all_equal(spark):
+    from dss_plugin_nlp_analysis_spark.operators.textstats import quantile_buckets
+
+    # all-equal metric: every threshold collapses to the value -> all q1
+    df = spark.createDataFrame([(i, 7) for i in range(5)], "id long, v long")
+    got = {r["bucket"] for r in quantile_buckets(df, "id", "v").collect()}
+    assert got == {"q1"}
