@@ -1206,6 +1206,26 @@ def _q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "avg_micro", "bucket")
 
 
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token -> sorted posting list with df in [5, 400]: the cap keeps
+    stopword posting lists out of the collect stage (computed from the
+    df count BEFORE any list is built)."""
+    from dss_plugin_nlp_analysis_spark.operators.invindex import inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    return inverted_index(docs, "doc_id", "text", min_df=5, max_df=400)
+
+
+def _q_collocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 collocation bigrams by integer confidence (c_xy*1e6 div
+    c_x) with min_count=3 — overflow-free at any corpus size, ties fully
+    ordered."""
+    from dss_plugin_nlp_analysis_spark.operators.textstats import collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return collocations(docs, "doc_id", "text", k=25, min_count=3)
+
+
 def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 word bigrams — executed as TakeOrderedAndProject
     (per-partition k-row heaps), never a full sort; ties broken by gram
@@ -1288,6 +1308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigrams": _q_top_bigrams,
         "triangles": _q_triangles,
         "lm_buckets": _q_lm_buckets,
+        "inverted_index": _q_inverted_index,
+        "collocs": _q_collocs,
         "tag_doc_pivot": _q_tag_doc_pivot,
         "corpus_profile": _q_corpus_profile,
         "tag_doc_details": _q_tag_doc_details,
@@ -2895,6 +2917,36 @@ def oracle_sql() -> dict[str, str]:
             seenfp AS (SELECT DISTINCT md5({_NORM}) AS fingerprint FROM documents)
             SELECT id, fingerprint FROM newfp
             WHERE fingerprint NOT IN (SELECT fingerprint FROM seenfp)
+        """,
+        "inverted_index": f"""
+            WITH corpus AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),
+            pairs AS (
+              SELECT DISTINCT id, unnest(string_split(t, ' ')) AS token
+              FROM corpus WHERE t != ''
+            ),
+            dfc AS (SELECT token, count(*) AS df FROM pairs GROUP BY token),
+            keep AS (SELECT token, df FROM dfc WHERE df BETWEEN 5 AND 400)
+            SELECT k.token, k.df, list_sort(list(p.id)) AS doc_ids
+            FROM pairs p JOIN keep k USING (token)
+            GROUP BY k.token, k.df
+        """,
+        "collocs": f"""
+            WITH corpus AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),
+            words AS (SELECT id, t, string_split(t, ' ') AS w
+                      FROM corpus WHERE t != ''),
+            tok AS (SELECT id, unnest(w) AS wd,
+                           generate_subscripts(w, 1) AS pos FROM words),
+            uni AS (SELECT wd AS x, count(*) AS c_x FROM tok GROUP BY wd),
+            bi AS (
+              SELECT a.wd || ' ' || b.wd AS gram, a.wd AS x,
+                     count(*) AS c_xy
+              FROM tok a JOIN tok b ON b.id = a.id AND b.pos = a.pos + 1
+              GROUP BY 1, 2 HAVING count(*) >= 3
+            )
+            SELECT gram, c_xy::BIGINT AS c_xy, c_x::BIGINT AS c_x,
+                   ((c_xy * 1000000) // c_x)::BIGINT AS conf_micro
+            FROM bi JOIN uni USING (x)
+            ORDER BY conf_micro DESC, c_xy DESC, gram LIMIT 25
         """,
         # triangle count: oracle enumerates canonically-ordered a<b<c
         # triangles directly — independent of the engine's

@@ -25,6 +25,7 @@ __all__ = [
     "tfidf_top_terms",
     "top_ngrams",
     "quantile_buckets",
+    "collocations",
     "unigram_cost_table",
     "unigram_lm_scores",
     "winnow_fingerprints",
@@ -359,6 +360,61 @@ def quantile_buckets(
         .when(F.col("v") <= F.col("t3"), F.lit(labels[2]))
         .otherwise(F.lit(labels[3]))
         .alias("bucket"),
+    )
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Top-k collocation bigrams by CONFIDENCE — association-rule
+    ``conf(x→y) = count(xy) / count(x)`` in integer micro-units
+    (``(c_xy * 1e6) div c_x``): since ``c_xy <= c_x`` the score never
+    exceeds 1e6 and the product never overflows int64 at any corpus size
+    (a single bigram would need >9·10^12 occurrences) — unlike PMI/lift,
+    whose ``c_x·c_y`` denominator overflows and whose logs round
+    differently across libm builds. Confidence is the standard
+    collocation/phrase-mining signal ("new york": conf ≈ how often 'new'
+    is followed by 'york').
+
+    Output: (gram, c_xy, c_x, conf_micro), ordered by (conf_micro desc,
+    c_xy desc, gram) — fully deterministic ties. ``min_count`` drops
+    hapax noise before ranking.
+
+    Scale shape: two map-side-combinable groupBys (bigram counts, unigram
+    counts) + one token-keyed equi-join + TakeOrderedAndProject for the
+    global top-k. No windows, no collect.
+    """
+    from .dedup import exploded_shingles
+
+    uni = (
+        exploded_shingles(df, id_col, text_col, n=1)
+        .where(F.col("g") != "")
+        .groupBy(F.col("g").alias("x"))
+        .agg(F.count(F.lit(1)).alias("c_x"))
+    )
+    bi = (
+        exploded_shingles(df, id_col, text_col, n=2)
+        .where(F.col("g").contains(" "))  # drop whole-text fallback grams
+        .groupBy(F.col("g").alias("gram"))
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= min_count)
+        .withColumn("x", F.split(F.col("gram"), " ")[0])
+    )
+    return (
+        bi.join(uni, "x")
+        .select(
+            "gram",
+            "c_xy",
+            "c_x",
+            F.expr("(c_xy * cast(1000000 as bigint)) div c_x").alias("conf_micro"),
+        )
+        .orderBy(F.col("conf_micro").desc(), F.col("c_xy").desc(), F.col("gram"))
+        .limit(k)
     )
 
 

@@ -171,3 +171,41 @@ def test_quantile_buckets_degenerate_all_equal(spark):
     df = spark.createDataFrame([(i, 7) for i in range(5)], "id long, v long")
     got = {r["bucket"] for r in quantile_buckets(df, "id", "v").collect()}
     assert got == {"q1"}
+
+
+def test_inverted_index_cap_and_sorting(spark):
+    from dss_plugin_nlp_analysis_spark.operators.invindex import inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (3, "apple banana"),
+            (1, "apple cherry apple"),   # dup token in doc counts once
+            (2, "apple banana cherry"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["token"]: (r["df"], r["doc_ids"])
+        for r in inverted_index(docs, "id", "text", min_df=1, max_df=2).collect()
+    }
+    # 'apple' has df=3 > max_df -> capped out entirely
+    assert "apple" not in out
+    assert out["banana"] == (2, [2, 3])    # sorted ids, not input order
+    assert out["cherry"] == (2, [1, 2])
+
+
+def test_collocations_confidence_ordering(spark):
+    from dss_plugin_nlp_analysis_spark.operators.textstats import collocations
+
+    # 'new york' 3/3 after 'new' -> conf 1e6; 'san francisco' 2 of 3 'san'
+    docs = spark.createDataFrame(
+        [
+            (1, "new york new york san francisco"),
+            (2, "new york san francisco san diego"),
+        ],
+        "id long, text string",
+    )
+    rows = collocations(docs, "id", "text", k=3, min_count=2).collect()
+    got = [(r["gram"], r["c_xy"], r["c_x"], r["conf_micro"]) for r in rows]
+    assert got[0] == ("new york", 3, 3, 1000000)
+    assert ("san francisco", 2, 3, 666666) in got
