@@ -1226,6 +1226,46 @@ def _q_collocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations(docs, "doc_id", "text", k=25, min_count=3)
 
 
+def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor extraction over deterministic synthesized page HTML (two
+    links per doc, one with extra attributes) — the edge source for the
+    link graph; pure map + explode, zero shuffle."""
+    from dss_plugin_nlp_analysis_spark.operators.url import extract_links
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<a href="https://ex.com/p'),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit('">l'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('</a> mid <a class="x" href="/rel/'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('">go</a>'),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    return extract_links(pages, "doc_id", "html")
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-to-crawl diff: new snapshot = base minus (id % 11 == 0)
+    [removed], with ' updated' appended for id % 7 == 0 [changed], plus
+    id+5000 copies of id % 13 == 0 [added]; everything else 'same'."""
+    from dss_plugin_nlp_analysis_spark.operators.url import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = docs.where(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" updated"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    added = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text"
+    )
+    new = kept.union(added)
+    return snapshot_diff(docs, new, "doc_id", "text")
+
+
 def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 word bigrams — executed as TakeOrderedAndProject
     (per-partition k-row heaps), never a full sort; ties broken by gram
@@ -1310,6 +1350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_buckets": _q_lm_buckets,
         "inverted_index": _q_inverted_index,
         "collocs": _q_collocs,
+        "extract_links": _q_extract_links,
+        "snapshot_diff": _q_snapshot_diff,
         "tag_doc_pivot": _q_tag_doc_pivot,
         "corpus_profile": _q_corpus_profile,
         "tag_doc_details": _q_tag_doc_details,
@@ -2917,6 +2959,51 @@ def oracle_sql() -> dict[str, str]:
             seenfp AS (SELECT DISTINCT md5({_NORM}) AS fingerprint FROM documents)
             SELECT id, fingerprint FROM newfp
             WHERE fingerprint NOT IN (SELECT fingerprint FROM seenfp)
+        """,
+        # anchor extraction: same Java∩RE2 pattern, one capture group per
+        # regexp_extract_all call on both engines; parallel unnest zips
+        # the href/text captures positionally (identical match sites)
+        "extract_links": r"""
+            WITH h AS (
+              SELECT doc_id AS id,
+                     '<a href="https://ex.com/p' || (doc_id % 20) || '">l'
+                     || (doc_id % 7)
+                     || '</a> mid <a class="x" href="/rel/' || (doc_id % 5)
+                     || '">go</a>' AS html
+              FROM documents
+            ),
+            ex AS (
+              SELECT id,
+                regexp_extract_all(html,
+                  '<a [^>]*href="([^"]*)"[^>]*>[^<]*</a>', 1) AS hrefs,
+                regexp_extract_all(html,
+                  '<a [^>]*href="[^"]*"[^>]*>([^<]*)</a>', 1) AS texts
+              FROM h
+            )
+            SELECT id, unnest(hrefs) AS href, unnest(texts) AS anchor_text
+            FROM ex
+        """,
+        "snapshot_diff": f"""
+            WITH o AS (
+              SELECT doc_id AS key, md5({_NORM}) AS old_fingerprint
+              FROM documents
+            ),
+            newraw AS (
+              SELECT doc_id, CASE WHEN doc_id % 7 = 0
+                                  THEN text || ' updated' ELSE text END AS text
+              FROM documents WHERE doc_id % 11 != 0
+              UNION ALL
+              SELECT doc_id + 5000, text FROM documents WHERE doc_id % 13 = 0
+            ),
+            n AS (SELECT doc_id AS key, md5({_NORM}) AS new_fingerprint
+                  FROM newraw)
+            SELECT coalesce(o.key, n.key) AS key,
+                   CASE WHEN o.key IS NULL THEN 'added'
+                        WHEN n.key IS NULL THEN 'removed'
+                        WHEN old_fingerprint = new_fingerprint THEN 'same'
+                        ELSE 'changed' END AS status,
+                   old_fingerprint, new_fingerprint
+            FROM o FULL JOIN n ON o.key = n.key
         """,
         "inverted_index": f"""
             WITH corpus AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["normalize_url", "url_table"]
+__all__ = ["normalize_url", "url_table", "extract_links", "snapshot_diff"]
 
 _FRAGMENT = r"#.*$"
 # anchored to a real [?&] separator (kept via the capture group — '$1' in
@@ -67,4 +67,75 @@ def url_table(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
         norm.alias("url_norm"),
         host.alias("host"),
         domain.alias("domain"),
+    )
+
+
+def extract_links(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """Anchor extraction: one row per ``<a href>`` in the page HTML —
+    (id, href, anchor_text) — the edge source for the web link graph
+    (``graph.pagerank`` / ``graph.degree_stats`` consume the result
+    after ``normalize_url``).
+
+    Two single-group regex passes over the same anchor pattern (DuckDB's
+    regexp_extract_all returns one group per call, so the oracle needs
+    the split anyway); the pattern lives in the Java-regex ∩ RE2 common
+    subset (no lookaround/backrefs — see operators/pii.py for the same
+    cross-engine contract). ``arrays_zip`` pairs the two captures
+    positionally — both passes see identical match sites by
+    construction. Pure per-row map + explode: zero shuffle at any corpus
+    size. Pages without links emit no rows (inner explode is
+    deliberate); anchor text is the raw inner text (may be '').
+    """
+    href_pat = r'<a [^>]*href="([^"]*)"[^>]*>[^<]*</a>'
+    text_pat = r'<a [^>]*href="[^"]*"[^>]*>([^<]*)</a>'
+    h = F.coalesce(F.col(html_col), F.lit(""))
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(h, F.lit(href_pat), 1).alias("href"),
+        F.regexp_extract_all(h, F.lit(text_pat), 1).alias("anchor_text"),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(pairs).alias("l")
+    ).select("id", F.col("l.href").alias("href"), F.col("l.anchor_text").alias("anchor_text"))
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    key_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Crawl-to-crawl change detection: per url (key), classify the new
+    snapshot against the old as ``added`` | ``removed`` | ``changed`` |
+    ``same`` by content fingerprint (md5 of normalized text).
+
+    The per-ingest report every incremental crawl pipeline logs (and the
+    input to re-crawl scheduling: 'changed' urls get shorter revisit
+    intervals). One full outer equi-join on the url key — both sides
+    reduce to (key, fingerprint) projections first, so the shuffle ships
+    32-char digests, not page bodies; AQE skew-splits hot keys. Each
+    side is assumed already deduplicated per key (run
+    ``dedup.latest_by_key`` first on multi-fetch tables).
+
+    Output: (key, status, old_fingerprint, new_fingerprint) — NULL
+    fingerprint on the side where the url is absent.
+    """
+    from dss_plugin_nlp_analysis_spark.operators.dedup import fingerprint
+
+    o = old_df.select(
+        F.col(key_col).alias("key"),
+        fingerprint(F.col(text_col)).alias("old_fingerprint"),
+    )
+    n = new_df.select(
+        F.col(key_col).alias("key"),
+        fingerprint(F.col(text_col)).alias("new_fingerprint"),
+    )
+    return o.join(n, "key", "full").select(
+        "key",
+        F.when(F.col("old_fingerprint").isNull(), F.lit("added"))
+        .when(F.col("new_fingerprint").isNull(), F.lit("removed"))
+        .when(F.col("old_fingerprint") == F.col("new_fingerprint"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        "old_fingerprint",
+        "new_fingerprint",
     )

@@ -209,3 +209,45 @@ def test_collocations_confidence_ordering(spark):
     got = [(r["gram"], r["c_xy"], r["c_x"], r["conf_micro"]) for r in rows]
     assert got[0] == ("new york", 3, 3, 1000000)
     assert ("san francisco", 2, 3, 666666) in got
+
+
+def test_extract_links(spark):
+    from dss_plugin_nlp_analysis_spark.operators.url import extract_links
+
+    pages = spark.createDataFrame(
+        [
+            (1, '<p>x</p><a href="https://a.com/1">first</a> mid '
+                '<a rel="nofollow" href="/b">second link</a>'),
+            (2, "no links here"),
+            (3, None),
+            (4, '<a href="https://c.com/">'  "</a>"),   # empty anchor text
+        ],
+        "id long, html string",
+    )
+    got = [(r["id"], r["href"], r["anchor_text"])
+           for r in extract_links(pages, "id", "html").collect()]
+    assert sorted(got) == [
+        (1, "/b", "second link"),
+        (1, "https://a.com/1", "first"),
+        (4, "https://c.com/", ""),
+    ]
+
+
+def test_snapshot_diff_statuses(spark):
+    from dss_plugin_nlp_analysis_spark.operators.url import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("u1", "alpha"), ("u2", "beta"), ("u3", "gamma")], "url string, text string"
+    )
+    new = spark.createDataFrame(
+        [("u1", "ALPHA  "), ("u3", "gamma prime"), ("u4", "delta")],
+        "url string, text string",
+    )
+    got = {r["key"]: r["status"]
+           for r in snapshot_diff(old, new, "url", "text").collect()}
+    assert got == {
+        "u1": "same",       # normalization: case/whitespace-insensitive
+        "u2": "removed",
+        "u3": "changed",
+        "u4": "added",
+    }
