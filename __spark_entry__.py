@@ -1266,6 +1266,33 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(docs, new, "doc_id", "text")
 
 
+def _q_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS: every node within 2 directed hops of seed users 0-4,
+    with the shortest hop count — unrolled frontier joins with per-round
+    lineage cuts; oracle = the same two frontier expansions as CTEs."""
+    from dss_plugin_nlp_analysis_spark.operators.graph import k_hop
+
+    ev = load_table(spark, sf_dir, "events")
+    seeds = ev.select(F.col("user_id").alias("node")).where(F.col("node") < 5)
+    return k_hop(_link_edges(spark, sf_dir), seeds, k=2)
+
+
+def _q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram (cluster_size -> n_clusters) over
+    the full minhash -> connected-components chain — the dedup report a
+    pipeline logs per ingest (how much mass sits in big clusters)."""
+    from dss_plugin_nlp_analysis_spark.operators.dedup import cluster_dedup
+
+    corpus = _dup_corpus(spark, sf_dir, mutate=True)
+    clusters = cluster_dedup(corpus, "id", "t", num_hashes=8, bands=4, n=3)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
 def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 word bigrams — executed as TakeOrderedAndProject
     (per-partition k-row heaps), never a full sort; ties broken by gram
@@ -1352,6 +1379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocs": _q_collocs,
         "extract_links": _q_extract_links,
         "snapshot_diff": _q_snapshot_diff,
+        "k_hop": _q_k_hop,
+        "component_sizes": _q_component_sizes,
         "tag_doc_pivot": _q_tag_doc_pivot,
         "corpus_profile": _q_corpus_profile,
         "tag_doc_details": _q_tag_doc_details,
@@ -1464,6 +1493,21 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN lang = '{v}' THEN {_threshold(f)}"
         for v, f in sorted(_SAMPLE_FRACTIONS.items())
     ) + f" ELSE {_threshold(1.0)} END"
+    d = _oracle_dict(pat, onto, lm_values, lm_oov, thr_case)
+    # component_sizes = the dup_clusters result folded twice (cluster ->
+    # size -> histogram); reuse the recursive-CTE oracle as a subquery so
+    # the two gates can never drift apart
+    d["component_sizes"] = f"""
+        SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM (
+          SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM (
+            {d['dup_clusters']}
+          ) GROUP BY cluster_id
+        ) GROUP BY cluster_size
+    """
+    return d
+
+
+def _oracle_dict(pat, onto, lm_values, lm_oov, thr_case) -> dict[str, str]:
     return {
         "stratified_sample": f"""
             -- md5(seed|id) first 15 hex as int (matches Spark conv(...,16,10)
@@ -2933,6 +2977,24 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(out_degree, 0) + coalesce(in_degree, 0)
                      AS total_degree
             FROM o FULL JOIN i ON o.node = i.node
+        """,
+        # bounded BFS from seed users 0-4: two unrolled frontier
+        # expansions, each minus the already-visited set
+        "k_hop": f"""
+            WITH {_LINK_EDGES},
+            seeds AS (SELECT DISTINCT user_id AS node FROM events
+                      WHERE user_id < 5),
+            v0 AS (SELECT node, 0 AS hops FROM seeds),
+            f1 AS (SELECT DISTINCT e.dst AS node
+                   FROM e JOIN v0 ON v0.node = e.src
+                   WHERE e.dst NOT IN (SELECT node FROM v0)),
+            v1 AS (SELECT node, hops FROM v0
+                   UNION ALL SELECT node, 1 FROM f1),
+            f2 AS (SELECT DISTINCT e.dst AS node
+                   FROM e JOIN f1 ON f1.node = e.src
+                   WHERE e.dst NOT IN (SELECT node FROM v1))
+            SELECT node, hops FROM v1
+            UNION ALL SELECT node, 2 FROM f2
         """,
         # decontamination: benchmark = docs with doc_id % 37 == 0; a doc's
         # n_hits counts its 3-gram OCCURRENCES present in the benchmark's

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "degree_stats", "triangle_count"]
+__all__ = ["pagerank", "degree_stats", "triangle_count", "k_hop"]
 
 
 def pagerank(
@@ -223,3 +223,55 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     return wedges.join(closing, ["v1", "v2"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def k_hop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    k: int = 2,
+    node_col: str = "node",
+) -> DataFrame:
+    """Bounded BFS: (node, hops) for every node reachable from the seed
+    set within ``k`` directed hops; hops = shortest distance (0 for the
+    seeds themselves).
+
+    The KG-neighborhood query behind entity-context expansion ("every
+    entity within 2 hops of these seed entities") and crawl frontier
+    scoping. k is a small constant, so the loop unrolls to k equi-joins —
+    per round: frontier ⋈ edges (src-keyed; AQE skew-splits hubs), an
+    anti-join against the visited set to keep the frontier minimal, and a
+    lineage cut (``localCheckpoint`` — see the module doc; per-round
+    growth would otherwise double the plan). Visited stays
+    (node, hops)-sized — bounded by the reachable set, not the edge
+    count. Distances are set on FIRST discovery and never revisited, so
+    the result is the true shortest-hop count without any min-merge.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    visited = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for depth in range(1, k + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(depth))
+        )
+        frontier = nxt.localCheckpoint()
+        visited = visited.union(frontier).localCheckpoint()
+    return visited

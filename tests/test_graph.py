@@ -251,3 +251,33 @@ def test_snapshot_diff_statuses(spark):
         "u3": "changed",
         "u4": "added",
     }
+
+
+def test_k_hop_shortest_distances(spark):
+    from dss_plugin_nlp_analysis_spark.operators.graph import k_hop
+
+    #  1 -> 2 -> 3 -> 4,  1 -> 3 (shortcut),  5 isolated seed, 4 -> 1 cycle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (4, 1)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], "node long")
+    got = {r["node"]: r["hops"] for r in k_hop(edges, seeds, k=2).collect()}
+    # 3 is at hop 1 via the shortcut, NOT hop 2; 4 at hop 2; 5 stays hop 0
+    assert got == {1: 0, 5: 0, 2: 1, 3: 1, 4: 2}
+
+    # k=0: seeds only
+    got0 = {r["node"]: r["hops"] for r in k_hop(edges, seeds, k=0).collect()}
+    assert got0 == {1: 0, 5: 0}
+
+    # cycle safety: deeper k revisits nothing, hop counts unchanged
+    got4 = {r["node"]: r["hops"] for r in k_hop(edges, seeds, k=4).collect()}
+    assert got4 == {1: 0, 5: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_k_hop_rejects_negative(spark):
+    from dss_plugin_nlp_analysis_spark.operators.graph import k_hop
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(ValueError):
+        k_hop(edges, seeds, k=-1)
