@@ -1293,6 +1293,20 @@ def _q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ["window", "stream", "merge", "scan", "sort"]
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized BM25 top-15 for a 5-term query: micro-int idf +
+    scaled-int64 tf saturation (early floor divisions — see
+    invindex.bm25_topk's determinism contract), ties broken by id."""
+    from dss_plugin_nlp_analysis_spark.operators.invindex import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=15)
+    return out.select(F.col("id").alias("doc_id"), "score_micro")
+
+
 def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 word bigrams — executed as TakeOrderedAndProject
     (per-partition k-row heaps), never a full sort; ties broken by gram
@@ -1381,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "k_hop": _q_k_hop,
         "component_sizes": _q_component_sizes,
+        "bm25": _q_bm25,
         "tag_doc_pivot": _q_tag_doc_pivot,
         "corpus_profile": _q_corpus_profile,
         "tag_doc_details": _q_tag_doc_details,
@@ -2977,6 +2992,41 @@ def _oracle_dict(pat, onto, lm_values, lm_oov, thr_case) -> dict[str, str]:
                    coalesce(out_degree, 0) + coalesce(in_degree, 0)
                      AS total_degree
             FROM o FULL JOIN i ON o.node = i.node
+        """,
+        # integer-quantized BM25 (k1=1.2 b=0.75): micro-int Robertson idf
+        # (round absorbs libm ULPs — tfidf precedent) + all-int64 tf
+        # saturation with the same early floor divisions as the engine
+        "bm25": f"""
+            WITH corpus AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),
+            dlt AS (SELECT id, CASE WHEN t = '' THEN 0
+                                    ELSE len(string_split(t, ' ')) END AS dl
+                    FROM corpus),
+            stats AS (SELECT count(*) AS n,
+                             (sum(dl) // count(*))::BIGINT AS avgdl FROM dlt),
+            tf AS (
+              SELECT id, w AS token, count(*) AS tf FROM (
+                SELECT id, unnest(string_split(t, ' ')) AS w
+                FROM corpus WHERE t != ''
+              ) WHERE w IN ({", ".join("'" + t + "'" for t in _BM25_TERMS)})
+              GROUP BY id, w
+            ),
+            dfc AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
+            idf AS (
+              SELECT token,
+                     round(ln(1.0 + (n - dfc + 0.5) / (dfc + 0.5))
+                           * 1e6)::BIGINT AS idf_micro
+              FROM dfc, stats
+            ),
+            contrib AS (
+              SELECT tf.id,
+                     (idf_micro * ((22 * tf * 1000000)
+                        // (10 * tf + 3 + (9 * dl) // avgdl))) // 1000000 AS c
+              FROM tf JOIN dlt ON dlt.id = tf.id
+                      JOIN idf USING (token), stats
+            )
+            SELECT id AS doc_id, sum(c)::BIGINT AS score_micro
+            FROM contrib GROUP BY id
+            ORDER BY score_micro DESC, doc_id LIMIT 15
         """,
         # bounded BFS from seed users 0-4: two unrolled frontier
         # expansions, each minus the already-visited set

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from dss_plugin_nlp_analysis_spark.operators.dedup import exploded_shingles
 
-__all__ = ["inverted_index"]
+__all__ = ["inverted_index", "bm25_topk"]
 
 
 def inverted_index(
@@ -57,4 +57,102 @@ def inverted_index(
         .groupBy("token", "df")
         .agg(F.sort_array(F.collect_list("id")).alias("doc_ids"))
         .select("token", "df", "doc_ids")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k documents for a term query under an integer-quantized BM25
+    (k1 = 1.2, b = 0.75, Robertson idf) — the retrieval scorer next to
+    ``inverted_index``.
+
+    Determinism contract (same discipline as the micro-nat LM scores):
+    idf is materialized once per term as ``round(ln(1 + (N-df+0.5)/(df+0.5))·1e6)``
+    (round-to-micro absorbs libm ULP differences — the tfidf_top
+    precedent), and the tf saturation ratio ``(k1+1)·tf / (tf + k1·(1-b
+    + b·dl/avgdl))`` is evaluated in scaled int64 with EARLY floor
+    divisions::
+
+        q_micro = (22·tf·1e6) div (10·tf + 3 + (9·dl) div avgdl)
+        contribution = (idf_micro · q_micro) div 1e6
+        score_micro  = Σ contribution          (order-free integer sum)
+
+    The early ``(9·dl) div avgdl`` quantizes the length normalization to
+    ~1/avgdl relative error — a deliberate trade: exact rational BM25
+    would overflow int64 at web-scale document lengths, and float BM25
+    would make the ranking partition-order- and libm-dependent. avgdl =
+    ``total_tokens div N`` (integer).
+
+    Scale shape: tokens are FILTERED TO THE QUERY TERMS before the tf
+    groupBy (the explode never materializes non-query tokens past the
+    filter), the df/idf table is query-sized (broadcast), the corpus
+    stats are a 1-row broadcast, and the final top-k is
+    ``ORDER BY ... LIMIT`` → TakeOrderedAndProject. The only corpus-wide
+    shuffles are the (id, token) tf groupBy and the per-doc score sum,
+    both map-side combinable and id-keyed (no skew: a document scores
+    once per query term at most).
+
+    Output: (id, score_micro), ties broken by id ascending. Documents
+    containing none of the query terms never appear.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    from dss_plugin_nlp_analysis_spark.operators.textstats import (
+        token_count,
+        word_tokens,
+    )
+
+    dlt = df.select(
+        F.col(id_col).alias("id"), token_count(F.col(text_col)).alias("dl")
+    )
+    stats = dlt.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
+    ).select("n", F.expr("total div n").alias("avgdl"))
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_tokens(F.col(text_col))).alias("token"),
+        )
+        .where(F.col("token").isin(query_terms))
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
+    idf = dfc.crossJoin(F.broadcast(stats.select("n"))).select(
+        "token",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n") - F.col("dfc") + F.lit(0.5))
+                / (F.col("dfc") + F.lit(0.5))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    contrib = (
+        tf.join(dlt, "id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .join(F.broadcast(idf), "token")
+        .select(
+            "id",
+            F.expr(
+                "(idf_micro * ((22 * tf * 1000000)"
+                " div (10 * tf + 3 + (9 * dl) div avgdl)))"
+                " div 1000000"
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("id")
+        .agg(F.sum("c").alias("score_micro"))
+        .orderBy(F.col("score_micro").desc(), F.col("id"))
+        .limit(k)
     )

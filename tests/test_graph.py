@@ -281,3 +281,52 @@ def test_k_hop_rejects_negative(spark):
     seeds = spark.createDataFrame([(1,)], "node long")
     with pytest.raises(ValueError):
         k_hop(edges, seeds, k=-1)
+
+
+def test_bm25_matches_python_mirror(spark):
+    import math
+
+    from dss_plugin_nlp_analysis_spark.operators.invindex import bm25_topk
+
+    corpus = [
+        (1, "spark engine spark engine spark"),   # tf(spark)=3, dl=5
+        (2, "spark engine"),                      # shorter, tf=1
+        (3, "engine engine engine engine"),       # no 'spark'
+        (4, "spark"),                             # shortest
+        (5, "nothing relevant here at all okay"),
+    ]
+    query = ["spark", "engine"]
+
+    def py_bm25(corpus, query, k):
+        toks = {i: t.split() for i, t in corpus}
+        dl = {i: len(ws) for i, ws in toks.items()}
+        n = len(corpus)
+        avgdl = sum(dl.values()) // n
+        scores = {}
+        for term in query:
+            dfc = sum(1 for ws in toks.values() if term in ws)
+            if dfc == 0:
+                continue
+            idf = round(math.log(1.0 + (n - dfc + 0.5) / (dfc + 0.5)) * 1e6)
+            for i, ws in toks.items():
+                tf = ws.count(term)
+                if tf == 0:
+                    continue
+                q = (22 * tf * 1000000) // (10 * tf + 3 + (9 * dl[i]) // avgdl)
+                scores[i] = scores.get(i, 0) + (idf * q) // 1000000
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    df = spark.createDataFrame(corpus, "id long, text string")
+    got = [(r["id"], r["score_micro"])
+           for r in bm25_topk(df, "id", "text", query, k=4).collect()]
+    assert got == py_bm25(corpus, query, 4)
+    # behavioral sanity: doc 5 (no query terms) never appears
+    assert 5 not in {i for i, _ in got}
+
+
+def test_bm25_rejects_empty_query(spark):
+    from dss_plugin_nlp_analysis_spark.operators.invindex import bm25_topk
+
+    df = spark.createDataFrame([(1, "a")], "id long, text string")
+    with pytest.raises(ValueError):
+        bm25_topk(df, "id", "text", [])
