@@ -298,9 +298,16 @@ def run_scaling() -> dict:
     leg_replicas = {n: replicas, four_n: replicas if mode == "strong" else replicas * four_n // n}
     legs: dict[int, list[dict]] = {n: [], four_n: []}
     # interleave legs and keep the best run per leg — the sandbox host is
-    # shared, so min-over-repeats filters external load spikes
-    for _ in range(repeats):
-        for cores in (n, four_n):
+    # shared, so min-over-repeats filters external load spikes. The order
+    # ALTERNATES per repeat and a settle pause precedes every leg: a fixed
+    # (n, 4n) order always ran the 4n leg inside the n leg's load decay
+    # (measured: load_before 7.6 on the 4n leg vs 0.2 on the n leg),
+    # biasing efficiency systematically DOWN.
+    settle = int(os.environ.get("KG_SCALING_SETTLE_SEC", "25"))
+    for rep in range(repeats):
+        order = (n, four_n) if rep % 2 == 0 else (four_n, n)
+        for cores in order:
+            time.sleep(settle)
             res = subprocess.run(
                 [_sys.executable, __file__, "--scaling-leg", str(cores), str(leg_replicas[cores])],
                 capture_output=True, text=True, check=True,
