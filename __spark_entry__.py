@@ -1277,6 +1277,33 @@ def _q_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_hop(_link_edges(spark, sf_dir), seeds, k=2)
 
 
+def _q_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural entity-resolution candidates: neighbor-set Jaccard (in
+    integer ppm) for node pairs of the link graph sharing >= 30
+    undirected neighbors, with hub pivots (degree > 100) excluded from
+    wedge generation — the ngram_jaccard posting-cap trade restated on
+    graph structure."""
+    from dss_plugin_nlp_analysis_spark.operators.graph import neighbor_jaccard
+
+    return neighbor_jaccard(
+        _link_edges(spark, sf_dir), min_shared=30, max_hub_degree=100
+    )
+
+
+def _q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13-core of the sparsified link graph (every 5th event): three
+    fixed peel rounds (>= the measured convergence depth) so the oracle
+    can unroll the identical peels as CTEs; survivors report their
+    in-core degree."""
+    from dss_plugin_nlp_analysis_spark.operators.graph import k_core
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.where(F.col("event_id") % 5 == 0).select(
+        F.col("user_id").alias("src"), (F.col("event_id") % 150).alias("dst")
+    )
+    return k_core(edges, k=13, fixed_rounds=3)
+
+
 def _q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster size histogram (cluster_size -> n_clusters) over
     the full minhash -> connected-components chain — the dedup report a
@@ -1394,6 +1421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": _q_extract_links,
         "snapshot_diff": _q_snapshot_diff,
         "k_hop": _q_k_hop,
+        "node_jaccard": _q_node_jaccard,
+        "k_core": _q_k_core,
         "component_sizes": _q_component_sizes,
         "bm25": _q_bm25,
         "tag_doc_pivot": _q_tag_doc_pivot,
@@ -3045,6 +3074,68 @@ def _oracle_dict(pat, onto, lm_values, lm_oov, thr_case) -> dict[str, str]:
                    WHERE e.dst NOT IN (SELECT node FROM v1))
             SELECT node, hops FROM v1
             UNION ALL SELECT node, 2 FROM f2
+        """,
+        # structural Jaccard: same wedge formulation — symmetric adjacency,
+        # pivot rows capped at degree 100 BEFORE the self-join, int-ppm
+        # similarity ((1e6*|∩|) // |∪| — floor division on both engines)
+        "node_jaccard": f"""
+            WITH {_LINK_EDGES},
+            und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+                    FROM e GROUP BY 1, 2),
+            adj AS (SELECT a AS node, b AS nbr FROM und
+                    UNION ALL SELECT b, a FROM und),
+            deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+            piv AS (SELECT adj.nbr AS via, adj.node FROM adj
+                    JOIN deg ON deg.node = adj.nbr WHERE deg.deg <= 100),
+            inter AS (
+              SELECT w1.node AS node_a, w2.node AS node_b,
+                     count(*) AS shared
+              FROM piv w1 JOIN piv w2
+                ON w1.via = w2.via AND w1.node < w2.node
+              GROUP BY 1, 2 HAVING count(*) >= 30
+            )
+            SELECT node_a, node_b, shared, da.deg AS deg_a, db.deg AS deg_b,
+                   (1000000 * shared) // (da.deg + db.deg - shared)
+                     AS jaccard_ppm
+            FROM inter
+            JOIN deg da ON da.node = inter.node_a
+            JOIN deg db ON db.node = inter.node_b
+        """,
+        # 13-core, three unrolled peel rounds over the sparsified (every
+        # 5th event) link graph — identical fixed_rounds semantics
+        "k_core": """
+            WITH es AS (SELECT DISTINCT user_id AS src,
+                               event_id % 150 AS dst
+                        FROM events
+                        WHERE user_id != event_id % 150
+                          AND event_id % 5 = 0),
+            e0 AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+                   FROM es GROUP BY 1, 2),
+            d0 AS (SELECT node, count(*) AS deg FROM (
+                     SELECT a AS node FROM e0
+                     UNION ALL SELECT b FROM e0) GROUP BY node),
+            k0 AS (SELECT node FROM d0 WHERE deg >= 13),
+            e1 AS (SELECT a, b FROM e0
+                   WHERE a IN (SELECT node FROM k0)
+                     AND b IN (SELECT node FROM k0)),
+            d1 AS (SELECT node, count(*) AS deg FROM (
+                     SELECT a AS node FROM e1
+                     UNION ALL SELECT b FROM e1) GROUP BY node),
+            k1 AS (SELECT node FROM d1 WHERE deg >= 13),
+            e2 AS (SELECT a, b FROM e1
+                   WHERE a IN (SELECT node FROM k1)
+                     AND b IN (SELECT node FROM k1)),
+            d2 AS (SELECT node, count(*) AS deg FROM (
+                     SELECT a AS node FROM e2
+                     UNION ALL SELECT b FROM e2) GROUP BY node),
+            k2 AS (SELECT node FROM d2 WHERE deg >= 13),
+            e3 AS (SELECT a, b FROM e2
+                   WHERE a IN (SELECT node FROM k2)
+                     AND b IN (SELECT node FROM k2)),
+            d3 AS (SELECT node, count(*) AS deg FROM (
+                     SELECT a AS node FROM e3
+                     UNION ALL SELECT b FROM e3) GROUP BY node)
+            SELECT node, deg AS core_degree FROM d3 WHERE deg >= 13
         """,
         # decontamination: benchmark = docs with doc_id % 37 == 0; a doc's
         # n_hits counts its 3-gram OCCURRENCES present in the benchmark's

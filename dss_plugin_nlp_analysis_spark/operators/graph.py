@@ -41,7 +41,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "degree_stats", "triangle_count", "k_hop"]
+__all__ = [
+    "pagerank",
+    "degree_stats",
+    "triangle_count",
+    "k_hop",
+    "neighbor_jaccard",
+    "k_core",
+]
 
 
 def pagerank(
@@ -222,6 +229,165 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
     return wedges.join(closing, ["v1", "v2"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    min_shared: int = 1,
+    max_hub_degree: int | None = None,
+) -> DataFrame:
+    """Structural node similarity: for every node pair sharing at least
+    ``min_shared`` undirected neighbors, the Jaccard of their neighbor
+    sets — the standard entity-resolution candidate generator over an
+    alias/link graph ("two surface forms that link to the same pages are
+    probably the same entity"), complementing the content-side
+    MinHash/SimHash family with a purely structural signal.
+
+    Returns (node_a, node_b, shared, deg_a, deg_b, jaccard_ppm) with
+    node_a < node_b. ``jaccard_ppm`` is the similarity in integer parts
+    per million — ``(1e6 * |∩|) div (|A| + |B| - |∩|)`` — an int64
+    floor-division both Spark (``div``) and ANSI engines (``//``)
+    evaluate identically, so results value-hash across engines
+    (doubles would tie-break differently across libm builds).
+
+    Scale shape: pair candidates come from a wedge self-join on the
+    SHARED neighbor — never an all-pairs cross. A hub neighbor shared by
+    d nodes contributes d² wedges, so ``max_hub_degree`` drops
+    hub *pivots* (degree > cap) from wedge generation BEFORE the
+    self-join, the same posting-list cap as ngram_jaccard
+    (operators/dedup.py): a page linked by millions of entities carries
+    no discriminative signal but would dominate the shuffle. Degrees in
+    deg_a/deg_b stay the TRUE degrees (cap changes candidate recall,
+    never the reported similarity of surviving pairs). Everything is
+    equi-joins + map-side-combinable counts; AQE skew-splits what
+    remains.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # symmetric adjacency (node, nbr)
+    adj = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).union(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    pivots = adj.select(F.col("nbr").alias("via"), F.col("node"))
+    if max_hub_degree is not None:
+        ok = deg.where(F.col("deg") <= max_hub_degree).select(
+            F.col("node").alias("via")
+        )
+        pivots = pivots.join(ok, "via")
+    w1 = pivots.select("via", F.col("node").alias("node_a"))
+    w2 = pivots.select("via", F.col("node").alias("node_b"))
+    inter = (
+        w1.join(w2, "via")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    return (
+        inter.join(deg.select(F.col("node").alias("node_a"), F.col("deg").alias("deg_a")), "node_a")
+        .join(deg.select(F.col("node").alias("node_b"), F.col("deg").alias("deg_b")), "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "shared",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "(cast(1000000 as bigint) * shared)"
+                " div (deg_a + deg_b - shared)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    k: int = 2,
+    max_rounds: int = 20,
+    fixed_rounds: int | None = None,
+) -> DataFrame:
+    """Nodes of the k-core of the undirected simple graph: iteratively
+    peel nodes with degree < k until none remain, returning
+    (node, core_degree) for survivors with their degree INSIDE the core.
+
+    The dense-subgraph filter a KG build runs before expensive
+    entity-clustering passes: peripheral one-link aliases (the long tail
+    of a crawl's alias graph) peel away, leaving the richly-connected
+    hub where canonicalization decisions actually interact. Classic
+    k-core peeling (public: Batagelj-Zaversnik 2003), expressed as a
+    bounded DataFrame fixpoint.
+
+    Per round: one map-side-combinable degree count over the surviving
+    adjacency + one semi-join to keep qualifying endpoints — edge-keyed
+    equi-joins only, no windows. Lineage is cut per round with
+    ``localCheckpoint`` (see module doc — persist() does not cut
+    lineage and the doubled per-round plan OOMs the driver around round
+    20). Convergence is detected when a round removes nothing
+    (count == previous count — a node-sized scan, not an edge scan).
+
+    ``fixed_rounds`` runs EXACTLY that many peels with no convergence
+    probe — the deterministic bounded variant an unrolled-CTE oracle can
+    replicate; converged results are identical whenever fixed_rounds >=
+    the peel depth. Raises if max_rounds rounds don't converge
+    (adversarial graphs peel one layer per round; callers raise
+    max_rounds, never silently return a partial core).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        adj = e.select(F.col("a").alias("node")).union(
+            e.select(F.col("b").alias("node"))
+        )
+        return adj.groupBy("node").agg(F.count(F.lit(1)).alias("core_degree"))
+
+    def peel(e: DataFrame) -> DataFrame:
+        keep = degrees(e).where(F.col("core_degree") >= k).select("node")
+        return (
+            e.join(keep.withColumnRenamed("node", "a"), "a")
+            .join(keep.withColumnRenamed("node", "b"), "b")
+            .select("a", "b")
+        )
+
+    if fixed_rounds is not None:
+        e = und
+        for _ in range(fixed_rounds):
+            e = peel(e).localCheckpoint()
+        return degrees(e).where(F.col("core_degree") >= k)
+
+    e = und
+    prev_edges = e.count()
+    for _ in range(max_rounds):
+        e = peel(e).localCheckpoint()
+        n = e.count()
+        if n == prev_edges:
+            return degrees(e).where(F.col("core_degree") >= k)
+        prev_edges = n
+    raise RuntimeError(
+        f"k_core did not converge in {max_rounds} rounds; raise max_rounds"
     )
 
 

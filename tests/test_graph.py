@@ -330,3 +330,134 @@ def test_bm25_rejects_empty_query(spark):
     df = spark.createDataFrame([(1, "a")], "id long, text string")
     with pytest.raises(ValueError):
         bm25_topk(df, "id", "text", [])
+
+
+# --- neighbor_jaccard / k_core -------------------------------------------
+
+
+def py_neighbor_jaccard(edges, min_shared=1, max_hub_degree=None):
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(ns) for n, ns in adj.items()}
+    out = {}
+    for via, members in adj.items():
+        if max_hub_degree is not None and deg[via] > max_hub_degree:
+            continue
+        ms = sorted(members)
+        for i, x in enumerate(ms):
+            for y in ms[i + 1:]:
+                out[(x, y)] = out.get((x, y), 0) + 1
+    res = []
+    for (x, y), shared in sorted(out.items()):
+        if shared < min_shared:
+            continue
+        union = deg[x] + deg[y] - shared
+        res.append((x, y, shared, deg[x], deg[y], (1_000_000 * shared) // union))
+    return res
+
+
+def test_neighbor_jaccard_matches_python_reference(spark):
+    from dss_plugin_nlp_analysis_spark.operators.graph import neighbor_jaccard
+
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5), (5, 1),
+             (6, 1), (6, 2), (6, 3), (7, 7), (2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(
+        tuple(r) for r in neighbor_jaccard(df, min_shared=1).collect()
+    )
+    assert got == py_neighbor_jaccard(edges)
+
+
+def test_neighbor_jaccard_hub_cap_drops_pivot_not_pairs(spark):
+    from dss_plugin_nlp_analysis_spark.operators.graph import neighbor_jaccard
+
+    # star: hub 0 connected to 1..5 (deg 5); plus edge 1-2 so pair (1,2)
+    # also shares pivot-eligible neighbors? no: 1's nbrs={0,2}, 2's={0,1}.
+    # With cap=3 the hub can't pivot; only shared neighbor of any pair was
+    # the hub -> pairs via hub vanish, but pairs via low-degree pivots stay.
+    edges = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    uncapped = sorted(tuple(r) for r in neighbor_jaccard(df).collect())
+    assert uncapped == py_neighbor_jaccard(edges)
+    capped = sorted(
+        tuple(r) for r in neighbor_jaccard(df, max_hub_degree=3).collect()
+    )
+    assert capped == py_neighbor_jaccard(edges, max_hub_degree=3)
+    # the hub-pivot pairs (e.g. (3,4) sharing only node 0) are gone
+    assert any(r[0] == 3 and r[1] == 4 for r in uncapped)
+    assert not any(r[0] == 3 and r[1] == 4 for r in capped)
+    # true degrees reported even under cap: pair (0,1) pivots through node
+    # 2 and still reports the hub's TRUE degree 5
+    pair01 = next(r for r in capped if (r[0], r[1]) == (0, 1))
+    assert (pair01[3], pair01[4]) == (5, 2)
+
+
+def py_k_core(edges, k, rounds=None):
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    e = set(und)
+    i = 0
+    while True:
+        deg = {}
+        for a, b in e:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        ne = {(a, b) for a, b in e if a in keep and b in keep}
+        i += 1
+        if rounds is not None and i >= rounds:
+            e = ne
+            break
+        if ne == e:
+            break
+        e = ne
+    deg = {}
+    for a, b in e:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return sorted((n, d) for n, d in deg.items() if d >= k)
+
+
+def test_k_core_peels_pendants(spark):
+    from dss_plugin_nlp_analysis_spark.operators.graph import k_core
+
+    # triangle 1-2-3 plus a pendant chain 3-4-5: 2-core = the triangle
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted((r["node"], r["core_degree"]) for r in k_core(df, k=2).collect())
+    assert got == [(1, 2), (2, 2), (3, 2)] == py_k_core(edges, 2)
+
+
+def test_k_core_fixed_rounds_matches_converged_when_deep_enough(spark):
+    from dss_plugin_nlp_analysis_spark.operators.graph import k_core
+
+    # chain of pendants peels one layer per round: needs 3 rounds
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    conv = sorted(tuple(r) for r in k_core(df, k=2).collect())
+    fixed = sorted(tuple(r) for r in k_core(df, k=2, fixed_rounds=4).collect())
+    assert conv == fixed == [(1, 2), (2, 2), (3, 2)]
+    # python reference with bounded rounds mirrors fixed_rounds
+    assert py_k_core(edges, 2, rounds=4) == fixed
+
+
+def test_k_core_empty_core(spark):
+    from dss_plugin_nlp_analysis_spark.operators.graph import k_core
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert k_core(df, k=3).count() == 0
+
+
+def test_k_core_rejects_bad_k_and_nonconvergence(spark):
+    from dss_plugin_nlp_analysis_spark.operators.graph import k_core
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        k_core(df, k=0)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError):
+        k_core(chain, k=2, max_rounds=2)
