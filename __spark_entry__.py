@@ -1277,6 +1277,80 @@ def _q_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_hop(_link_edges(spark, sf_dir), seeds, k=2)
 
 
+def _snapshot_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-snapshot crawl view of the documents table: url collapses
+    doc_id mod 500 (several docs = several crawls of one url), warc_ts =
+    2026-01-01 + (doc_id mod 17) days — deterministic on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("u"), (F.col("doc_id") % 500).cast("string")).alias("url"),
+        "text",
+        "lang",
+        F.expr(
+            "timestamp '2026-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, cast(doc_id % 17 as int), 0, 0, 0)"
+        ).alias("warc_ts"),
+    )
+
+
+def _q_triple_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal KG facts: triples from a multi-snapshot crawl collapsed
+    to (subj,pred,obj) -> first_seen/last_seen/n_snapshots/n_mentions —
+    one map-side-combinable groupBy on the triple key."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import triple_history
+
+    t = build_triples(
+        _snapshot_pages(spark, sf_dir),
+        kg_oracle_ontology_df(spark),
+        url_col="url",
+        text_col="text",
+        lang_col="lang",
+        ts_col="warc_ts",
+        category_col=None,
+    )
+    return triple_history(t)
+
+
+def _q_tag_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-mention edges at the tag (pred) level: unordered pairs
+    of tags mentioned in the same document with co-mentioning doc count
+    — distinct-then-self-equi-join, per-key blowup bounded by ontology
+    size."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import tag_cooccurrence
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = build_triples(
+        docs,
+        kg_oracle_ontology_df(spark),
+        url_col="doc_id",
+        text_col="text",
+        lang_col="lang",
+        ts_col=None,
+        category_col=None,
+    )
+    return tag_cooccurrence(t, obj="pred")
+
+
+def _q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corrupt-tail negatives (2 per positive, md5-drawn
+    from the 5-entity vocabulary, collisions dropped) over the demo-
+    ontology triples — pure map + broadcast dim join, retry-stable."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import negative_samples
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = build_triples(
+        docs,
+        demo_ontology_df(spark),
+        url_col="doc_id",
+        text_col="text",
+        lang_col="lang",
+        ts_col=None,
+        category_col=None,
+        canonicalize=False,
+    )
+    return negative_samples(t, n_per=2, seed="neg")
+
+
 def _q_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural entity-resolution candidates: neighbor-set Jaccard (in
     integer ppm) for node pairs of the link graph sharing >= 30
@@ -1423,6 +1497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_hop": _q_k_hop,
         "node_jaccard": _q_node_jaccard,
         "k_core": _q_k_core,
+        "triple_history": _q_triple_history,
+        "tag_cooc": _q_tag_cooc,
+        "kg_negatives": _q_kg_negatives,
         "component_sizes": _q_component_sizes,
         "bm25": _q_bm25,
         "tag_doc_pivot": _q_tag_doc_pivot,
@@ -3136,6 +3213,78 @@ def _oracle_dict(pat, onto, lm_values, lm_oov, thr_case) -> dict[str, str]:
                      SELECT a AS node FROM e3
                      UNION ALL SELECT b FROM e3) GROUP BY node)
             SELECT node, deg AS core_degree FROM d3 WHERE deg >= 13
+        """,
+        # temporal KG facts over the multi-snapshot view (url = doc_id%500,
+        # ts = 2026-01-01 + doc_id%17 days): same keyword->pred/obj mapping
+        # as the kg_triples oracle, then min/max/count-distinct per triple
+        "triple_history": r"""
+            WITH m AS (
+              SELECT 'u' || (doc_id % 500)::VARCHAR AS subj,
+                     TIMESTAMP '2026-01-01'
+                       + (doc_id % 17) * INTERVAL 1 DAY AS ts,
+                     unnest(regexp_extract_all(trim(text),
+                       '\b(window|stream|table scan)\b')) AS kw
+              FROM documents
+            ),
+            t AS (
+              SELECT subj,
+                     CASE kw WHEN 'window' THEN 'alpha_op'
+                             WHEN 'stream' THEN 'zeta_op'
+                             ELSE 'scan_op' END AS pred,
+                     CASE kw WHEN 'table scan' THEN 'scan_op'
+                             ELSE 'alpha_op' END AS obj,
+                     ts
+              FROM m
+            )
+            SELECT subj, pred, obj,
+                   min(ts) AS first_seen, max(ts) AS last_seen,
+                   count(DISTINCT ts) AS n_snapshots,
+                   count(*) AS n_mentions
+            FROM t GROUP BY 1, 2, 3
+        """,
+        # tag co-mention edges: distinct (doc, tag) pairs self-joined on
+        # the doc — same last-wins keyword->tag mapping as kg_triples
+        "tag_cooc": r"""
+            WITH m AS (
+              SELECT doc_id, unnest(regexp_extract_all(trim(text),
+                       '\b(window|stream|table scan)\b')) AS kw
+              FROM documents
+            ),
+            d AS (SELECT DISTINCT doc_id AS s,
+                    CASE kw WHEN 'window' THEN 'alpha_op'
+                            WHEN 'stream' THEN 'zeta_op'
+                            ELSE 'scan_op' END AS o
+                  FROM m)
+            SELECT a.o AS obj_a, b.o AS obj_b, count(*) AS n_docs
+            FROM d a JOIN d b ON a.s = b.s AND a.o < b.o
+            GROUP BY 1, 2
+        """,
+        # corrupt-tail negatives: md5('neg|rank|s|p|o') first-15-hex mod
+        # |entities| indexes a row_number'd entity vocabulary — identical
+        # integer math to sampling.sample_hash; collisions dropped
+        "kg_negatives": f"""
+            WITH {onto},
+            m AS (
+              SELECT doc_id, unnest(regexp_extract_all(trim(text), '{pat}')) AS kw
+              FROM documents
+            ),
+            tr AS (SELECT DISTINCT m.doc_id AS subj, o.tag AS pred,
+                          o.tag AS obj
+                   FROM m JOIN onto o ON o.keyword = m.kw),
+            ents AS (SELECT obj AS neg_obj,
+                            row_number() OVER (ORDER BY obj) - 1 AS _idx
+                     FROM (SELECT DISTINCT obj FROM tr)),
+            nn AS (SELECT count(*) AS c FROM ents),
+            k AS (
+              SELECT subj, pred, obj, r.neg_rank,
+                     ('0x' || substr(md5('neg|' || r.neg_rank::VARCHAR
+                        || '|' || subj::VARCHAR || '|' || pred || '|'
+                        || obj), 1, 15))::BIGINT % c AS _idx
+              FROM tr CROSS JOIN (VALUES (0), (1)) r(neg_rank), nn
+            )
+            SELECT subj, pred, obj, neg_obj, neg_rank
+            FROM k JOIN ents USING (_idx)
+            WHERE neg_obj != obj
         """,
         # decontamination: benchmark = docs with doc_id % 37 == 0; a doc's
         # n_hits counts its 3-gram OCCURRENCES present in the benchmark's

@@ -23,7 +23,14 @@ from ..functions.textnorm import normalize_text
 from .ontology import TagOptions, clean_ontology, compile_ontology
 from .tagger import extract_mentions, sentence_of
 
-__all__ = ["canonical_map", "build_triples", "TRIPLE_COLUMNS"]
+__all__ = [
+    "canonical_map",
+    "build_triples",
+    "triple_history",
+    "tag_cooccurrence",
+    "negative_samples",
+    "TRIPLE_COLUMNS",
+]
 
 TRIPLE_COLUMNS = [
     "subj", "pred", "obj", "keyword", "sentence", "sent_idx",
@@ -163,3 +170,155 @@ def build_triples(
     else:
         out = exploded.withColumn("obj", F.col("pred"))
     return out.select(*TRIPLE_COLUMNS)
+
+
+def triple_history(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Temporal KG fact table: collapse per-mention triples from many
+    crawl snapshots into one row per (subj, pred, obj) with its observed
+    validity interval — (first_seen, last_seen, n_snapshots, n_mentions).
+
+    This is the KG-side "latest/when" surface the crawl family already
+    has for pages (``latest_by_key``, ``snapshot_diff``): a fact that
+    stops appearing after some crawl is a candidate stale triple; one
+    seen in a single snapshot is low-confidence.
+
+    Scale shape: one groupBy on the triple key — min/max/count are all
+    map-side combinable; ``n_snapshots`` (count distinct ts) is the one
+    two-phase aggregate, keyed by the same triple key so it rides the
+    same exchange. No windows, no collects.
+    """
+    return triples.groupBy(
+        F.col(subj).alias("subj"),
+        F.col(pred).alias("pred"),
+        F.col(obj).alias("obj"),
+    ).agg(
+        F.min(ts_col).alias("first_seen"),
+        F.max(ts_col).alias("last_seen"),
+        F.count_distinct(F.col(ts_col)).alias("n_snapshots"),
+        F.count(F.lit(1)).alias("n_mentions"),
+    )
+
+
+def tag_cooccurrence(
+    triples: DataFrame,
+    subj: str = "subj",
+    obj: str = "obj",
+    *,
+    min_count: int = 1,
+) -> DataFrame:
+    """Entity co-mention edges: for every unordered pair of canonical
+    objects mentioned in the SAME subject document, the number of
+    co-mentioning documents — the relatedness graph a KG build feeds to
+    link prediction and to ontology curation (two tags that co-occur in
+    thousands of pages but share no ontology edge are a curation gap).
+
+    Returns (obj_a, obj_b, n_docs) with obj_a < obj_b.
+
+    Scale shape: DISTINCT (subj, obj) first (the mention table is the
+    big side; distinct collapses repeat mentions before any pairing),
+    then a self-equi-join on subj. Per-key blowup is bounded by the
+    ontology size — a document can co-mention at most |ontology| distinct
+    objects — so the join never degenerates the way an unbounded
+    token-level pairing would; AQE skew-splits tag-dense documents. The
+    final count is map-side combinable on (obj_a, obj_b).
+    """
+    d = triples.select(
+        F.col(subj).alias("s"), F.col(obj).alias("o")
+    ).distinct()
+    left = d.select("s", F.col("o").alias("obj_a"))
+    right = d.select("s", F.col("o").alias("obj_b"))
+    return (
+        left.join(right, "s")
+        .where(F.col("obj_a") < F.col("obj_b"))
+        .groupBy("obj_a", "obj_b")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_count)
+    )
+
+
+def negative_samples(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    *,
+    n_per: int = 1,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic corrupt-tail negative sampling for KG-embedding
+    training (TransE-style): for each distinct positive triple, ``n_per``
+    corrupted copies with the object replaced by a pseudo-random entity
+    drawn from the distinct-object vocabulary.
+
+    The draw is ``md5(seed#i|subj|pred|obj)`` mapped to an entity index —
+    the engine-portable construction shared with ``sampling.sample_hash``:
+    reproducible on any engine, stable under repartitioning and retries
+    (a pure function of the triple), and independent across ``seed``/rank
+    values. Corruptions that collide with the true object are dropped
+    (standard practice; a fixed per-row retry chain would buy little —
+    collision probability is 1/|entities|).
+
+    Returns (subj, pred, obj, neg_obj, neg_rank) with neg_rank in
+    [0, n_per) — rows whose draw collided are absent, so consumers see a
+    variable number of negatives per positive (documented, not padded).
+
+    Scale shape: the entity vocabulary of a KG is ontology-sized (it is
+    the canonical-node dimension, not the document corpus), so the
+    index→entity map is a broadcast join; the dense index comes from one
+    single-partition window over that dimension — driver-sized by
+    construction, same contract as ``canonical_map``. The fact side is a
+    pure map (hash + explode) plus that broadcast join: zero data
+    shuffles at any corpus size.
+    """
+    if n_per < 1:
+        raise ValueError(f"n_per must be >= 1, got {n_per}")
+    from pyspark.sql import Window
+
+    from .sampling import sample_hash
+
+    ents = triples.select(F.col(obj).alias("neg_obj")).distinct()
+    # dim-sized single-partition window: deterministic dense index
+    ents_idx = ents.select(
+        "neg_obj",
+        (F.row_number().over(Window.orderBy("neg_obj")) - 1).alias("_idx"),
+    )
+    n_entities = ents_idx.count()
+    if n_entities < 2:
+        raise ValueError(
+            f"need >= 2 distinct entities to corrupt, got {n_entities}"
+        )
+    base = triples.select(
+        F.col(subj).alias("subj"),
+        F.col(pred).alias("pred"),
+        F.col(obj).alias("obj"),
+    ).distinct()
+    ranks = F.explode(F.array(*[F.lit(i) for i in range(n_per)])).alias(
+        "neg_rank"
+    )
+    keyed = base.select("*", ranks).select(
+        "*",
+        (
+            sample_hash(
+                F.concat_ws(
+                    "|",
+                    F.col("neg_rank").cast("string"),
+                    F.col("subj").cast("string"),
+                    F.col("pred"),
+                    F.col("obj"),
+                ),
+                seed,
+            )
+            % n_entities
+        ).alias("_idx"),
+    )
+    return (
+        keyed.join(F.broadcast(ents_idx), "_idx")
+        .where(F.col("neg_obj") != F.col("obj"))
+        .select("subj", "pred", "obj", "neg_obj", "neg_rank")
+    )

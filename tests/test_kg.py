@@ -213,3 +213,96 @@ def test_connected_components_matches_union_find(spark):
     assert got == expected
     # the chain collapses to one component labeled by its minimum node
     assert all(got[100 + i] == 100 for i in range(13))
+
+
+# --- triple_history / tag_cooccurrence / negative_samples -----------------
+
+
+def _triples_fixture(spark):
+    import datetime as dt
+
+    def ts(d):
+        return dt.datetime(2026, 1, d)
+
+    rows = [
+        # (subj, pred, obj, warc_ts) — u1's (p, X) fact seen in 3 crawls
+        ("u1", "p", "X", ts(1)),
+        ("u1", "p", "X", ts(2)),
+        ("u1", "p", "X", ts(2)),   # second mention in the same crawl
+        ("u1", "q", "Y", ts(2)),
+        ("u2", "p", "X", ts(3)),
+        ("u2", "q", "Z", ts(3)),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, warc_ts timestamp"
+    )
+
+
+def test_triple_history(spark):
+    import datetime as dt
+
+    from dss_plugin_nlp_analysis_spark.operators.kg import triple_history
+
+    got = {
+        (r["subj"], r["pred"], r["obj"]): (
+            r["first_seen"], r["last_seen"], r["n_snapshots"], r["n_mentions"]
+        )
+        for r in triple_history(_triples_fixture(spark)).collect()
+    }
+    d = lambda x: dt.datetime(2026, 1, x)
+    assert got[("u1", "p", "X")] == (d(1), d(2), 2, 3)
+    assert got[("u1", "q", "Y")] == (d(2), d(2), 1, 1)
+    assert got[("u2", "p", "X")] == (d(3), d(3), 1, 1)
+    assert len(got) == 4
+
+
+def test_tag_cooccurrence(spark):
+    from dss_plugin_nlp_analysis_spark.operators.kg import tag_cooccurrence
+
+    got = {
+        (r["obj_a"], r["obj_b"]): r["n_docs"]
+        for r in tag_cooccurrence(_triples_fixture(spark)).collect()
+    }
+    # u1 mentions {X, Y}; u2 mentions {X, Z} — repeat mentions collapse
+    assert got == {("X", "Y"): 1, ("X", "Z"): 1}
+    from dss_plugin_nlp_analysis_spark.operators.kg import tag_cooccurrence as tc
+    assert tc(_triples_fixture(spark), min_count=2).count() == 0
+
+
+def test_negative_samples_deterministic_and_valid(spark):
+    import hashlib
+
+    from dss_plugin_nlp_analysis_spark.operators.kg import negative_samples
+
+    t = _triples_fixture(spark)
+    out1 = sorted(tuple(r) for r in negative_samples(t, n_per=3, seed="s").collect())
+    out2 = sorted(tuple(r) for r in negative_samples(t, n_per=3, seed="s").collect())
+    assert out1 == out2  # pure function of the triple — retry-stable
+
+    ents = sorted({"X", "Y", "Z"})
+    positives = {("u1", "p", "X"), ("u1", "q", "Y"), ("u2", "p", "X"),
+                 ("u2", "q", "Z")}
+    expected = []
+    for s, p, o in sorted(positives):
+        for i in range(3):
+            key = f"s|{i}|{s}|{p}|{o}"
+            idx = int(hashlib.md5(key.encode()).hexdigest()[:15], 16) % len(ents)
+            neg = ents[idx]
+            if neg != o:
+                expected.append((s, p, o, neg, i))
+    assert out1 == sorted(expected)
+    assert all(r[3] != r[2] for r in out1)
+
+
+def test_negative_samples_rejects_degenerate(spark):
+    from dss_plugin_nlp_analysis_spark.operators.kg import negative_samples
+
+    t = _triples_fixture(spark)
+    with pytest.raises(ValueError):
+        negative_samples(t, n_per=0)
+    one = spark.createDataFrame(
+        [("u", "p", "X", None)],
+        "subj string, pred string, obj string, warc_ts timestamp",
+    )
+    with pytest.raises(ValueError):
+        negative_samples(one)
