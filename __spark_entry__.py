@@ -1246,6 +1246,36 @@ def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_links(pages, "doc_id", "html")
 
 
+def _q_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index over the synthesized link rows: per target, link
+    count + distinct-text count + the sorted JSON text list, suppressed
+    (NULL) for targets above the 5-distinct-text cap — both cap paths
+    exercised (ex.com/p* has 7 distinct texts, /rel/* has 1)."""
+    from dss_plugin_nlp_analysis_spark.operators.url import anchor_text_index
+
+    links = _q_extract_links(spark, sf_dir)
+    return anchor_text_index(links, max_distinct_texts=5)
+
+
+def _q_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, entity) mention-share salience in integer ppm + earliest
+    mention sentence — two map-side-combinable groupBys and one
+    subj-keyed equi-join over the kg_triples mention stream."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import entity_salience
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = build_triples(
+        docs,
+        kg_oracle_ontology_df(spark),
+        url_col="doc_id",
+        text_col="text",
+        lang_col="lang",
+        ts_col=None,
+        category_col=None,
+    )
+    return entity_salience(t)
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-to-crawl diff: new snapshot = base minus (id % 11 == 0)
     [removed], with ' updated' appended for id % 7 == 0 [changed], plus
@@ -1498,6 +1528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_jaccard": _q_node_jaccard,
         "k_core": _q_k_core,
         "triple_history": _q_triple_history,
+        "anchor_index": _q_anchor_index,
+        "entity_salience": _q_entity_salience,
         "tag_cooc": _q_tag_cooc,
         "kg_negatives": _q_kg_negatives,
         "component_sizes": _q_component_sizes,
@@ -3334,6 +3366,63 @@ def _oracle_dict(pat, onto, lm_values, lm_oov, thr_case) -> dict[str, str]:
             )
             SELECT id, unnest(hrefs) AS href, unnest(texts) AS anchor_text
             FROM ex
+        """,
+        "anchor_index": r"""
+            WITH h AS (
+              SELECT doc_id AS id,
+                     '<a href="https://ex.com/p' || (doc_id % 20) || '">l'
+                     || (doc_id % 7)
+                     || '</a> mid <a class="x" href="/rel/' || (doc_id % 5)
+                     || '">go</a>' AS html
+              FROM documents
+            ),
+            ex AS (
+              SELECT id,
+                regexp_extract_all(html,
+                  '<a [^>]*href="([^"]*)"[^>]*>[^<]*</a>', 1) AS hrefs,
+                regexp_extract_all(html,
+                  '<a [^>]*href="[^"]*"[^>]*>([^<]*)</a>', 1) AS texts
+              FROM h
+            ),
+            links AS (
+              SELECT id, unnest(hrefs) AS target, unnest(texts) AS t
+              FROM ex
+            ),
+            nl AS (SELECT target, count(*) AS n_links FROM links GROUP BY 1),
+            p AS (SELECT DISTINCT target, t FROM links),
+            nt AS (SELECT target, count(*) AS n_texts FROM p GROUP BY 1),
+            tx AS (
+              SELECT target,
+                     to_json(list(t ORDER BY t))::VARCHAR AS anchor_texts
+              FROM p
+              WHERE target IN (SELECT target FROM nt WHERE n_texts <= 5)
+              GROUP BY 1
+            )
+            SELECT nl.target, n_links, n_texts, anchor_texts
+            FROM nl JOIN nt USING (target) LEFT JOIN tx USING (target)
+        """,
+        # mention-share salience: same mention stream as kg_triples, two
+        # GROUP BYs + a doc-keyed join, integer-ppm floor division
+        "entity_salience": r"""
+            WITH m0 AS (
+              SELECT doc_id AS subj,
+                     unnest(regexp_extract_all(trim(text),
+                       '\b(window|stream|table scan)\b')) AS kw
+              FROM documents
+            ),
+            m AS (
+              SELECT subj,
+                     CASE kw WHEN 'table scan' THEN 'scan_op'
+                             ELSE 'alpha_op' END AS obj
+              FROM m0
+            ),
+            pe AS (SELECT subj, obj, count(*) AS n_mentions
+                   FROM m GROUP BY 1, 2),
+            pd AS (SELECT subj, count(*) AS total FROM m GROUP BY 1)
+            SELECT pe.subj, pe.obj, pe.n_mentions,
+                   0 AS first_sent_idx,
+                   (1000000 * pe.n_mentions) // pd.total AS salience_micro
+            FROM pe JOIN pd USING (subj)
         """,
         "snapshot_diff": f"""
             WITH o AS (

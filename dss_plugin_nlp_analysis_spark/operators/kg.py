@@ -29,6 +29,7 @@ __all__ = [
     "triple_history",
     "tag_cooccurrence",
     "negative_samples",
+    "entity_salience",
     "TRIPLE_COLUMNS",
 ]
 
@@ -321,4 +322,49 @@ def negative_samples(
         keyed.join(F.broadcast(ents_idx), "_idx")
         .where(F.col("neg_obj") != F.col("obj"))
         .select("subj", "pred", "obj", "neg_obj", "neg_rank")
+    )
+
+
+def entity_salience(
+    triples: DataFrame,
+    subj: str = "subj",
+    obj: str = "obj",
+    sent_idx_col: str = "sent_idx",
+) -> DataFrame:
+    """Per-(document, entity) salience: how central each mentioned entity
+    is to the page — (subj, obj, n_mentions, first_sent_idx,
+    salience_micro) where ``salience_micro`` is the entity's share of the
+    document's mentions in integer parts-per-million
+    (``(1e6 * n_mentions) div total_mentions`` — floor division, so the
+    value-hash is engine-portable; doubles would tie-break differently).
+
+    The ranking signal a KG build attaches to every triple: a page
+    mentioning one entity twelve times is *about* it; a page mentioning
+    twelve entities once each describes none of them. ``first_sent_idx``
+    (earliest mention position) is the standard lead-bias feature —
+    consumers combine it with the share rather than this operator baking
+    in a weighting.
+
+    Scale shape: two map-side-combinable groupBys (per-(subj,obj) and
+    per-subj) + one subj-keyed equi-join — the aggregation output is
+    entity-mention-sized, the join key is the document, AQE skew-splits
+    tag-dense pages. No windows, no collects.
+    """
+    per_entity = triples.groupBy(
+        F.col(subj).alias("subj"), F.col(obj).alias("obj")
+    ).agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.min(sent_idx_col).alias("first_sent_idx"),
+    )
+    per_doc = triples.groupBy(F.col(subj).alias("subj")).agg(
+        F.count(F.lit(1)).alias("total_mentions")
+    )
+    return per_entity.join(per_doc, "subj").select(
+        "subj",
+        "obj",
+        "n_mentions",
+        "first_sent_idx",
+        F.expr(
+            "(cast(1000000 as bigint) * n_mentions) div total_mentions"
+        ).alias("salience_micro"),
     )

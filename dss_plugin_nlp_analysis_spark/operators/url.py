@@ -27,7 +27,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["normalize_url", "url_table", "extract_links", "snapshot_diff"]
+__all__ = [
+    "normalize_url",
+    "url_table",
+    "extract_links",
+    "anchor_text_index",
+    "snapshot_diff",
+]
 
 _FRAGMENT = r"#.*$"
 # anchored to a real [?&] separator (kept via the capture group — '$1' in
@@ -138,4 +144,51 @@ def snapshot_diff(
         .alias("status"),
         "old_fingerprint",
         "new_fingerprint",
+    )
+
+
+def anchor_text_index(
+    links: DataFrame,
+    target_col: str = "href",
+    text_col: str = "anchor_text",
+    *,
+    max_distinct_texts: int = 50,
+) -> DataFrame:
+    """Anchor-text index: per link target, how the web describes it —
+    (target, n_links, n_texts, anchor_texts) where ``anchor_texts`` is
+    the sorted distinct anchor-text list as JSON. The classic web-KG
+    entity-description signal (anchor text is the highest-precision
+    free-text label for a url's entity) and the dual of
+    ``extract_links``: links point out, this aggregates what points in.
+
+    Scale contract: a hub target (a homepage linked from millions of
+    pages) would make an unconditional collect_set buffer unbounded
+    text on one reducer. So the list is only materialized for targets
+    with at most ``max_distinct_texts`` DISTINCT texts — counted FIRST
+    via a map-side-combinable distinct-pair aggregation (the
+    inverted_index df-cap pattern, operators/invindex.py); hub targets
+    keep their counts but get a NULL list (anchor text that diverse is
+    navigational noise anyway). Every stage is a distinct / groupBy /
+    equi-join on the target key — no windows, and the collect stage
+    only ever sees capped keys.
+    """
+    if max_distinct_texts < 1:
+        raise ValueError(
+            f"max_distinct_texts must be >= 1, got {max_distinct_texts}"
+        )
+    tgt = F.col(target_col).alias("target")
+    n_links = links.groupBy(tgt).agg(F.count(F.lit(1)).alias("n_links"))
+    pairs = links.select(tgt, F.col(text_col).alias("t")).distinct()
+    n_texts = pairs.groupBy("target").agg(F.count(F.lit(1)).alias("n_texts"))
+    collectable = pairs.join(
+        n_texts.where(F.col("n_texts") <= max_distinct_texts).select("target"),
+        "target",
+    )
+    texts = collectable.groupBy("target").agg(
+        F.to_json(F.sort_array(F.collect_list("t"))).alias("anchor_texts")
+    )
+    return (
+        n_links.join(n_texts, "target")
+        .join(texts, "target", "left")
+        .select("target", "n_links", "n_texts", "anchor_texts")
     )

@@ -306,3 +306,22 @@ def test_negative_samples_rejects_degenerate(spark):
     )
     with pytest.raises(ValueError):
         negative_samples(one)
+
+
+def test_entity_salience(spark):
+    from dss_plugin_nlp_analysis_spark.operators.kg import entity_salience
+
+    rows = [
+        ("u1", "X", 0), ("u1", "X", 1), ("u1", "X", 1), ("u1", "Y", 2),
+        ("u2", "Z", 5),
+    ]
+    t = spark.createDataFrame(rows, "subj string, obj string, sent_idx int")
+    got = {
+        (r["subj"], r["obj"]): (
+            r["n_mentions"], r["first_sent_idx"], r["salience_micro"]
+        )
+        for r in entity_salience(t).collect()
+    }
+    assert got[("u1", "X")] == (3, 0, 750000)
+    assert got[("u1", "Y")] == (1, 2, 250000)
+    assert got[("u2", "Z")] == (1, 5, 1000000)

@@ -224,3 +224,28 @@ def test_tfidf_top_terms_hand_values(spark):
     # doc 2: equal scores -> tie broken by token ascending
     assert sorted(out[2]) == [(1, "banana", 1, 2, i32), (2, "cherry", 1, 2, i32)]
     assert sorted(out[3]) == [(1, "cherry", 3, 2, 3 * i32)]
+
+
+def test_anchor_text_index_counts_and_cap(spark):
+    from dss_plugin_nlp_analysis_spark.operators.url import anchor_text_index
+
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F811
+
+    rows = [
+        ("/a", "home"), ("/a", "home"), ("/a", "start"),
+        ("/b", "x1"), ("/b", "x2"), ("/b", "x3"),
+        ("/c", "only"),
+    ]
+    links = spark.createDataFrame(rows, "href string, anchor_text string")
+    got = {
+        r["target"]: (r["n_links"], r["n_texts"], r["anchor_texts"])
+        for r in anchor_text_index(links, max_distinct_texts=2).collect()
+    }
+    # /a: 3 links, 2 distinct texts -> sorted JSON list
+    assert got["/a"] == (3, 2, '["home","start"]')
+    # /b: 3 distinct texts > cap -> counts kept, list suppressed
+    assert got["/b"] == (3, 3, None)
+    assert got["/c"] == (1, 1, '["only"]')
+    with pytest.raises(ValueError):
+        anchor_text_index(links, max_distinct_texts=0)
