@@ -196,3 +196,53 @@ def test_pagerank_iteration_lineage_is_cut(spark):
     plan = plan_of(out)
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_negative_samples_broadcast_dim_no_cartesian(spark, docs):
+    """The fact side of negative sampling is a pure map + broadcast join:
+    the entity-index dimension ships as a broadcast, never a shuffled
+    join, and no cartesian product appears anywhere."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import negative_samples
+
+    t = build_triples(
+        docs, demo_ontology_df(spark), url_col="doc_id", lang_col="lang",
+        ts_col=None, category_col=None, languages=LANGS, canonicalize=False,
+    )
+    out = negative_samples(t, n_per=2, seed="neg")
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_neighbor_jaccard_equi_joins_only(spark):
+    """Wedge generation must be hash equi-joins on the pivot — a
+    cartesian/nested-loop plan means the join keys got lost."""
+    from dss_plugin_nlp_analysis_spark.operators.graph import neighbor_jaccard
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    edges = ev.select(
+        F.col("user_id").alias("src"), (F.col("event_id") % 150).alias("dst")
+    )
+    plan = plan_of(neighbor_jaccard(edges, min_shared=2, max_hub_degree=100))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_anchor_text_index_no_window(spark, docs):
+    """The hub cap is a count + semi-join, never a per-key window (an
+    unordered window buffers whole hot targets on one reducer)."""
+    from dss_plugin_nlp_analysis_spark.operators.url import (
+        anchor_text_index,
+        extract_links,
+    )
+
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<a href="/p'), (F.col("doc_id") % 5).cast("string"),
+            F.lit('">x</a>'),
+        ).alias("html"),
+    )
+    links = extract_links(pages, "doc_id", "html")
+    plan = plan_of(anchor_text_index(links))
+    assert "Window" not in plan, plan
