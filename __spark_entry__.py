@@ -446,6 +446,17 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: top-5 most-similar vectors
+    with a DIFFERENT label per query vector (label filter before the
+    rank, so rank is the admissible-set position) — broadcast query
+    side, float-robust id-only compare like embedding_topk."""
+    from dss_plugin_nlp_analysis_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
 def _q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fully oracle-gated: the hyperplanes are md5-deterministic driver-side
     # literals, so the DuckDB oracle replicates the exact bucket math
@@ -1465,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
+        "hard_negatives": _q_hard_negatives,
         "embedding_ann": _q_embedding_ann,
         "embedding_ann_multiprobe": _q_embedding_ann_multiprobe,
         "embedding_ivf": _q_embedding_ivf,
@@ -2654,6 +2666,22 @@ def _oracle_dict(pat, onto, lm_values, lm_oov, thr_case) -> dict[str, str]:
                      ) AS rank
               FROM embeddings q
               JOIN embeddings c ON c.vec_id != q.vec_id
+              WHERE q.vec_id < 10
+            ) WHERE rank <= 5
+        """,
+        "hard_negatives": """
+            SELECT query_id, neighbor_id, neighbor_label,
+                   rank::INT AS rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     c.label AS neighbor_label,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                       c.embedding::DOUBLE[]) DESC,
+                                c.vec_id
+                     ) AS rank
+              FROM embeddings q
+              JOIN embeddings c ON c.label != q.label
               WHERE q.vec_id < 10
             ) WHERE rank <= 5
         """,

@@ -22,6 +22,7 @@ from pyspark.sql import Window as W
 
 __all__ = [
     "dot", "l2_norm", "cosine", "cosine_topk",
+    "hard_negatives",
     "hyperplane_buckets", "multiprobe_buckets", "lsh_ann_topk",
     "kmeans_centroids", "ivf_topk",
     "cosine_dup_pairs",
@@ -72,6 +73,56 @@ def cosine_topk(
         ),
     )
     return ranked.where(F.col("rank") <= k).select("query_id", "neighbor_id", "rank")
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Metric-learning hard-negative mining: for each query vector, the
+    ``k`` most-similar corpus vectors with a DIFFERENT label —
+    (query_id, neighbor_id, neighbor_label, rank). The training-pair
+    generator for contrastive/triplet embedding fine-tuning: the
+    near-miss negatives (high similarity, wrong class) are the ones that
+    move the loss.
+
+    The label filter runs BEFORE ranking, so rank is the position within
+    the admissible (different-label) set, not a post-filtered exact-topk
+    (which could return fewer than k). Same plan shape as
+    ``cosine_topk``: broadcast query side x corpus, native cosine,
+    per-query window rank — the query set is the small side by contract
+    (mining runs per training batch); use the LSH/IVF variants to
+    pre-narrow candidates when the query side grows.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col(label_col).alias("_ql"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).where(
+        F.col("neighbor_label") != F.col("_ql")
+    )
+    sim = cosine(
+        F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")
+    ).alias("sim")
+    ranked = scored.select("query_id", "neighbor_id", "neighbor_label", sim).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", "neighbor_label", "rank"
+    )
 
 
 def _plane_vector(plane: int, dim: int, seed: int) -> list[float]:

@@ -245,3 +245,27 @@ def test_cluster_dedup_collapses_transitive_chains(spark):
     # non-dups are their own singleton clusters
     assert got[9] == (9, False)
     assert got[10] == (10, False)
+
+
+def test_hard_negatives_label_filter_before_rank(spark):
+    from dss_plugin_nlp_analysis_spark.operators.similarity import hard_negatives
+
+    # query q (label 0) at [1,0]; same-label near-duplicate at [0.99,0.1]
+    # must NOT appear; negatives ranked by cosine among label!=0 only
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.1], 0),    # same label — excluded
+        (2, [0.9, 0.4], 1),     # best admissible
+        (3, [0.0, 1.0], 1),     # orthogonal
+        (4, [-1.0, 0.0], 2),    # opposite
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = [
+        (r["neighbor_id"], r["neighbor_label"], r["rank"])
+        for r in hard_negatives(emb, emb.where("vec_id = 0"), k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(2, 1, 1), (3, 1, 2), (4, 2, 3)]
