@@ -336,8 +336,9 @@ def k_core(
     equi-joins only, no windows. Lineage is cut per round with
     ``localCheckpoint`` (see module doc — persist() does not cut
     lineage and the doubled per-round plan OOMs the driver around round
-    20). Convergence is detected when a round removes nothing
-    (count == previous count — a node-sized scan, not an edge scan).
+    20). Convergence is detected when a round removes nothing (edge
+    count unchanged — one count scan of the just-checkpointed edge set
+    per round; a peel that removes any node always removes >= 1 edge).
 
     ``fixed_rounds`` runs EXACTLY that many peels with no convergence
     probe — the deterministic bounded variant an unrolled-CTE oracle can

@@ -257,7 +257,7 @@ def negative_samples(
     corrupted copies with the object replaced by a pseudo-random entity
     drawn from the distinct-object vocabulary.
 
-    The draw is ``md5(seed#i|subj|pred|obj)`` mapped to an entity index —
+    The draw is ``md5(seed|rank|subj|pred|obj)`` mapped to an entity index —
     the engine-portable construction shared with ``sampling.sample_hash``:
     reproducible on any engine, stable under repartitioning and retries
     (a pure function of the triple), and independent across ``seed``/rank
@@ -268,37 +268,54 @@ def negative_samples(
     Returns (subj, pred, obj, neg_obj, neg_rank) with neg_rank in
     [0, n_per) — rows whose draw collided are absent, so consumers see a
     variable number of negatives per positive (documented, not padded).
+    Triples with a NULL component are excluded (the five-field draw key
+    is undefined for them — NULL propagates through the concatenation on
+    any engine and would silently alias distinct triples otherwise).
 
     Scale shape: the entity vocabulary of a KG is ontology-sized (it is
-    the canonical-node dimension, not the document corpus), so the
-    index→entity map is a broadcast join; the dense index comes from one
-    single-partition window over that dimension — driver-sized by
-    construction, same contract as ``canonical_map``. The fact side is a
-    pure map (hash + explode) plus that broadcast join: zero data
-    shuffles at any corpus size.
+    the canonical-node dimension, not the document corpus), so it is
+    collected ONCE driver-side — same contract as ``canonical_map`` —
+    and the dense index→entity map ships back as a broadcast-join
+    literal: the triples lineage is scanned once for the vocabulary and
+    once at execution, with no count job and no single-partition window.
+    The fact side is a pure map (hash + explode) plus that broadcast
+    join: zero data shuffles at any corpus size. Entity ids sort by
+    Python string order = UTF-8 binary order — the same total order
+    every engine's ORDER BY gives, so the index is engine-portable.
     """
     if n_per < 1:
         raise ValueError(f"n_per must be >= 1, got {n_per}")
-    from pyspark.sql import Window
-
     from .sampling import sample_hash
 
-    ents = triples.select(F.col(obj).alias("neg_obj")).distinct()
-    # dim-sized single-partition window: deterministic dense index
-    ents_idx = ents.select(
-        "neg_obj",
-        (F.row_number().over(Window.orderBy("neg_obj")) - 1).alias("_idx"),
+    # dim-sized by contract: collect + sort driver-side (no window job)
+    ents = sorted(
+        r[0]
+        for r in triples.select(F.col(obj))
+        .where(F.col(obj).isNotNull())
+        .distinct()
+        .collect()
     )
-    n_entities = ents_idx.count()
+    n_entities = len(ents)
     if n_entities < 2:
         raise ValueError(
             f"need >= 2 distinct entities to corrupt, got {n_entities}"
         )
-    base = triples.select(
-        F.col(subj).alias("subj"),
-        F.col(pred).alias("pred"),
-        F.col(obj).alias("obj"),
-    ).distinct()
+    ents_idx = triples.sparkSession.createDataFrame(
+        [(i, e) for i, e in enumerate(ents)], ["_idx", "neg_obj"]
+    )
+    base = (
+        triples.select(
+            F.col(subj).alias("subj"),
+            F.col(pred).alias("pred"),
+            F.col(obj).alias("obj"),
+        )
+        .where(
+            F.col(subj).isNotNull()
+            & F.col(pred).isNotNull()
+            & F.col(obj).isNotNull()
+        )
+        .distinct()
+    )
     ranks = F.explode(F.array(*[F.lit(i) for i in range(n_per)])).alias(
         "neg_rank"
     )

@@ -45,6 +45,30 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _brute_rank_topk(
+    c: DataFrame, q: DataFrame, pair_filter: Column, k: int, out_cols: list[str]
+) -> DataFrame:
+    """Shared core of the brute-force per-query rankers: broadcast query
+    side × corpus, ``pair_filter`` applied BEFORE ranking (so rank is the
+    position within the admissible set), native double cosine, window
+    row_number with ties broken by neighbor id. ``c`` must carry
+    ``neighbor_id``/``_cv`` (plus any extra output columns), ``q``
+    ``query_id``/``_qv``."""
+    scored = c.crossJoin(F.broadcast(q)).where(pair_filter)
+    sim = cosine(
+        F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")
+    ).alias("sim")
+    ranked = scored.select(
+        *[x for x in out_cols if x != "rank"], sim
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select(*out_cols)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -60,19 +84,13 @@ def cosine_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    scored = c.crossJoin(F.broadcast(q)).where(
-        F.col("neighbor_id") != F.col("query_id")
+    return _brute_rank_topk(
+        c,
+        q,
+        F.col("neighbor_id") != F.col("query_id"),
+        k,
+        ["query_id", "neighbor_id", "rank"],
     )
-    sim = cosine(
-        F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")
-    ).alias("sim")
-    ranked = scored.select("query_id", "neighbor_id", sim).withColumn(
-        "rank",
-        F.row_number().over(
-            W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-        ),
-    )
-    return ranked.where(F.col("rank") <= k).select("query_id", "neighbor_id", "rank")
 
 
 def hard_negatives(
@@ -108,20 +126,12 @@ def hard_negatives(
         F.col(vec_col).alias("_cv"),
         F.col(label_col).alias("neighbor_label"),
     )
-    scored = c.crossJoin(F.broadcast(q)).where(
-        F.col("neighbor_label") != F.col("_ql")
-    )
-    sim = cosine(
-        F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")
-    ).alias("sim")
-    ranked = scored.select("query_id", "neighbor_id", "neighbor_label", sim).withColumn(
-        "rank",
-        F.row_number().over(
-            W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-        ),
-    )
-    return ranked.where(F.col("rank") <= k).select(
-        "query_id", "neighbor_id", "neighbor_label", "rank"
+    return _brute_rank_topk(
+        c,
+        q,
+        F.col("neighbor_label") != F.col("_ql"),
+        k,
+        ["query_id", "neighbor_id", "neighbor_label", "rank"],
     )
 
 

@@ -176,6 +176,10 @@ def anchor_text_index(
         raise ValueError(
             f"max_distinct_texts must be >= 1, got {max_distinct_texts}"
         )
+    # a link row without a target is not a link: drop NULL targets
+    # explicitly (otherwise the aggregate joins would lose the NULL
+    # group silently — null-unsafe equality never matches it)
+    links = links.where(F.col(target_col).isNotNull())
     tgt = F.col(target_col).alias("target")
     n_links = links.groupBy(tgt).agg(F.count(F.lit(1)).alias("n_links"))
     pairs = links.select(tgt, F.col(text_col).alias("t")).distinct()

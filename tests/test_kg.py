@@ -325,3 +325,20 @@ def test_entity_salience(spark):
     assert got[("u1", "X")] == (3, 0, 750000)
     assert got[("u1", "Y")] == (1, 2, 250000)
     assert got[("u2", "Z")] == (1, 5, 1000000)
+
+
+def test_negative_samples_excludes_null_component_triples(spark):
+    from dss_plugin_nlp_analysis_spark.operators.kg import negative_samples
+
+    rows = [
+        ("u1", "p", "X", None), ("u1", "p", "Y", None),
+        ("u2", None, "X", None),          # NULL pred: excluded
+        (None, "p", "Y", None),           # NULL subj: excluded
+        ("u3", "p", None, None),          # NULL obj: excluded + not in vocab
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, warc_ts timestamp"
+    )
+    out = negative_samples(t, n_per=1, seed="s").collect()
+    assert all(r["subj"] in ("u1",) for r in out)
+    assert all(r["neg_obj"] in ("X", "Y") for r in out)

@@ -249,3 +249,13 @@ def test_anchor_text_index_counts_and_cap(spark):
     assert got["/c"] == (1, 1, '["only"]')
     with pytest.raises(ValueError):
         anchor_text_index(links, max_distinct_texts=0)
+
+
+def test_anchor_text_index_drops_null_targets(spark):
+    from dss_plugin_nlp_analysis_spark.operators.url import anchor_text_index
+
+    links = spark.createDataFrame(
+        [(None, "ghost"), ("/a", "x")], "href string, anchor_text string"
+    )
+    got = {r["target"] for r in anchor_text_index(links).collect()}
+    assert got == {"/a"}  # NULL target dropped by contract, not silently
