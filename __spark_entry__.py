@@ -1287,6 +1287,20 @@ def _q_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_salience(t)
 
 
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. bounded-window
+    variant, 8-token windows): maximal per-doc token spans whose every
+    window repeats corpus-wide — md5-int window hashing, count+join,
+    per-row interval-merge fold; oracle = identical hash math with a
+    gaps-and-islands merge."""
+    from dss_plugin_nlp_analysis_spark.operators.dedup import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, "doc_id", "text", window=8).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-to-crawl diff: new snapshot = base minus (id % 11 == 0)
     [removed], with ' updated' appended for id % 7 == 0 [changed], plus
@@ -1536,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocs": _q_collocs,
         "extract_links": _q_extract_links,
         "snapshot_diff": _q_snapshot_diff,
+        "dup_spans": _q_dup_spans,
         "k_hop": _q_k_hop,
         "node_jaccard": _q_node_jaccard,
         "k_core": _q_k_core,
@@ -3394,6 +3409,37 @@ def _oracle_dict(pat, onto, lm_values, lm_oov, thr_case) -> dict[str, str]:
             )
             SELECT id, unnest(hrefs) AS href, unnest(texts) AS anchor_text
             FROM ex
+        """,
+        # duplicated spans: same 60-bit md5 window hash, df>=2, then a
+        # gaps-and-islands merge (break when pos > lag(pos) + window)
+        "dup_spans": f"""
+            WITH t AS (SELECT doc_id AS id, string_split({_NORM}, ' ') AS toks
+                       FROM documents WHERE {_NORM} != ''),
+            w AS (SELECT id, toks,
+                         unnest(range(0, greatest(len(toks) - 7, 0))) AS pos
+                  FROM t),
+            g AS (SELECT id, pos::INT AS pos,
+                         ('0x' || substr(md5(array_to_string(
+                            list_slice(toks, pos + 1, pos + 8), ' ')),
+                            1, 15))::BIGINT AS h
+                  FROM w),
+            c AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+            d AS (SELECT g.id, g.pos FROM g JOIN c USING (h)),
+            i AS (SELECT id, pos,
+                         CASE WHEN lag(pos) OVER
+                                (PARTITION BY id ORDER BY pos) IS NULL
+                              OR pos > lag(pos) OVER
+                                (PARTITION BY id ORDER BY pos) + 8
+                              THEN 1 ELSE 0 END AS brk
+                  FROM d),
+            gr AS (SELECT id, pos,
+                          sum(brk) OVER (PARTITION BY id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS grp
+                   FROM i)
+            SELECT id AS doc_id, min(pos) AS span_start,
+                   max(pos) + 7 AS span_end,
+                   max(pos) + 7 - min(pos) + 1 AS span_tokens
+            FROM gr GROUP BY id, grp
         """,
         "anchor_index": r"""
             WITH h AS (

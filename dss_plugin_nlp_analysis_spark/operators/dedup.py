@@ -33,6 +33,7 @@ __all__ = [
     "cluster_dedup",
     "ngram_jaccard_pairs",
     "simhash_buckets",
+    "duplicated_spans",
 ]
 
 
@@ -440,3 +441,109 @@ def simhash_buckets(df: DataFrame, id_col: str, text_col: str, n: int = 2, prefi
         ).alias("simhash"),
     )
     return sim.withColumn("bucket", F.shiftright(F.col("simhash"), 60 - prefix_bits))
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 50,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring spans — the bounded-window variant of
+    suffix-array training-data dedup (public method: Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document, the maximal token spans in which EVERY ``window``-
+    token sliding window occurs at least ``min_occurrences`` times
+    corpus-wide (within-document repeats count, as in the paper).
+
+    Returns (id, span_start, span_end, span_tokens) in 0-based token
+    coordinates over the normalized text — the input to surgical span
+    removal (cut the span, keep the document) rather than whole-doc
+    dropping. Documents shorter than ``window`` tokens emit nothing.
+
+    DIV vs the true suffix-array method: each window's occurrences may
+    come from DIFFERENT partner documents, so a reported span need not
+    be one contiguous match against a single partner — it is the union
+    of windows that are duplicated *somewhere*. This is the standard
+    scalable relaxation (the paper's own dedup acts on exactly these
+    windowed matches); exact partner attribution is what
+    ``winnow_overlap_pairs`` adds on top.
+
+    Scale shape: one codegen'd lookahead-regex projection generates all
+    windows with their token positions (posexplode order — no HOF
+    re-evaluation, no second scan; the exploded_shingles pattern), ONE
+    md5 per window folded to a 60-bit int (engine-portable, shuffles
+    8-byte keys instead of window text), a map-side-combinable count by
+    hash, an equi-join back (both sides already partitioned by the
+    hash — AQE reuses the exchange), and one groupBy(id) whose
+    collect_list is bounded by tokens-per-document (the same bound as
+    the token array itself; the interval merge is a per-row expression
+    fold, not a window). No windows, no cartesian joins, no driver
+    loops.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if min_occurrences < 2:
+        raise ValueError(
+            f"min_occurrences must be >= 2, got {min_occurrences}"
+        )
+    norm = normalized_text(F.col(text_col))
+    pattern = r"(?:^|\s)(?=(\S+" + r"\s\S+" * (window - 1) + r"))"
+    grams = F.when(
+        (F.size(F.split(norm, " ")) >= window) & (norm != ""),
+        F.regexp_extract_all(norm, F.lit(pattern), 1),
+    ).otherwise(F.array().cast("array<string>"))
+    w = df.select(F.col(id_col).alias("id"), grams.alias("_grams"))
+    # posexplode_outer + isNotNull: plain posexplode on an attribute lets
+    # InferFiltersFromGenerate re-inline the whole defining expression
+    # into a per-row Filter (the round-4 winnow regression)
+    hashed = (
+        w.select("id", F.posexplode_outer("_grams").alias("pos", "g"))
+        .where(F.col("pos").isNotNull())
+        .select(
+            "id",
+            "pos",
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    dup_hashes = (
+        hashed.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_occurrences)
+        .select("h")
+    )
+    dup_pos = hashed.join(dup_hashes, "h").select("id", "pos")
+    merged = dup_pos.groupBy("id").agg(
+        F.sort_array(F.collect_list("pos")).alias("_ps")
+    )
+    # interval merge: window at p covers tokens [p, p+window-1]; two
+    # duplicated windows chain into one span when the next start is
+    # inside-or-adjacent to the current span (p' <= end + 1)
+    spans = F.expr(
+        f"""
+        aggregate(
+          _ps,
+          cast(array() as array<struct<s: int, e: int>>),
+          (acc, p) -> CASE
+            WHEN size(acc) = 0 OR p > element_at(acc, -1).e + 1
+              THEN concat(acc, array(named_struct(
+                     's', p, 'e', p + {window} - 1)))
+            ELSE concat(slice(acc, 1, size(acc) - 1), array(named_struct(
+                   's', element_at(acc, -1).s, 'e', p + {window} - 1)))
+          END
+        )
+        """
+    )
+    return (
+        merged.select("id", F.explode(spans).alias("sp"))
+        .select(
+            "id",
+            F.col("sp.s").alias("span_start"),
+            F.col("sp.e").alias("span_end"),
+            (F.col("sp.e") - F.col("sp.s") + 1).alias("span_tokens"),
+        )
+    )
