@@ -1301,6 +1301,21 @@ def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_span_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al. span removal end-to-end: duplicated 8-token windows cut
+    from the normalized text, every document returned (n_removed = 0
+    when untouched) — oracle recomputes removed token indices directly
+    from duplicated window positions (no merge-logic replication)."""
+    from dss_plugin_nlp_analysis_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicated_spans(
+        docs, "doc_id", "text", window=8
+    ).withColumnRenamed("id", "doc_id")
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-to-crawl diff: new snapshot = base minus (id % 11 == 0)
     [removed], with ' updated' appended for id % 7 == 0 [changed], plus
@@ -1551,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": _q_extract_links,
         "snapshot_diff": _q_snapshot_diff,
         "dup_spans": _q_dup_spans,
+        "span_surgery": _q_span_surgery,
         "k_hop": _q_k_hop,
         "node_jaccard": _q_node_jaccard,
         "k_core": _q_k_core,
@@ -3440,6 +3456,40 @@ def _oracle_dict(pat, onto, lm_values, lm_oov, thr_case) -> dict[str, str]:
                    max(pos) + 7 AS span_end,
                    max(pos) + 7 - min(pos) + 1 AS span_tokens
             FROM gr GROUP BY id, grp
+        """,
+        # span surgery: removed token = any index covered by a duplicated
+        # window (range-unnest from dup positions — independent of the
+        # engine's interval-merge formulation)
+        "span_surgery": f"""
+            WITH t AS (SELECT doc_id AS id, string_split({_NORM}, ' ') AS toks
+                       FROM documents),
+            w AS (SELECT id, toks,
+                         unnest(range(0, greatest(len(toks) - 7, 0))) AS pos
+                  FROM t WHERE len(toks) >= 8),
+            g AS (SELECT id, pos::INT AS pos,
+                         ('0x' || substr(md5(array_to_string(
+                            list_slice(toks, pos + 1, pos + 8), ' ')),
+                            1, 15))::BIGINT AS h
+                  FROM w),
+            c AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+            d AS (SELECT DISTINCT g.id, g.pos FROM g JOIN c USING (h)),
+            rem AS (SELECT DISTINCT id, unnest(range(pos, pos + 8)) AS i
+                    FROM d),
+            tok AS (SELECT id, unnest(toks) AS wd,
+                           generate_subscripts(toks, 1) - 1 AS i
+                    FROM t),
+            kept AS (SELECT tok.id, tok.i, tok.wd
+                     FROM tok LEFT JOIN rem
+                       ON rem.id = tok.id AND rem.i = tok.i
+                     WHERE rem.i IS NULL),
+            k2 AS (SELECT id, array_to_string(list(wd ORDER BY i), ' ')
+                            AS clean_text,
+                          count(*) AS n_kept
+                   FROM kept GROUP BY id)
+            SELECT t.id AS doc_id,
+                   coalesce(k2.clean_text, '') AS clean_text,
+                   len(t.toks) - coalesce(k2.n_kept, 0) AS n_removed
+            FROM t LEFT JOIN k2 ON k2.id = t.id
         """,
         "anchor_index": r"""
             WITH h AS (

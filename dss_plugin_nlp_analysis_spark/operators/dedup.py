@@ -34,6 +34,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_buckets",
     "duplicated_spans",
+    "remove_duplicated_spans",
 ]
 
 
@@ -546,4 +547,53 @@ def duplicated_spans(
             F.col("sp.e").alias("span_end"),
             (F.col("sp.e") - F.col("sp.s") + 1).alias("span_tokens"),
         )
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 50,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Span surgery — the removal half of Lee et al. dedup: cut every
+    ``duplicated_spans`` span out of the normalized text and keep the
+    rest of the document. Returns (id, clean_text, n_removed) for EVERY
+    input document (untouched docs pass through with n_removed = 0);
+    token coordinates and span semantics are exactly
+    ``duplicated_spans``'s.
+
+    Scale shape: the spans table (documents-with-duplication-sized, a
+    few ints per span) aggregates to one array per doc and equi-joins
+    back on the id; the cut itself is a per-row ``filter`` over the
+    token array against that bounded span list (O(tokens x spans) with
+    spans already merged-maximal). One extra id-keyed shuffle over the
+    span SIDE only — the corpus side arrives via its scan.
+    """
+    spans = duplicated_spans(
+        df, id_col, text_col, window=window, min_occurrences=min_occurrences
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    norm = normalized_text(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), norm.alias("_norm"))
+    joined = base.join(per_doc, "id", "left").select(
+        "id", F.split("_norm", " ").alias("_toks"), "_spans"
+    )
+    kept = F.when(F.col("_spans").isNull(), F.col("_toks")).otherwise(
+        F.filter(
+            F.col("_toks"),
+            lambda t, i: ~F.exists(
+                F.col("_spans"),
+                lambda sp: (i >= sp["span_start"]) & (i <= sp["span_end"]),
+            ),
+        )
+    )
+    return joined.select(
+        "id",
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size("_toks") - F.size(kept)).alias("n_removed"),
     )

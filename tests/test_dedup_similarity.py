@@ -324,3 +324,25 @@ def test_duplicated_spans_matches_python_reference(spark):
         duplicated_spans(df, "id", "text", window=1)
     with _pytest.raises(ValueError):
         duplicated_spans(df, "id", "text", min_occurrences=1)
+
+
+def test_remove_duplicated_spans_surgery(spark):
+    from dss_plugin_nlp_analysis_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    docs = [
+        (1, "a b c d q w e"),
+        (2, "z z a b c d p"),
+        (3, "untouched words stay whole"),
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    got = {
+        r["id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_duplicated_spans(df, "id", "text", window=3).collect()
+    }
+    # shared "a b c d" cut from both docs; the rest survives
+    assert got[1] == ("q w e", 4)
+    assert got[2] == ("z z p", 4)
+    assert got[3] == ("untouched words stay whole", 0)
+    assert len(got) == 3
