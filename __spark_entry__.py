@@ -1421,6 +1421,71 @@ def _q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(t, n_per=2, seed="neg")
 
 
+def _q_alias_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed alias-graph canonicalization (the north-rule CC step at
+    scale): tag<->keyword alias edges blocked into per-decade keyword
+    spaces (so components actually fragment), iterative distributed
+    connected components, canonical = lexicographically smallest TAG node
+    per component — the billion-node path the driver-side canonical_map
+    documents as its scale-out door."""
+    from dss_plugin_nlp_analysis_spark.operators.components import (
+        connected_components,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select(
+        F.concat(F.lit("t:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(
+            F.lit("k:"),
+            (
+                F.expr("user_id div 10") * 10 + F.col("event_id") % 10
+            ).cast("string"),
+        ).alias("dst"),
+    )
+    cc = connected_components(edges)
+    tags = cc.where(F.col("node").startswith("t:"))
+    canon = tags.groupBy("component").agg(F.min("node").alias("canonical"))
+    return tags.join(canon, "component").select(
+        F.col("node").alias("tag"), "canonical"
+    )
+
+
+def _q_kg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG update: triples of the base crawl vs a mutated
+    re-crawl (docs %11 removed, ' stream' appended for %7, %13 re-added
+    at +5000) classified added/removed/same — full outer join on the
+    DISTINCT triple key only."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import triple_delta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    kept = docs.where(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" stream"))
+        ).otherwise(F.col("text")).alias("text"),
+        "lang",
+    )
+    added = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text", "lang"
+    )
+    newdocs = kept.union(added)
+
+    def triples(d):
+        return build_triples(
+            d,
+            kg_oracle_ontology_df(spark),
+            url_col="doc_id",
+            text_col="text",
+            lang_col="lang",
+            ts_col=None,
+            category_col=None,
+        )
+
+    return triple_delta(triples(docs), triples(newdocs))
+
+
 def _q_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural entity-resolution candidates: neighbor-set Jaccard (in
     integer ppm) for node pairs of the link graph sharing >= 30
@@ -1575,6 +1640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_salience": _q_entity_salience,
         "tag_cooc": _q_tag_cooc,
         "kg_negatives": _q_kg_negatives,
+        "alias_canon": _q_alias_canon,
+        "kg_delta": _q_kg_delta,
         "component_sizes": _q_component_sizes,
         "bm25": _q_bm25,
         "tag_doc_pivot": _q_tag_doc_pivot,
@@ -3304,6 +3371,76 @@ def _oracle_dict(pat, onto, lm_values, lm_oov, thr_case) -> dict[str, str]:
                      SELECT a AS node FROM e3
                      UNION ALL SELECT b FROM e3) GROUP BY node)
             SELECT node, deg AS core_degree FROM d3 WHERE deg >= 13
+        """,
+        # distributed alias canonicalization: same blocked alias edges,
+        # reachability closure as a recursive CTE, min-TAG-node canonical
+        "alias_canon": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT 't:' || user_id::VARCHAR AS a,
+                     'k:' || ((user_id // 10) * 10 + event_id % 10)::VARCHAR
+                       AS b
+              FROM events
+            ),
+            und AS (SELECT a AS u, b AS v FROM e
+                    UNION SELECT b, a FROM e),
+            reach(node, r) AS (
+              SELECT u, u FROM und
+              UNION
+              SELECT und.u, reach.r FROM und JOIN reach ON reach.node = und.v
+            ),
+            comp AS (SELECT node, min(r) AS component FROM reach
+                     GROUP BY node),
+            tags AS (SELECT node, component FROM comp
+                     WHERE node LIKE 't:%'),
+            canon AS (SELECT component, min(node) AS canonical FROM tags
+                      GROUP BY component)
+            SELECT t.node AS tag, canon.canonical
+            FROM tags t JOIN canon USING (component)
+        """,
+        # incremental KG delta: both crawls' triples via the same
+        # keyword->pred/obj mapping, full outer on the distinct key
+        "kg_delta": r"""
+            WITH mo AS (
+              SELECT doc_id AS subj, unnest(regexp_extract_all(trim(text),
+                       '\b(window|stream|table scan)\b')) AS kw
+              FROM documents
+            ),
+            newdocs AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' stream'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 11 != 0
+              UNION ALL
+              SELECT doc_id + 5000, text FROM documents WHERE doc_id % 13 = 0
+            ),
+            mn AS (
+              SELECT doc_id AS subj, unnest(regexp_extract_all(trim(text),
+                       '\b(window|stream|table scan)\b')) AS kw
+              FROM newdocs
+            ),
+            to_ AS (SELECT DISTINCT subj,
+                      CASE kw WHEN 'window' THEN 'alpha_op'
+                              WHEN 'stream' THEN 'zeta_op'
+                              ELSE 'scan_op' END AS pred,
+                      CASE kw WHEN 'table scan' THEN 'scan_op'
+                              ELSE 'alpha_op' END AS obj
+                    FROM mo),
+            tn AS (SELECT DISTINCT subj,
+                      CASE kw WHEN 'window' THEN 'alpha_op'
+                              WHEN 'stream' THEN 'zeta_op'
+                              ELSE 'scan_op' END AS pred,
+                      CASE kw WHEN 'table scan' THEN 'scan_op'
+                              ELSE 'alpha_op' END AS obj
+                    FROM mn)
+            SELECT coalesce(to_.subj, tn.subj) AS subj,
+                   coalesce(to_.pred, tn.pred) AS pred,
+                   coalesce(to_.obj, tn.obj) AS obj,
+                   CASE WHEN to_.subj IS NULL THEN 'added'
+                        WHEN tn.subj IS NULL THEN 'removed'
+                        ELSE 'same' END AS status
+            FROM to_ FULL JOIN tn
+              ON to_.subj = tn.subj AND to_.pred = tn.pred
+                 AND to_.obj = tn.obj
         """,
         # temporal KG facts over the multi-snapshot view (url = doc_id%500,
         # ts = 2026-01-01 + doc_id%17 days): same keyword->pred/obj mapping

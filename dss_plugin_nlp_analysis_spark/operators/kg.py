@@ -30,6 +30,7 @@ __all__ = [
     "tag_cooccurrence",
     "negative_samples",
     "entity_salience",
+    "triple_delta",
     "TRIPLE_COLUMNS",
 ]
 
@@ -384,4 +385,51 @@ def entity_salience(
         F.expr(
             "(cast(1000000 as bigint) * n_mentions) div total_mentions"
         ).alias("salience_micro"),
+    )
+
+
+def triple_delta(
+    old: DataFrame,
+    new: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """Incremental KG update: classify every distinct (subj, pred, obj)
+    across two crawl builds as ``added`` | ``removed`` | ``same`` — the
+    triple-level analogue of ``url.snapshot_diff`` (which diffs page
+    content; this diffs the facts extracted from it). The per-ingest
+    report an incremental KG pipeline logs, and the write set for a
+    merge-on-read sink (only ``added``/``removed`` need touching).
+
+    One full outer equi-join on the triple key after both sides reduce
+    to DISTINCT key projections — the shuffle ships triple keys only,
+    mentions/provenance collapse first; AQE skew-splits hot entities.
+    """
+    o = (
+        old.select(
+            F.col(subj).alias("subj"),
+            F.col(pred).alias("pred"),
+            F.col(obj).alias("obj"),
+        )
+        .distinct()
+        .withColumn("_in_old", F.lit(1))
+    )
+    n = (
+        new.select(
+            F.col(subj).alias("subj"),
+            F.col(pred).alias("pred"),
+            F.col(obj).alias("obj"),
+        )
+        .distinct()
+        .withColumn("_in_new", F.lit(1))
+    )
+    return o.join(n, ["subj", "pred", "obj"], "full").select(
+        "subj",
+        "pred",
+        "obj",
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("same"))
+        .alias("status"),
     )

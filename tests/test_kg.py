@@ -342,3 +342,25 @@ def test_negative_samples_excludes_null_component_triples(spark):
     out = negative_samples(t, n_per=1, seed="s").collect()
     assert all(r["subj"] in ("u1",) for r in out)
     assert all(r["neg_obj"] in ("X", "Y") for r in out)
+
+
+def test_triple_delta(spark):
+    from dss_plugin_nlp_analysis_spark.operators.kg import triple_delta
+
+    old = spark.createDataFrame(
+        [("u1", "p", "X"), ("u1", "p", "X"), ("u2", "q", "Y")],
+        "subj string, pred string, obj string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "p", "X"), ("u3", "p", "Z")],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        (r["subj"], r["pred"], r["obj"]): r["status"]
+        for r in triple_delta(old, new).collect()
+    }
+    assert got == {
+        ("u1", "p", "X"): "same",     # dup mentions collapse first
+        ("u2", "q", "Y"): "removed",
+        ("u3", "p", "Z"): "added",
+    }
