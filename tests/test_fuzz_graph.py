@@ -83,3 +83,45 @@ def test_k_hop_fuzz_vs_python_bfs(spark, edges, seeds, k):
     sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
     got = {r["node"]: r["hops"] for r in k_hop(df, sdf, k=k).collect()}
     assert got == _py_khop(edges, seeds, k)
+
+
+# --- round-4 continued: neighbor_jaccard / k_core fuzz --------------------
+
+
+@given(EDGES, st.integers(1, 3), st.one_of(st.none(), st.integers(1, 4)))
+@FUZZ
+def test_neighbor_jaccard_fuzz_vs_python(spark, edges, min_shared, cap):
+    from dss_plugin_nlp_analysis_spark.operators.graph import neighbor_jaccard
+    from tests.test_graph import py_neighbor_jaccard
+
+    e = [(s, d) for s, d in edges if s != d]
+    if not e:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(
+        tuple(r)
+        for r in neighbor_jaccard(
+            df, min_shared=min_shared, max_hub_degree=cap
+        ).collect()
+    )
+    assert got == [
+        r
+        for r in py_neighbor_jaccard(e, max_hub_degree=cap)
+        if r[2] >= min_shared
+    ]
+
+
+@given(EDGES, st.integers(1, 3))
+@FUZZ
+def test_k_core_fuzz_vs_python(spark, edges, k):
+    from dss_plugin_nlp_analysis_spark.operators.graph import k_core
+    from tests.test_graph import py_k_core
+
+    e = [(s, d) for s, d in edges if s != d]
+    if not e:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(
+        (r["node"], r["core_degree"]) for r in k_core(df, k=k, max_rounds=30).collect()
+    )
+    assert got == py_k_core(e, k)
