@@ -1316,6 +1316,23 @@ def _q_span_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
+def _q_attr_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal attribute triples from synthesized metadata blocks (two
+    key: value lines + the prose body): pure map + explode, literal
+    first-': '-split grammar identical on both engines."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import attribute_triples
+
+    docs = load_table(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("title: doc "), (F.col("doc_id") % 50).cast("string"),
+        F.lit(chr(10) + "lang: "), F.col("lang"),
+        F.lit(chr(10)), F.col("text"),
+    )
+    return attribute_triples(
+        docs.select("doc_id", page.alias("page")), "doc_id", "page"
+    )
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-to-crawl diff: new snapshot = base minus (id % 11 == 0)
     [removed], with ' updated' appended for id % 7 == 0 [changed], plus
@@ -1642,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": _q_kg_negatives,
         "alias_canon": _q_alias_canon,
         "kg_delta": _q_kg_delta,
+        "attr_triples": _q_attr_triples,
         "component_sizes": _q_component_sizes,
         "bm25": _q_bm25,
         "tag_doc_pivot": _q_tag_doc_pivot,
@@ -3441,6 +3459,30 @@ def _oracle_dict(pat, onto, lm_values, lm_oov, thr_case) -> dict[str, str]:
             FROM to_ FULL JOIN tn
               ON to_.subj = tn.subj AND to_.pred = tn.pred
                  AND to_.obj = tn.obj
+        """,
+        # literal attribute triples: same synthesized page, lines split
+        # on newline, first-': ' literal split, trimmed, empties dropped
+        "attr_triples": """
+            WITH pg AS (
+              SELECT doc_id AS subj,
+                     'title: doc ' || (doc_id % 50)::VARCHAR || chr(10) ||
+                     'lang: ' || lang || chr(10) || text AS page
+              FROM documents
+            ),
+            ln AS (
+              SELECT subj, unnest(string_split(page, chr(10))) AS line,
+                     generate_subscripts(string_split(page, chr(10)), 1) - 1
+                       AS line_idx
+              FROM pg
+            ),
+            kv AS (
+              SELECT subj, line_idx::INT AS line_idx,
+                     trim(substr(line, 1, strpos(line, ': ') - 1)) AS key,
+                     trim(substr(line, strpos(line, ': ') + 2)) AS value
+              FROM ln WHERE strpos(line, ': ') > 0
+            )
+            SELECT subj, line_idx, key, value FROM kv
+            WHERE key != '' AND value != ''
         """,
         # temporal KG facts over the multi-snapshot view (url = doc_id%500,
         # ts = 2026-01-01 + doc_id%17 days): same keyword->pred/obj mapping

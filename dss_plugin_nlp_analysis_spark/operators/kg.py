@@ -31,6 +31,7 @@ __all__ = [
     "negative_samples",
     "entity_salience",
     "triple_delta",
+    "attribute_triples",
     "TRIPLE_COLUMNS",
 ]
 
@@ -432,4 +433,44 @@ def triple_delta(
         .when(F.col("_in_new").isNull(), F.lit("removed"))
         .otherwise(F.lit("same"))
         .alias("status"),
+    )
+
+
+def attribute_triples(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Literal-valued attribute extraction: every ``key: value`` line of
+    a document becomes (subj, key, value, line_idx) — the
+    infobox/metadata-block counterpart of the mention-based entity
+    triples (north rule "triple extraction" covers entity->entity via
+    the tagger AND entity->literal via structured lines; a web KG needs
+    both).
+
+    Line grammar (deliberately literal, no regex — byte-identical on any
+    engine): split on newline; a line contributes iff it contains
+    ``': '`` with a non-empty key before the FIRST occurrence and a
+    non-empty value after it; key/value are trimmed. Everything else is
+    prose and ignored. line_idx is the 0-based line number (provenance,
+    like sent_idx in the mention path).
+
+    Pure map + explode: zero shuffle at any corpus size; the
+    posexplode_outer + isNotNull guard avoids the
+    InferFiltersFromGenerate re-inlining regression (see
+    duplicated_spans).
+    """
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    w = df.select(F.col(id_col).alias("subj"), lines.alias("_lines"))
+    e = w.select(
+        "subj", F.posexplode_outer("_lines").alias("line_idx", "line")
+    ).where(F.col("line_idx").isNotNull())
+    pos = F.instr(F.col("line"), ": ")
+    key = F.trim(F.substring(F.col("line"), 1, pos - 1))
+    value = F.trim(
+        F.substring(F.col("line"), pos + 2, F.length("line"))
+    )
+    return (
+        e.select("subj", "line_idx", key.alias("key"), value.alias("value"))
+        .where((F.col("key") != "") & (F.col("value") != ""))
     )

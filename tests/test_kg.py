@@ -364,3 +364,26 @@ def test_triple_delta(spark):
         ("u2", "q", "Y"): "removed",
         ("u3", "p", "Z"): "added",
     }
+
+
+def test_attribute_triples(spark):
+    from dss_plugin_nlp_analysis_spark.operators.kg import attribute_triples
+
+    docs = [
+        (1, "title: Example Page\nprose line without marker\nlang: en"),
+        (2, "x: a: b\n: missing key\nkey only:\nok: v"),
+        (3, None),
+        (4, "no colons at all"),
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    got = sorted(
+        (r["subj"], r["line_idx"], r["key"], r["value"])
+        for r in attribute_triples(df, "id", "text").collect()
+    )
+    assert got == [
+        (1, 0, "title", "Example Page"),
+        (1, 2, "lang", "en"),
+        # first ': ' splits — value keeps the rest verbatim
+        (2, 0, "x", "a: b"),
+        (2, 3, "ok", "v"),
+    ]
