@@ -246,3 +246,14 @@ def test_anchor_text_index_no_window(spark, docs):
     links = extract_links(pages, "doc_id", "html")
     plan = plan_of(anchor_text_index(links))
     assert "Window" not in plan, plan
+
+
+def test_duplicated_spans_no_window_no_cartesian(spark, docs):
+    """The span merge must be an expression fold after groupBy — never a
+    per-key Window — and window pairing is count+equi-join, never a
+    cartesian."""
+    from dss_plugin_nlp_analysis_spark.operators.dedup import duplicated_spans
+
+    plan = plan_of(duplicated_spans(docs, "doc_id", "text", window=8))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
