@@ -301,9 +301,110 @@ def _ru() -> dict[str, str]:
     return out
 
 
+# --- Norwegian Bokmaal regular paradigms -----------------------------------
+# (completes the reference's model-lemmatizer language set de/en/es/fr/
+# nb/pl/ru, language_support.py:72-95). Class-1 verbs take -et preterite/
+# participle, class-2 take -te/-t; both share the -er present. Base lists
+# avoid stems with vowel change or consonant simplification (sende is
+# class 2 BY LIST placement; spille/svoemme excluded: -te would double).
+
+_NB_V1 = (
+    # "jobbe" deliberately absent: the reference golden pins nb
+    # "jobbet" -> identity (tests/test_config.py goldens) and parity
+    # outranks coverage
+    "kaste vaske snakke danse huske vente hente elske hoppe koste "
+    "lytte ordne pakke passe plukke rydde sjekke stoppe takke virke "
+    "kalle klare lage love mene regne rope samle"
+).split()
+_NB_V2 = (
+    "kjoere laere hoere spise lese reise ringe smile svare tenke vise "
+    "bruke foele kjoepe like leke laane moete sende"
+).replace("ae", "\u00e6").replace("oe", "\u00f8").replace("aa", "\u00e5").split()
+_NB_NOUNS = (
+    "bil baat by dag gutt hund hest katt stol vei vegg venn sang sekk "
+    "jobb kveld skole gate time uke ferie"
+).replace("aa", "\u00e5").split()
+
+
+def _nb() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for v in _NB_V1:
+        stem = v[:-1]
+        out[stem + "er"] = v      # present: kaster
+        out[stem + "et"] = v      # preterite + participle: kastet
+    for v in _NB_V2:
+        stem = v[:-1]
+        out[stem + "er"] = v      # present: kjoerer
+        out[stem + "te"] = v      # preterite: kjoerte
+        out[stem + "t"] = v       # participle: kjoert
+    for n in _NB_NOUNS:
+        if n.endswith("e"):
+            out[n + "n"] = n      # definite sg: skolen
+            out[n + "r"] = n      # indefinite pl: skoler
+            out[n + "ne"] = n     # definite pl: skolene
+        else:
+            out[n + "en"] = n     # bilen
+            out[n + "er"] = n     # biler
+            out[n + "ene"] = n    # bilene
+    return out
+
+
+# --- Polish regular paradigms ----------------------------------------------
+# Endings chosen to be purely concatenative on the stem (no dat/loc,
+# whose palatalization t->ci / r->rze is stem-altering); velar stems
+# (-k/-g) take -i plural and -iem instrumental. -ac' verbs of the czytac'
+# class conjugate on the full -a stem (czyta-m/-sz/.../-l/-la/-li).
+
+_PL_FEM_A = (
+    "kobieta szko\u0142a praca ksi\u0105\u017cka gazeta mapa lampa "
+    "grupa forma norma moneta planeta droga noga r\u0119ka "
+    "g\u0142owa woda g\u00f3ra trawa zima wiosna minuta godzina "
+    "rodzina maszyna kawa herbata ryba siostra"
+).split()
+_PL_MASC = (
+    "dom las most sklep plan program telefon komputer bank park stadion "
+    "teatr film obraz obiad zeszyt samolot autobus"
+).split()
+_PL_VERBS_AC = [
+    v + "\u0107" for v in (
+        "czyta mieszka pyta otwiera zamyka kocha szuka s\u0142ucha "
+        "ogl\u0105da pomaga biega czeka gra lata p\u0142ywa spotyka "
+        "sprz\u0105ta wita zwiedza opowiada rozmawia siada "
+        "\u015bpiewa zaczyna zna"
+    ).split()
+]
+_PL_VELARS = ("k", "g")
+
+
+def _pl() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for n in _PL_FEM_A:
+        stem = n[:-1]
+        i_pl = "i" if stem.endswith(_PL_VELARS) else "y"
+        out[stem + i_pl] = n      # gen sg + nom/acc pl: kobiety
+        out[stem + "\u0119"] = n  # acc sg: kobiete_
+        out[stem + "\u0105"] = n  # instr sg: kobieta_
+        out[stem + "ach"] = n     # loc pl: kobietach
+        out[stem + "ami"] = n     # instr pl: kobietami
+    for n in _PL_MASC:
+        i_pl = "i" if n.endswith(_PL_VELARS) else "y"
+        instr = "iem" if n.endswith(_PL_VELARS) else "em"
+        out[n + "u"] = n          # gen sg: domu
+        out[n + instr] = n        # instr sg: domem / bankiem
+        out[n + i_pl] = n         # nom/acc pl: domy / banki
+        out[n + "ach"] = n        # loc pl: domach
+        out[n + "ami"] = n        # instr pl: domami
+    for v in _PL_VERBS_AC:
+        stem = v[:-1]             # czytac -> czyta
+        for e in ("m", "sz", "", "my", "cie", "j\u0105",
+                  "\u0142", "\u0142a", "\u0142o", "li", "\u0142y"):
+            out[stem + e] = v
+    return out
+
+
 _GENERATORS = {
     "en": _en, "es": _es, "fr": _fr, "it": _it, "pt": _pt, "de": _de,
-    "ru": _ru,
+    "ru": _ru, "nb": _nb, "pl": _pl,
 }
 
 

@@ -222,3 +222,36 @@ def test_generated_lemma_tables_recall_floor():
     assert recall_full >= 0.75, (recall_full, recall_base)
     assert recall_base <= 0.45, (recall_full, recall_base)
     assert recall_full - recall_base >= 0.30
+
+
+def test_generated_lemma_tables_nb_pl():
+    """nb/pl generators complete the reference's model-lemmatizer
+    language set (de/en/es/fr/nb/pl/ru): golden regular inflections
+    resolve through the full lemma_table path, and real orthography
+    (diacritics) is preserved in both form and lemma."""
+    from dss_plugin_nlp_analysis_spark.functions.lemmas import (
+        lemma_table,
+        lemmatize_tokens,
+    )
+
+    nb_pairs = [
+        ("kastet", "kaste"), ("kaster", "kaste"),
+        ("kjørte", "kjøre"), ("kjørt", "kjøre"), ("lærte", "lære"),
+        ("spiste", "spise"), ("sendte", "sende"),
+        ("bilen", "bil"), ("bilene", "bil"), ("skolene", "skole"),
+        ("guttene", "gutt"), ("ukene", "uke"),
+    ]
+    pl_pairs = [
+        ("kobiety", "kobieta"), ("kobietę", "kobieta"),
+        ("szkoły", "szkoła"), ("książki", "książka"), ("ręką", "ręka"),
+        ("domu", "dom"), ("bankiem", "bank"), ("parki", "park"),
+        ("czytał", "czytać"), ("czytali", "czytać"),
+        ("mieszkam", "mieszkać"), ("słuchali", "słuchać"),
+        ("śpiewam", "śpiewać"),
+    ]
+    for lang, pairs in (("nb", nb_pairs), ("pl", pl_pairs)):
+        table = lemma_table(lang)
+        forms = [f for f, _ in pairs]
+        got = lemmatize_tokens(forms, table)
+        for (form, gold), g in zip(pairs, got):
+            assert g == gold, (lang, form, g, gold)
