@@ -1333,6 +1333,23 @@ def _q_attr_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_burst_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer burst detection per (event_type, day): the division-free
+    variance inequality in decimal(38,0)/int128 — no doubles, no sqrt,
+    flag identical on both engines."""
+    from dss_plugin_nlp_analysis_spark.operators.rollup import burst_buckets
+
+    # planted spike: 20% of events (event_id % 50 < 10) collapse onto one
+    # day so BOTH flag outcomes are exercised by the gate
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 50 < 10, F.to_date(F.lit("2026-03-01"))
+        ).otherwise(F.to_date("ts")).alias("day"),
+    )
+    return burst_buckets(ev, "event_type", "day")
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-to-crawl diff: new snapshot = base minus (id % 11 == 0)
     [removed], with ' updated' appended for id % 7 == 0 [changed], plus
@@ -1660,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alias_canon": _q_alias_canon,
         "kg_delta": _q_kg_delta,
         "attr_triples": _q_attr_triples,
+        "burst_days": _q_burst_days,
         "component_sizes": _q_component_sizes,
         "bm25": _q_bm25,
         "tag_doc_pivot": _q_tag_doc_pivot,
@@ -3483,6 +3501,27 @@ def _oracle_dict(pat, onto, lm_values, lm_oov, thr_case) -> dict[str, str]:
             )
             SELECT subj, line_idx, key, value FROM kv
             WHERE key != '' AND value != ''
+        """,
+        # integer burst flag: (n*x-s)^2 > 9*(n*ssq-s^2) and n*x > s, all
+        # in HUGEINT (decimal(38,0) on the Spark side)
+        "burst_days": """
+            WITH counts AS (
+              SELECT event_type AS key,
+                     CASE WHEN event_id % 50 < 10 THEN DATE '2026-03-01'
+                          ELSE ts::DATE END AS bucket,
+                     count(*) AS cnt
+              FROM events GROUP BY 1, 2
+            ),
+            stats AS (
+              SELECT key, count(*) AS n, sum(cnt::HUGEINT) AS s,
+                     sum(cnt::HUGEINT * cnt::HUGEINT) AS ssq
+              FROM counts GROUP BY 1
+            )
+            SELECT key, bucket, cnt,
+                   ((n::HUGEINT * cnt - s) * (n::HUGEINT * cnt - s)
+                      > 9 * (n::HUGEINT * ssq - s * s)
+                    AND n::HUGEINT * cnt > s)::INT AS is_burst
+            FROM counts JOIN stats USING (key)
         """,
         # temporal KG facts over the multi-snapshot view (url = doc_id%500,
         # ts = 2026-01-01 + doc_id%17 days): same keyword->pred/obj mapping

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["rollup_time", "kmv_distinct"]
+__all__ = ["rollup_time", "kmv_distinct", "burst_buckets"]
 
 
 def rollup_time(
@@ -86,4 +86,63 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
         F.when(F.col("k_used") < k, F.col("k_used").cast("double"))
         .otherwise((F.col("k_used") - 1) * F.lit(two60) / F.col("kth_hash"))
         .alias("estimate"),
+    )
+
+
+def burst_buckets(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    *,
+    sigma: int = 3,
+) -> DataFrame:
+    """Deterministic burst detection over bucketed event counts: for each
+    (key, bucket), flag the bucket whose count sits more than ``sigma``
+    standard deviations above the key's mean bucket count — the
+    crawl-rate / ingest-anomaly monitor (a domain whose fetch count
+    explodes in one hour is a crawler trap or a site dump; a tag whose
+    mention count bursts is a news event).
+
+    The test is evaluated ENTIRELY in integer arithmetic — the
+    variance inequality cleared of divisions::
+
+        (n*x - s)^2  >  sigma^2 * (n*ssq - s^2)    and    n*x > s
+
+    (x = bucket count, n = #buckets for the key, s = sum of counts,
+    ssq = sum of squared counts; the second conjunct keeps the flag
+    one-sided — only bursts, not droughts). Identical on every engine:
+    no doubles, no sqrt, no libm. Intermediates are decimal(38,0)
+    (Spark) / int128 (DuckDB's HUGEINT) — n*ssq overflows int64 at web
+    scale (1e4 buckets x (1e6 events)^2 = 1e20), so 128-bit
+    intermediates are part of the operator contract, not an
+    implementation nicety.
+
+    Returns (key, bucket, cnt, is_burst) with is_burst as int 0/1.
+    Scale shape: two map-side-combinable groupBys (per-(key,bucket),
+    then per-key moments riding the same key) + one key-keyed equi-join
+    — counts only, never raw rows; AQE skew-splits hot keys. Keys with
+    a single bucket have zero variance and n*x == s: never flagged.
+    """
+    if sigma < 1:
+        raise ValueError(f"sigma must be >= 1, got {sigma}")
+    counts = df.groupBy(
+        F.col(key_col).alias("key"), F.col(bucket_col).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    d = "cast(cnt as decimal(38, 0))"
+    stats = counts.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"sum({d})").alias("s"),
+        F.expr(f"sum({d} * {d})").alias("ssq"),
+    )
+    j = counts.join(stats, "key")
+    lhs = "(cast(n as decimal(38,0)) * cnt - s)"
+    var_n2 = "(cast(n as decimal(38,0)) * ssq - s * s)"
+    return j.select(
+        "key",
+        "bucket",
+        "cnt",
+        F.expr(
+            f"cast(({lhs} * {lhs} > {sigma} * {sigma} * {var_n2})"
+            f" and (cast(n as decimal(38,0)) * cnt > s) as int)"
+        ).alias("is_burst"),
     )

@@ -53,3 +53,34 @@ def test_kmv_distinct_exact_below_capacity_and_estimate(spark):
     nulls = spark.createDataFrame([(None,), (None,)], "x string")
     r = kmv_distinct(nulls, "x").collect()[0]
     assert r["k_used"] == 0
+
+
+def test_burst_buckets_flags_only_bursts(spark):
+    import pytest
+
+    from dss_plugin_nlp_analysis_spark.operators.rollup import burst_buckets
+
+    # key 'a': buckets of 1 event each except bucket 19 with 30 events
+    # (>= 20 buckets needed: a single outlier among n buckets has z =
+    # sqrt(n-1) at most, so n=10 sits exactly ON the 3-sigma boundary)
+    rows = [("a", b) for b in range(19)] + [("a", 19)] * 30
+    # key 'b': uniform — nothing flagged; key 'c': single bucket — never
+    rows += [("b", b) for b in range(5)] * 2 + [("c", 0)] * 50
+    df = spark.createDataFrame(rows, "k string, bkt int")
+    got = {
+        (r["key"], r["bucket"]): (r["cnt"], r["is_burst"])
+        for r in burst_buckets(df, "k", "bkt").collect()
+    }
+    assert got[("a", 19)] == (30, 1)
+    assert all(v == (1, 0) for (k, b), v in got.items() if k == "a" and b != 19)
+    assert all(v[1] == 0 for (k, _), v in got.items() if k in ("b", "c"))
+
+    # python cross-check of the integer inequality for key 'a'
+    cnts = [1] * 19 + [30]
+    n, s, ssq = len(cnts), sum(cnts), sum(c * c for c in cnts)
+    for b, x in enumerate(cnts):
+        expect = int((n * x - s) ** 2 > 9 * (n * ssq - s * s) and n * x > s)
+        assert got[("a", b)][1] == expect
+
+    with pytest.raises(ValueError):
+        burst_buckets(df, "k", "bkt", sigma=0)
