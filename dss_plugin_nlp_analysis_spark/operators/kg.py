@@ -406,25 +406,31 @@ def triple_delta(
     One full outer equi-join on the triple key after both sides reduce
     to DISTINCT key projections — the shuffle ships triple keys only,
     mentions/provenance collapse first; AQE skew-splits hot entities.
+
+    Triples with a NULL component are excluded on BOTH sides (same
+    contract as ``negative_samples``): the equi-join is null-unsafe, so
+    a NULL-keyed fact present in both builds would otherwise surface as
+    a contradictory added+removed pair instead of ``same``.
     """
-    o = (
-        old.select(
-            F.col(subj).alias("subj"),
-            F.col(pred).alias("pred"),
-            F.col(obj).alias("obj"),
+
+    def keys(t: DataFrame, marker: str) -> DataFrame:
+        return (
+            t.select(
+                F.col(subj).alias("subj"),
+                F.col(pred).alias("pred"),
+                F.col(obj).alias("obj"),
+            )
+            .where(
+                F.col(subj).isNotNull()
+                & F.col(pred).isNotNull()
+                & F.col(obj).isNotNull()
+            )
+            .distinct()
+            .withColumn(marker, F.lit(1))
         )
-        .distinct()
-        .withColumn("_in_old", F.lit(1))
-    )
-    n = (
-        new.select(
-            F.col(subj).alias("subj"),
-            F.col(pred).alias("pred"),
-            F.col(obj).alias("obj"),
-        )
-        .distinct()
-        .withColumn("_in_new", F.lit(1))
-    )
+
+    o = keys(old, "_in_old")
+    n = keys(new, "_in_new")
     return o.join(n, ["subj", "pred", "obj"], "full").select(
         "subj",
         "pred",

@@ -271,6 +271,34 @@ def test_hard_negatives_label_filter_before_rank(spark):
     assert got == [(2, 1, 1), (3, 1, 2), (4, 2, 3)]
 
 
+def py_spans(corpus, L, min_occ=2):
+    """Pure-Python mirror of duplicated_spans (shared with the fuzz
+    suite — ONE reference implementation)."""
+    from collections import Counter
+    toks = {i: t.lower().split() for i, t in corpus}
+    wins = []
+    for i, ts in toks.items():
+        for p in range(len(ts) - L + 1):
+            wins.append((i, p, " ".join(ts[p:p + L])))
+    cnt = Counter(g for _, _, g in wins)
+    dup = {}
+    for i, p, g in wins:
+        if cnt[g] >= min_occ:
+            dup.setdefault(i, []).append(p)
+    out = []
+    for i, ps in dup.items():
+        ps.sort()
+        cur = [ps[0], ps[0] + L - 1]
+        for p in ps[1:]:
+            if p <= cur[1] + 1:
+                cur[1] = p + L - 1
+            else:
+                out.append((i, cur[0], cur[1], cur[1] - cur[0] + 1))
+                cur = [p, p + L - 1]
+        out.append((i, cur[0], cur[1], cur[1] - cur[0] + 1))
+    return sorted(out)
+
+
 def test_duplicated_spans_matches_python_reference(spark):
     from dss_plugin_nlp_analysis_spark.operators.dedup import duplicated_spans
 
@@ -285,31 +313,6 @@ def test_duplicated_spans_matches_python_reference(spark):
         (4, "unique tokens only here none"),
         (5, "to sho"),  # shorter than window: no rows
     ]
-
-    def py_spans(corpus, L, min_occ=2):
-        from collections import Counter
-        toks = {i: t.lower().split() for i, t in corpus}
-        wins = []
-        for i, ts in toks.items():
-            for p in range(len(ts) - L + 1):
-                wins.append((i, p, " ".join(ts[p:p + L])))
-        cnt = Counter(g for _, _, g in wins)
-        dup = {}
-        for i, p, g in wins:
-            if cnt[g] >= min_occ:
-                dup.setdefault(i, []).append(p)
-        out = []
-        for i, ps in dup.items():
-            ps.sort()
-            cur = [ps[0], ps[0] + L - 1]
-            for p in ps[1:]:
-                if p <= cur[1] + 1:
-                    cur[1] = p + L - 1
-                else:
-                    out.append((i, cur[0], cur[1], cur[1] - cur[0] + 1))
-                    cur = [p, p + L - 1]
-            out.append((i, cur[0], cur[1], cur[1] - cur[0] + 1))
-        return sorted(out)
 
     df = spark.createDataFrame(docs, "id long, text string")
     got = sorted(tuple(r) for r in duplicated_spans(df, "id", "text", window=L).collect())

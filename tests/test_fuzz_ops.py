@@ -66,46 +66,19 @@ def test_line_dedup_matches_reference(spark, texts):
 
 # --- round-4 continued: duplicated_spans fuzz -----------------------------
 
+from tests.test_dedup_similarity import py_spans
 
-from hypothesis import HealthCheck as _HC2, given as _given2, settings as _settings2, strategies as _st2
-
-_WORD = _st2.sampled_from(["aa", "bb", "cc", "dd"])
-_DOC = _st2.lists(_WORD, min_size=0, max_size=12).map(" ".join)
+_WORD = st.sampled_from(["aa", "bb", "cc", "dd"])
+_DOC = st.lists(_WORD, min_size=0, max_size=12).map(" ".join)
 
 
-@_given2(_st2.lists(_DOC, min_size=1, max_size=6), _st2.integers(2, 4))
-@_settings2(max_examples=12, deadline=None,
-            suppress_health_check=[_HC2.too_slow])
+@given(st.lists(_DOC, min_size=1, max_size=6), st.integers(2, 4))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
 def test_duplicated_spans_fuzz_vs_python(spark, texts, L):
     from dss_plugin_nlp_analysis_spark.operators.dedup import duplicated_spans
 
     corpus = [(i, t) for i, t in enumerate(texts)]
-
-    def py_spans(corpus, L, min_occ=2):
-        from collections import Counter
-        toks = {i: t.split() for i, t in corpus}
-        wins = []
-        for i, ts in toks.items():
-            for p in range(len(ts) - L + 1):
-                wins.append((i, p, " ".join(ts[p:p + L])))
-        cnt = Counter(g for _, _, g in wins)
-        dup = {}
-        for i, p, g in wins:
-            if cnt[g] >= min_occ:
-                dup.setdefault(i, []).append(p)
-        out = []
-        for i, ps in dup.items():
-            ps.sort()
-            cur = [ps[0], ps[0] + L - 1]
-            for p in ps[1:]:
-                if p <= cur[1] + 1:
-                    cur[1] = p + L - 1
-                else:
-                    out.append((i, cur[0], cur[1], cur[1] - cur[0] + 1))
-                    cur = [p, p + L - 1]
-            out.append((i, cur[0], cur[1], cur[1] - cur[0] + 1))
-        return sorted(out)
-
     df = spark.createDataFrame(corpus, "id long, text string")
     got = sorted(
         tuple(r) for r in duplicated_spans(df, "id", "text", window=L).collect()

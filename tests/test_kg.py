@@ -387,3 +387,20 @@ def test_attribute_triples(spark):
         (2, 0, "x", "a: b"),
         (2, 3, "ok", "v"),
     ]
+
+
+def test_triple_delta_null_components_excluded(spark):
+    from dss_plugin_nlp_analysis_spark.operators.kg import triple_delta
+
+    old = spark.createDataFrame(
+        [(None, "p", "X"), ("u1", "p", "X")],
+        "subj string, pred string, obj string",
+    )
+    new = spark.createDataFrame(
+        [(None, "p", "X"), ("u1", "p", "X")],
+        "subj string, pred string, obj string",
+    )
+    rows = triple_delta(old, new).collect()
+    # the NULL-keyed fact must not surface as a contradictory
+    # added+removed pair — it is excluded by contract
+    assert [(r["subj"], r["status"]) for r in rows] == [("u1", "same")]
