@@ -1333,6 +1333,35 @@ def _q_attr_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data flow as ONE gated pipeline: Gopher quality
+    gate -> exact dedup (canonical survivors only) -> deterministic
+    stratified rebalance (en 20%, zh 50%) — each stage is an
+    already-gated operator; this gate pins their COMPOSITION (the
+    surviving doc set), which is what a real corpus build ships."""
+    from dss_plugin_nlp_analysis_spark.operators.sampling import stratified_sample
+    from dss_plugin_nlp_analysis_spark.operators.textstats import gopher_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep_ids = gopher_filter(
+        docs, "doc_id", "text",
+        min_tokens=30, max_tokens=100_000,
+        min_avg_len=3.0, max_avg_len=9.0,
+        min_stopword_ratio=0.04,
+        max_top_unigram_ratio=0.25, max_dup_word_ratio=0.60,
+    ).where(F.col("keep") == 1).select(F.col("id").alias("doc_id"))
+    kept = docs.join(keep_ids, "doc_id")
+    canon = exact_dedup(kept, "doc_id", "text").where(
+        ~F.col("is_duplicate")
+    ).select(F.col("id").alias("doc_id"))
+    surv = kept.join(canon, "doc_id")
+    out = stratified_sample(
+        surv, "doc_id", "lang", _SAMPLE_FRACTIONS, default_fraction=1.0,
+        seed="pipeline",
+    )
+    return out.select("doc_id", "lang")
+
+
 def _q_burst_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer burst detection per (event_type, day): the division-free
     variance inequality in decimal(38,0)/int128 — no doubles, no sqrt,
@@ -1678,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_delta": _q_kg_delta,
         "attr_triples": _q_attr_triples,
         "burst_days": _q_burst_days,
+        "pipeline_e2e": _q_pipeline_e2e,
         "component_sizes": _q_component_sizes,
         "bm25": _q_bm25,
         "tag_doc_pivot": _q_tag_doc_pivot,
@@ -2431,6 +2461,54 @@ def _oracle_dict(pat, onto, lm_values, lm_oov, thr_case) -> dict[str, str]:
                     AND stop_r >= 0.04
                     AND topu_r <= 0.25 AND dup_r <= 0.60)::INT AS keep
             FROM r
+        """,
+        # the composed corpus build: gopher keep -> md5-fingerprint
+        # canonical dedup -> md5 stratified sample (seed 'pipeline')
+        "pipeline_e2e": f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+            w AS (
+              SELECT doc_id,
+                     CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS toks
+              FROM n
+            ),
+            uni AS (
+              SELECT doc_id, max(c) AS topu FROM (
+                SELECT doc_id, wd, count(*) AS c
+                FROM (SELECT doc_id, unnest(toks) AS wd FROM w)
+                GROUP BY 1, 2
+              ) GROUP BY 1
+            ),
+            f AS (
+              SELECT w.doc_id, len(toks) AS nt,
+                     length(array_to_string(toks, '')) AS charsum,
+                     len(list_filter(toks, x -> x IN
+                         ('the','a','an','of','and','to','in','is','it','that'))) AS nstop,
+                     len(list_distinct(toks)) AS ndistinct,
+                     coalesce(uni.topu, 0) AS topu
+              FROM w LEFT JOIN uni USING (doc_id)
+            ),
+            keep AS (
+              SELECT doc_id FROM f
+              WHERE nt >= 30 AND nt <= 100000
+                AND (charsum::DOUBLE / nt) >= 3.0
+                AND (charsum::DOUBLE / nt) <= 9.0
+                AND (nstop::DOUBLE / nt) >= 0.04
+                AND (topu::DOUBLE / nt) <= 0.25
+                AND (1.0 - ndistinct::DOUBLE / nt) <= 0.60
+            ),
+            kd AS (
+              SELECT d.doc_id, d.lang, md5(n.norm) AS fp
+              FROM documents d
+              JOIN keep USING (doc_id) JOIN n USING (doc_id)
+            ),
+            canon AS (SELECT fp, min(doc_id) AS cid FROM kd GROUP BY fp)
+            SELECT kd.doc_id, kd.lang
+            FROM kd JOIN canon ON canon.fp = kd.fp AND canon.cid = kd.doc_id
+            WHERE ('0x' || substr(md5('pipeline|' || kd.doc_id::VARCHAR),
+                     1, 15))::BIGINT
+                  < CASE kd.lang WHEN 'en' THEN 230584300921369408
+                                 WHEN 'zh' THEN 576460752303423488
+                                 ELSE 1152921504606846976 END
         """,
         "dup_passages": f"""
             -- 3-token non-overlapping chunks repeated >= 2x corpus-wide
