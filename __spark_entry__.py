@@ -1616,6 +1616,102 @@ def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(docs, "doc_id", "text", n=2, k=20)
 
 
+# --- KG profiling / reasoning / verbalization + link-graph depth ----------
+
+def _kg_triples_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kg_triples build (same ontology/options as _q_kg_triples),
+    shared by the profiling/linearization gates so every one of them
+    exercises the full tagger -> canonicalize chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    return build_triples(
+        docs,
+        kg_oracle_ontology_df(spark),
+        url_col="doc_id",
+        text_col="text",
+        lang_col="lang",
+        ts_col=None,
+        category_col=None,
+    )
+
+
+def _q_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate cardinality QA over the materialized triples:
+    mention/fact/endpoint counts, worst fan-out, functional-violation
+    subjects, mean objects-per-subject in integer ppm."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import predicate_profile
+
+    return predicate_profile(_kg_triples_df(spark, sf_dir))
+
+
+def _q_kg_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KELM-style KG verbalization: one deterministic training sentence
+    per subject ('subj: pred obj; pred obj'), facts deduped and sorted by
+    (pred, obj) so the corpus is bit-reproducible across builds."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import linearize_triples
+
+    return linearize_triples(_kg_triples_df(spark, sf_dir))
+
+
+def _q_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-majority type inference per entity (argmax category with
+    lexicographic tie-break) over the category-tagged match stream."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import infer_entity_types
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = tag_documents(
+        docs,
+        demo_ontology_df(spark, with_category=True),
+        text_col="text",
+        lang_col="lang",
+        category_col="category",
+    )
+    return infer_entity_types(m, entity_col="tag", category_col="tag_category")
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer HITS hubs/authorities (2 rounds, max-normalized to 1e6
+    units) over the link graph — the oracle unrolls the identical four
+    half-steps as CTEs with scalar-subquery maxima."""
+    from dss_plugin_nlp_analysis_spark.operators.graph import hits
+
+    return hits(_link_edges(spark, sf_dir), iterations=2)
+
+
+def _q_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ancestor closure of the derived category tree (child c >= 1,
+    parent (c-1) div 3 over the 150 link-graph page ids): subClassOf
+    reasoning as a bounded frontier fixpoint; fixed_depth=5 >= the
+    tree's depth so the recursive-CTE oracle converges identically."""
+    from dss_plugin_nlp_analysis_spark.operators.graph import transitive_closure
+
+    ev = load_table(spark, sf_dir, "events")
+    child = (F.col("event_id") % 150).alias("child")
+    edges = (
+        ev.select(child)
+        .where(F.col("child") >= 1)
+        .distinct()
+        .withColumn("parent", F.expr("(child - 1) div 3"))
+    )
+    return transitive_closure(edges, fixed_depth=5)
+
+
+def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk corpus: 3-step walks from every node
+    divisible by 10, next hop = md5-argmin over out-neighbors — the
+    hash replaces the RNG so the embedding corpus value-hashes across
+    engines and retries."""
+    from dss_plugin_nlp_analysis_spark.operators.graph import random_walks
+
+    e = _link_edges(spark, sf_dir)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.where(F.col("node") % 10 == 0)
+    return random_walks(e, seeds, steps=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -1713,6 +1809,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_doc_pivot": _q_tag_doc_pivot,
         "corpus_profile": _q_corpus_profile,
         "tag_doc_details": _q_tag_doc_details,
+        "predicate_stats": _q_predicate_stats,
+        "kg_text": _q_kg_text,
+        "entity_types": _q_entity_types,
+        "hits": _q_hits,
+        "taxonomy_closure": _q_taxonomy,
+        "random_walks": _q_random_walks,
     }
 
 
@@ -1778,6 +1880,67 @@ _LINK_EDGES = """
     e AS (SELECT DISTINCT user_id AS src, event_id % 150 AS dst
           FROM events WHERE user_id != event_id % 150)
 """
+
+# the kg_triples mention stream + (subj, pred, obj) projection — the ONE
+# SQL replication of build_triples over the kg oracle ontology, shared by
+# kg_triples / predicate_stats / kg_text
+_KG_M = r"""
+    m AS (
+      SELECT doc_id, lang, trim(text) AS sentence,
+             unnest(regexp_extract_all(trim(text), '\b(window|stream|table scan)\b')) AS kw
+      FROM documents
+    )
+"""
+_KG_T = """
+    t AS (
+      SELECT doc_id AS subj,
+             CASE kw WHEN 'window' THEN 'alpha_op'
+                     WHEN 'stream' THEN 'zeta_op'
+                     ELSE 'scan_op' END AS pred,
+             CASE kw WHEN 'table scan' THEN 'scan_op'
+                     ELSE 'alpha_op' END AS obj
+      FROM m
+    )
+"""
+
+
+def _hits_oracle(iterations: int = 2, scale: int = 10**6) -> str:
+    """Unrolled integer-HITS CTE chain mirroring operators/graph.hits
+    half-step for half-step: int64 sums and maxima are order-free and
+    ``//`` floors exactly like Spark's ``div`` on non-negative values,
+    so both engines reach the identical fixpoint."""
+    parts = [
+        f"WITH {_LINK_EDGES},",
+        """
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+""",
+        f"    h0 AS (SELECT node, {scale}::BIGINT AS hub FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+    a{i}r AS (SELECT n.node, coalesce(s.raw, 0)::BIGINT AS raw
+              FROM nodes n LEFT JOIN
+                   (SELECT e.dst AS node, sum(h.hub)::BIGINT AS raw
+                    FROM e JOIN h{i - 1} h ON h.node = e.src
+                    GROUP BY e.dst) s ON s.node = n.node),
+    a{i} AS (SELECT node,
+                    (raw * {scale}::BIGINT)
+                      // greatest((SELECT max(raw) FROM a{i}r), 1) AS auth
+             FROM a{i}r),
+    h{i}r AS (SELECT n.node, coalesce(s.raw, 0)::BIGINT AS raw
+              FROM nodes n LEFT JOIN
+                   (SELECT e.src AS node, sum(a.auth)::BIGINT AS raw
+                    FROM e JOIN a{i} a ON a.node = e.dst
+                    GROUP BY e.src) s ON s.node = n.node),
+    h{i} AS (SELECT node,
+                    (raw * {scale}::BIGINT)
+                      // greatest((SELECT max(raw) FROM h{i}r), 1) AS hub
+             FROM h{i}r)""")
+    parts.append(
+        f"\n    SELECT a.node, a.auth, h.hub"
+        f" FROM a{iterations} a JOIN h{iterations} h ON h.node = a.node"
+    )
+    return "".join(parts)
 
 
 def _pagerank_oracle(iterations: int = 3, init: int = 10**12,
@@ -2691,12 +2854,8 @@ def _oracle_dict(pat, onto, lm_values, lm_oov, thr_case) -> dict[str, str]:
             FROM r WHERE rn = 1
         """,
         "distinct_langs": "SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL",
-        "kg_triples": r"""
-            WITH m AS (
-              SELECT doc_id, lang, trim(text) AS sentence,
-                     unnest(regexp_extract_all(trim(text), '\b(window|stream|table scan)\b')) AS kw
-              FROM documents
-            )
+        "kg_triples": f"""
+            WITH {_KG_M}
             SELECT doc_id AS subj,
                    CASE kw WHEN 'window' THEN 'alpha_op'
                            WHEN 'stream' THEN 'zeta_op'
@@ -4020,5 +4179,96 @@ def _oracle_dict(pat, onto, lm_values, lm_oov, thr_case) -> dict[str, str]:
                    END AS cls,
                    count(*) AS n
             FROM toks GROUP BY 1
+        """,
+        "predicate_stats": f"""
+            WITH {_KG_M},
+            {_KG_T},
+            d AS (SELECT DISTINCT subj, pred, obj FROM t),
+            ps AS (SELECT pred, subj, count(*)::BIGINT AS n_obj
+                   FROM d GROUP BY 1, 2),
+            mn AS (SELECT pred, count(*)::BIGINT AS n_mentions
+                   FROM t GROUP BY 1),
+            ob AS (SELECT pred, count(DISTINCT obj)::BIGINT AS n_objects
+                   FROM d GROUP BY 1),
+            a AS (SELECT pred,
+                         count(*)::BIGINT AS n_subjects,
+                         sum(n_obj)::BIGINT AS n_triples,
+                         max(n_obj)::BIGINT AS max_obj_per_subj,
+                         sum(CASE WHEN n_obj > 1 THEN 1 ELSE 0 END)::BIGINT
+                           AS n_multivalued_subjects
+                  FROM ps GROUP BY 1)
+            SELECT a.pred, mn.n_mentions, a.n_triples, a.n_subjects,
+                   ob.n_objects, a.max_obj_per_subj, a.n_multivalued_subjects,
+                   (1000000::BIGINT * a.n_triples) // a.n_subjects AS avg_obj_ppm
+            FROM a JOIN ob USING (pred) JOIN mn USING (pred)
+        """,
+        "kg_text": f"""
+            WITH {_KG_M},
+            {_KG_T},
+            d AS (SELECT DISTINCT subj, pred, obj FROM t)
+            SELECT subj,
+                   subj::VARCHAR || ': '
+                     || string_agg(pred || ' ' || obj, '; ' ORDER BY pred, obj)
+                     AS kg_text,
+                   count(*)::INT AS n_facts
+            FROM d GROUP BY subj
+        """,
+        "entity_types": f"""
+            WITH {onto},
+            m AS (
+              SELECT doc_id, unnest(regexp_extract_all(trim(text), '{pat}')) AS kw
+              FROM documents
+            ),
+            md AS (SELECT DISTINCT doc_id, kw FROM m),
+            j AS (SELECT o.tag AS entity, o.category
+                  FROM md JOIN onto o ON o.keyword = md.kw
+                  WHERE o.tag IS NOT NULL AND o.category IS NOT NULL),
+            cnt AS (SELECT entity, category, count(*)::BIGINT AS n
+                    FROM j GROUP BY 1, 2),
+            r AS (SELECT entity, category, n,
+                         row_number() OVER (PARTITION BY entity
+                                            ORDER BY n DESC, category ASC) AS rk,
+                         sum(n) OVER (PARTITION BY entity)::BIGINT AS tot,
+                         count(*) OVER (PARTITION BY entity)::BIGINT AS ncat
+                  FROM cnt)
+            SELECT entity, category AS inferred_type,
+                   n AS n_type_mentions, tot AS n_mentions, ncat AS n_categories
+            FROM r WHERE rk = 1
+        """,
+        "hits": _hits_oracle(iterations=2),
+        "taxonomy_closure": """
+            WITH RECURSIVE
+            tax AS (SELECT DISTINCT (event_id % 150) AS child,
+                           ((event_id % 150) - 1) // 3 AS parent
+                    FROM events WHERE (event_id % 150) >= 1),
+            c AS (
+              SELECT child AS node, parent AS ancestor, 1 AS depth FROM tax
+              UNION
+              SELECT c.node, t.parent, c.depth + 1
+              FROM c JOIN tax t ON t.child = c.ancestor
+            )
+            SELECT node, ancestor, min(depth)::INT AS depth
+            FROM c GROUP BY node, ancestor
+        """,
+        "random_walks": f"""
+            WITH {_LINK_EDGES},
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            w0 AS (SELECT node AS walk_id, node FROM nodes WHERE node % 10 = 0),
+            c1 AS (SELECT w.walk_id, e.dst,
+                          md5(concat_ws('|', w.walk_id, 1, e.dst)) AS h
+                   FROM w0 w JOIN e ON e.src = w.node),
+            w1 AS (SELECT walk_id, arg_min(dst, h) AS node FROM c1 GROUP BY 1),
+            c2 AS (SELECT w.walk_id, e.dst,
+                          md5(concat_ws('|', w.walk_id, 2, e.dst)) AS h
+                   FROM w1 w JOIN e ON e.src = w.node),
+            w2 AS (SELECT walk_id, arg_min(dst, h) AS node FROM c2 GROUP BY 1),
+            c3 AS (SELECT w.walk_id, e.dst,
+                          md5(concat_ws('|', w.walk_id, 3, e.dst)) AS h
+                   FROM w2 w JOIN e ON e.src = w.node),
+            w3 AS (SELECT walk_id, arg_min(dst, h) AS node FROM c3 GROUP BY 1)
+            SELECT walk_id, 0 AS step, node FROM w0
+            UNION ALL SELECT walk_id, 1, node FROM w1
+            UNION ALL SELECT walk_id, 2, node FROM w2
+            UNION ALL SELECT walk_id, 3, node FROM w3
         """,
     }

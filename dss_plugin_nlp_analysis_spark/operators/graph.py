@@ -48,6 +48,9 @@ __all__ = [
     "k_hop",
     "neighbor_jaccard",
     "k_core",
+    "hits",
+    "transitive_closure",
+    "random_walks",
 ]
 
 
@@ -390,6 +393,224 @@ def k_core(
     raise RuntimeError(
         f"k_core did not converge in {max_rounds} rounds; raise max_rounds"
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 2,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Deterministic integer HITS (Kleinberg 1999) over a directed edge
+    list: returns (node, auth, hub) with both scores in integer ``scale``
+    units after ``iterations`` full hub→authority→hub rounds.
+
+    PageRank ranks by global random-surfer mass; HITS separates *hubs*
+    (pages whose out-links select good content — directory/index pages)
+    from *authorities* (pages good hubs point at). A crawl-curation
+    pipeline wants both: authorities seed the quality corpus, hubs seed
+    the frontier. The reference plugin has no graph surface; this extends
+    the KG-materialize stage like ``pagerank`` above.
+
+    Determinism contract (mirrors the module doc): the textbook algorithm
+    L2-normalizes each half-step — floats, reduction-order-dependent.
+    Here each half-step instead max-normalizes in int64::
+
+        auth_raw(v) = sum(hub(u) for u -> v)              (order-free)
+        auth(v)     = (auth_raw(v) * scale) div max(auth_raw)
+
+    max is order-free and the floor-division is evaluated identically by
+    Spark (``div``) and ANSI engines (``//``) on non-negative values, so
+    the fixpoint value-hashes across engines. Relative ranking under
+    max-normalization equals the L2 variant's (normalization only rescales
+    within an iteration); absolute magnitudes differ — documented DIV.
+
+    Overflow bound: after normalization every score is <= scale, so the
+    next raw sum is <= scale * max_degree and the scaled numerator is
+    <= scale^2 * max_degree, which must stay below 2^63. The default
+    scale=1e6 supports max in/out-degree up to ~9e6; trillion-edge link
+    graphs with billion-degree hubs pass scale=1e4 (supports ~9e10).
+
+    Scale shape: per half-step one edges ⋈ scores equi-join (AQE
+    skew-splits hub domains) + one map-side-combinable groupBy-sum + a
+    1-row global max crossJoined back (broadcast nested-loop of a scalar
+    — no collect barrier on the driver). Lineage cut per half-step
+    (``localCheckpoint``; see module doc)."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def half_step(scores: DataFrame, col: str, out: str, key_from: str,
+                  key_to: str) -> DataFrame:
+        # raw(v) = sum of `col` over edges key_from -> key_to, then
+        # max-normalize to `scale` units (greatest(,1) guards all-zero)
+        raw = (
+            e.join(scores.withColumnRenamed("node", key_from), key_from)
+            .groupBy(F.col(key_to).alias("node"))
+            .agg(F.sum(col).alias("raw"))
+        )
+        filled = nodes.join(raw, "node", "left").select(
+            "node", F.coalesce("raw", F.lit(0).cast("long")).alias("raw")
+        )
+        mx = filled.agg(F.max("raw").alias("mx"))
+        return (
+            filled.crossJoin(mx)
+            .select(
+                "node",
+                F.expr(
+                    f"(raw * cast({scale} as bigint))"
+                    " div greatest(mx, cast(1 as bigint))"
+                ).alias(out),
+            )
+            .localCheckpoint()
+        )
+
+    hub = nodes.withColumn("hub", F.lit(scale).cast("long"))
+    auth = None
+    for _ in range(iterations):
+        auth = half_step(hub, "hub", "auth", "src", "dst")
+        hub = half_step(auth, "auth", "hub", "dst", "src")
+    return auth.join(hub, "node").select("node", "auth", "hub")
+
+
+def transitive_closure(
+    edges: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    *,
+    max_depth: int = 30,
+    fixed_depth: int | None = None,
+) -> DataFrame:
+    """Ancestor closure of a hierarchy edge list: (node, ancestor, depth)
+    for every ancestor reachable from ``node``, depth = SHORTEST hop
+    count (>= 1; self-pairs are not emitted).
+
+    The subClassOf/broader-than reasoning step of a KG build: tagging
+    materializes leaf-level type assertions, the closure makes every
+    query over a parent class see its descendants ("instance_of
+    transitive" in Wikidata terms, SKOS ``broaderTransitive``). DAGs are
+    supported — a node with two parents gets both ancestor chains, and a
+    (node, ancestor) pair reachable along several paths keeps its
+    shortest depth (frontier rows already seen are anti-joined away, so
+    the closure table stays |closure|-sized, never path-count-sized —
+    path counts are exponential in DAG depth).
+
+    Per round one frontier ⋈ edges equi-join + one anti-join + a lineage
+    cut (``localCheckpoint`` — see module doc). Rounds = hierarchy depth
+    (taxonomies: tens), NOT graph size. Self-pairs are filtered from
+    every frontier, which also makes CYCLES terminate: a node on a cycle
+    reaches every other cycle member (reported) but never itself, and
+    once all reachable (node, ancestor) pairs exist the frontier
+    empties — the closure of a cyclic graph is reachability-minus-self,
+    not an infinite loop. After ``max_depth`` non-empty rounds this
+    still raises (a hierarchy THAT deep is a data bug to inspect).
+    ``fixed_depth`` runs exactly that many rounds with no convergence
+    probe — the bounded variant an unrolled/recursive-CTE oracle
+    replicates; identical to convergence whenever fixed_depth >= true
+    depth."""
+    e = (
+        edges.select(F.col(child).alias("child"), F.col(parent).alias("parent"))
+        .where(F.col("child") != F.col("parent"))
+        .distinct()
+        .localCheckpoint()
+    )
+    closure = e.select(
+        F.col("child").alias("node"), F.col("parent").alias("ancestor")
+    ).withColumn("depth", F.lit(1)).localCheckpoint()
+    frontier = closure
+    rounds = fixed_depth if fixed_depth is not None else max_depth
+    for depth in range(2, rounds + 2):
+        nxt = (
+            frontier.join(e, frontier["ancestor"] == e["child"])
+            .select("node", F.col("parent").alias("ancestor"))
+            .where(F.col("node") != F.col("ancestor"))
+            .distinct()
+            .join(closure.select("node", "ancestor"), ["node", "ancestor"],
+                  "left_anti")
+            .withColumn("depth", F.lit(depth))
+            .localCheckpoint()
+        )
+        if fixed_depth is None and nxt.limit(1).count() == 0:
+            return closure
+        frontier = nxt
+        closure = closure.union(frontier).localCheckpoint()
+    if fixed_depth is not None:
+        return closure
+    raise RuntimeError(
+        f"transitive_closure did not converge in {max_depth} rounds — "
+        "hierarchy deeper than max_depth or cyclic; raise max_depth "
+        "after ruling out a cycle"
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    steps: int = 3,
+    node_col: str = "node",
+) -> DataFrame:
+    """Deterministic 'random' walks for graph-embedding training data:
+    one walk per seed node, ``steps`` hops, next hop chosen among the
+    current node's out-neighbors by minimum ``md5(walk_id|step|candidate)``
+    — a hash in place of an RNG, so the corpus is bit-reproducible across
+    retries, repartitions, and engines (the DeepWalk/node2vec corpus
+    generation step, with determinism the training pipeline can cache
+    on). Returns (walk_id, step, node) rows; step 0 is the seed itself;
+    a walk that reaches a sink (no out-edges) simply ends early.
+
+    Scale shape: each hop is one frontier ⋈ edges equi-join (frontier is
+    walk-count-sized, edges the big side — AQE handles hub skew) + one
+    map-side-combinable min-aggregation per walk. No windows, no
+    collect; ``steps`` is a small constant so the loop unrolls. Lineage
+    cut per hop (see module doc). Hash-argmin picks by (md5, candidate)
+    struct-min — md5 ties are cryptographically impossible, but the
+    struct makes the pick total-ordered anyway."""
+    if steps < 0:
+        raise ValueError(f"steps must be >= 0, got {steps}")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = (
+        seeds.select(F.col(node_col).alias("walk_id"))
+        .distinct()
+        .select("walk_id", F.col("walk_id").alias("node"))
+        .localCheckpoint()
+    )
+    out = cur.withColumn("step", F.lit(0))
+    for t in range(1, steps + 1):
+        cand = cur.join(e, cur["node"] == e["src"]).select(
+            "walk_id",
+            F.col("dst"),
+            F.md5(F.concat_ws("|", F.col("walk_id"), F.lit(t), F.col("dst")))
+            .alias("h"),
+        )
+        cur = (
+            cand.groupBy("walk_id")
+            .agg(F.min(F.struct("h", "dst")).alias("m"))
+            .select("walk_id", F.col("m.dst").alias("node"))
+            .localCheckpoint()
+        )
+        out = out.union(cur.withColumn("step", F.lit(t)))
+    return out.select("walk_id", "step", "node")
 
 
 def k_hop(

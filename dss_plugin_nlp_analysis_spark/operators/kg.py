@@ -32,6 +32,9 @@ __all__ = [
     "entity_salience",
     "triple_delta",
     "attribute_triples",
+    "predicate_profile",
+    "infer_entity_types",
+    "linearize_triples",
     "TRIPLE_COLUMNS",
 ]
 
@@ -479,4 +482,201 @@ def attribute_triples(
     return (
         e.select("subj", "line_idx", key.alias("key"), value.alias("value"))
         .where((F.col("key") != "") & (F.col("value") != ""))
+    )
+
+
+def predicate_profile(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """Per-predicate cardinality profile of a triple store — the KG
+    quality-assurance report a build runs after every materialize:
+
+    - ``n_mentions``   raw extraction rows (provenance-duplicated)
+    - ``n_triples``    distinct (subj, pred, obj) facts
+    - ``n_subjects`` / ``n_objects``  distinct endpoints
+    - ``max_obj_per_subj``  worst-case fan-out of one subject
+    - ``n_multivalued_subjects``  subjects asserting >1 distinct object —
+      for a predicate curators declared functional (birth_date,
+      capital_of), every such subject is a contradiction to resolve
+    - ``avg_obj_ppm``  mean objects-per-subject in integer parts-per-
+      million (``(1e6 * n_triples) div n_subjects`` — floor division, so
+      the value hashes identically across engines)
+
+    This is how a pipeline *discovers* which predicates behave
+    functionally (avg ~1e6 ppm, max 1) versus set-valued, and where
+    extraction noise concentrates (a predicate whose max fan-out is 10^4
+    is usually a tagger bug, not a fact).
+
+    Triples with a NULL component are excluded (same contract as
+    ``triple_delta``/``negative_samples`` — NULL-keyed rows are
+    extraction failures, not facts).
+
+    Scale shape: one distinct over (pred, subj, obj) — the only shuffle
+    that sees data volume, map-side combinable — then strictly shrinking
+    map-side-combinable groupBys joined on ``pred`` (predicate-count
+    rows, effectively a dimension join; AQE broadcasts it). No windows,
+    no collects."""
+    d = (
+        triples.select(
+            F.col(subj).alias("subj"),
+            F.col(pred).alias("pred"),
+            F.col(obj).alias("obj"),
+        )
+        .where(
+            F.col(subj).isNotNull()
+            & F.col(pred).isNotNull()
+            & F.col(obj).isNotNull()
+        )
+    )
+    dd = d.distinct()
+    per_subj = dd.groupBy("pred", "subj").agg(
+        F.count(F.lit(1)).alias("n_obj")
+    )
+    main = per_subj.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.sum("n_obj").alias("n_triples"),
+        F.max("n_obj").alias("max_obj_per_subj"),
+        F.sum(F.when(F.col("n_obj") > 1, 1).otherwise(0)).alias(
+            "n_multivalued_subjects"
+        ),
+    )
+    n_objects = (
+        dd.select("pred", "obj")
+        .distinct()
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n_objects"))
+    )
+    mentions = d.groupBy("pred").agg(F.count(F.lit(1)).alias("n_mentions"))
+    return (
+        main.join(n_objects, "pred")
+        .join(mentions, "pred")
+        .select(
+            "pred",
+            "n_mentions",
+            "n_triples",
+            "n_subjects",
+            "n_objects",
+            "max_obj_per_subj",
+            "n_multivalued_subjects",
+            F.expr(
+                "(cast(1000000 as bigint) * n_triples) div n_subjects"
+            ).alias("avg_obj_ppm"),
+        )
+    )
+
+
+def infer_entity_types(
+    matches: DataFrame,
+    entity_col: str = "tag",
+    category_col: str = "tag_category",
+) -> DataFrame:
+    """Majority-vote type inference: assign every entity the category it
+    is most often mentioned under across the corpus — (entity,
+    inferred_type, n_type_mentions, n_mentions, n_categories).
+
+    An ontology assigns each *keyword* a category, but surface forms are
+    ambiguous across pages ("jaguar" tagging both animal and vehicle
+    categories); the corpus-level mention distribution is the standard
+    disambiguation prior a KG build stores per canonical node. Ties
+    break to the lexicographically smallest category — a total order, so
+    the result is deterministic and engine-portable (the equivalent of
+    ``ORDER BY n DESC, category ASC LIMIT 1`` per entity).
+
+    Rows with a NULL entity or category (no-match carriers from the
+    outer tagger join) are ignored.
+
+    Scale shape: one (entity, category) map-side-combinable count —
+    bounded by |entities| x |categories|, not corpus size — then one
+    entity-keyed min-struct aggregation (argmax via min(struct(-n,
+    category)) — order-free). No windows over data-sized tables, no
+    collects."""
+    counts = (
+        matches.where(
+            F.col(entity_col).isNotNull() & F.col(category_col).isNotNull()
+        )
+        .groupBy(
+            F.col(entity_col).alias("entity"),
+            F.col(category_col).alias("category"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.groupBy("entity")
+        .agg(
+            F.min(
+                F.struct((-F.col("n")).alias("neg_n"), F.col("category"))
+            ).alias("top"),
+            F.sum("n").alias("n_mentions"),
+            F.count(F.lit(1)).alias("n_categories"),
+        )
+        .select(
+            "entity",
+            F.col("top.category").alias("inferred_type"),
+            (-F.col("top.neg_n")).alias("n_type_mentions"),
+            "n_mentions",
+            "n_categories",
+        )
+    )
+
+
+def linearize_triples(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    *,
+    fact_sep: str = "; ",
+    head_sep: str = ": ",
+) -> DataFrame:
+    """KG-to-text linearization: one training sentence per subject —
+    ``subj: pred1 obj1; pred2 obj2; ...`` with facts deduplicated and
+    sorted by (pred, obj) — plus ``n_facts``. The KELM-style verbalization
+    step that turns a materialized graph back into pretraining text so
+    the LLM sees its facts in-distribution; deterministic ordering makes
+    the generated corpus cacheable and diffable across builds.
+
+    NULL-component triples are excluded (extraction failures, same
+    contract as ``predicate_profile``). Sorting is binary/codepoint
+    string order — identical in Spark, DuckDB, and UTF-8-collated
+    engines.
+
+    Scale shape: one distinct + one subject-keyed collect_set aggregation
+    whose per-group size is the subject's fact count (entity fan-out,
+    bounded by ``predicate_profile.max_obj_per_subj`` — profile first,
+    cap upstream if a subject fans out pathologically). The sort happens
+    per-row inside ``sort_array`` after aggregation — no global or
+    per-key shuffle sort."""
+    d = (
+        triples.select(
+            F.col(subj).alias("subj"),
+            F.col(pred).alias("pred"),
+            F.col(obj).alias("obj"),
+        )
+        .where(
+            F.col(subj).isNotNull()
+            & F.col(pred).isNotNull()
+            & F.col(obj).isNotNull()
+        )
+        .distinct()
+    )
+    return (
+        d.groupBy("subj")
+        .agg(F.sort_array(F.collect_set(F.struct("pred", "obj"))).alias("ps"))
+        .select(
+            "subj",
+            F.concat(
+                F.col("subj").cast("string"),
+                F.lit(head_sep),
+                F.concat_ws(
+                    fact_sep,
+                    F.transform(
+                        "ps", lambda x: F.concat_ws(" ", x.pred, x.obj)
+                    ),
+                ),
+            ).alias("kg_text"),
+            F.size("ps").alias("n_facts"),
+        )
     )

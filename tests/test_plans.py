@@ -257,3 +257,82 @@ def test_duplicated_spans_no_window_no_cartesian(spark, docs):
     plan = plan_of(duplicated_spans(docs, "doc_id", "text", window=8))
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hits_lineage_cut_and_no_cartesian_of_data(spark):
+    """Each HITS half-step ends in localCheckpoint, so the final plan is
+    one node-keyed join of two checkpointed score tables — never the
+    4-half-step join tree (lineage growth kills iterative drivers). The
+    scalar-max crossJoin is allowed to appear only as a 1-row broadcast
+    nested loop INSIDE a half-step, never in the returned plan."""
+    from dss_plugin_nlp_analysis_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 5) for i in range(30)], "src long, dst long"
+    )
+    plan = plan_of(hits(edges, iterations=2))
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Join") <= plan.count("BroadcastHashJoin") + plan.count(
+        "SortMergeJoin"
+    ) + plan.count("ShuffledHashJoin"), plan
+
+
+def test_transitive_closure_lineage_cut(spark):
+    """The returned closure must scan checkpointed rows, not replay the
+    per-round frontier joins."""
+    from dss_plugin_nlp_analysis_spark.operators.graph import transitive_closure
+
+    edges = spark.createDataFrame(
+        [(c, (c - 1) // 3) for c in range(1, 30)], "child long, parent long"
+    )
+    plan = plan_of(transitive_closure(edges))
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_predicate_profile_no_window_no_cartesian(spark, docs):
+    """All cardinality stats come from map-side-combinable groupBys
+    joined on the predicate key — no per-key windows, no cartesian."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import predicate_profile
+
+    t = build_triples(
+        docs, kg_oracle_ontology_df(spark), url_col="doc_id", lang_col="lang",
+        ts_col=None, category_col=None, languages=LANGS,
+    )
+    plan = plan_of(predicate_profile(t))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_linearize_triples_no_window_sort_is_per_row(spark, docs):
+    """The (pred, obj) ordering happens inside sort_array after the
+    subject aggregation — the plan must contain no Window and no global
+    Sort feeding the aggregate."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import linearize_triples
+
+    t = build_triples(
+        docs, kg_oracle_ontology_df(spark), url_col="doc_id", lang_col="lang",
+        ts_col=None, category_col=None, languages=LANGS,
+    )
+    plan = plan_of(linearize_triples(t))
+    assert "Window" not in plan, plan
+    # collect_set runs as an object-hash aggregate (per-group buffers),
+    # and the only Sort in the plan may be the aggregate's own fallback —
+    # never a global Sort over the triple stream before aggregation
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan, plan
+
+
+def test_infer_entity_types_no_window(spark, docs):
+    """The per-entity argmax is a min-struct aggregation, never a
+    row_number window over the mention stream."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import infer_entity_types
+
+    m = tag_documents(
+        docs, demo_ontology_df(spark, with_category=True), lang_col="lang",
+        languages=LANGS, category_col="category",
+    )
+    plan = plan_of(infer_entity_types(m))
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan or "min(" in plan, plan
