@@ -1712,6 +1712,74 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(e, seeds, steps=3)
 
 
+# hashed-linear quality model: the ONE weight/bias definition, injected
+# into both the Spark query and the DuckDB oracle (pseudo-trained
+# deterministic weights — the gate certifies the deployment math)
+_LIN_B = 32
+_LIN_WEIGHTS = [((b * 37 + 11) % 21 - 10) * 1000 for b in range(_LIN_B)]
+_LIN_BIAS = 2500
+_LIN_THRESHOLD = 0
+
+
+def _q_pagerank_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-sensitive PageRank: teleport mass returns only to seed
+    nodes (node % 10 == 0) — proximity-to-seeds salience, same integer
+    fixpoint contract as `pagerank`."""
+    from dss_plugin_nlp_analysis_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    e = _link_edges(spark, sf_dir)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.where(F.col("node") % 10 == 0)
+    return personalized_pagerank(e, seeds, iterations=3).select(
+        "node", F.col("rank").alias("rank_micro")
+    )
+
+
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts + integer-ppm conditional
+    probabilities over per-user event sequences — next-action training
+    data with a deterministic (ts, event_id) ordering contract."""
+    from dss_plugin_nlp_analysis_spark.operators.rollup import (
+        transition_counts,
+    )
+
+    return transition_counts(load_table(spark, sf_dir, "events"))
+
+
+def _q_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear quality classifier (CCNet/fastText-style
+    learned filter, inference side): md5-bucketed bag-of-words dotted
+    with an integer weight vector, keep = score >= threshold."""
+    from dss_plugin_nlp_analysis_spark.operators.textstats import (
+        hashed_linear_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hashed_linear_score(
+        docs, "doc_id", "text", _LIN_WEIGHTS,
+        bias=_LIN_BIAS, threshold=_LIN_THRESHOLD,
+    )
+    return out.select(F.col("id").alias("doc_id"), "score_micro", "keep")
+
+
+def _q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge statistics: corpus-wide top-20 adjacent
+    character pairs inside words — iteration one of tokenizer training
+    over the pretraining corpus itself."""
+    from dss_plugin_nlp_analysis_spark.operators.textstats import (
+        char_pair_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_pair_counts(docs, "doc_id", "text", k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -1815,6 +1883,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": _q_hits,
         "taxonomy_closure": _q_taxonomy,
         "random_walks": _q_random_walks,
+        "pagerank_topic": _q_pagerank_topic,
+        "event_transitions": _q_event_transitions,
+        "quality_linear": _q_quality_linear,
+        "bpe_pairs": _q_bpe_pairs,
     }
 
 
@@ -1969,6 +2041,40 @@ def _pagerank_oracle(iterations: int = 3, init: int = 10**12,
                      + ({dnum} * coalesce(i{i}.incoming, 0)) // {dden})::BIGINT
                       AS rank
              FROM nodes n LEFT JOIN i{i} ON i{i}.node = n.node)""")
+    parts.append(f"\n    SELECT node, rank AS rank_micro FROM r{iterations}")
+    return "".join(parts)
+
+
+def _ppr_oracle(iterations: int = 3, init: int = 10**12,
+                dnum: int = 85, dden: int = 100) -> str:
+    """Unrolled personalized-PageRank CTE chain mirroring
+    operators/graph.personalized_pagerank: identical to _pagerank_oracle
+    except the base/teleport term applies only to seed nodes
+    (node % 10 == 0) and non-seeds start at rank 0."""
+    base = (dden - dnum) * init // dden
+    parts = [
+        f"WITH {_LINK_EDGES},",
+        """
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    b AS (SELECT n.node,
+""",
+        f"""                 (CASE WHEN n.node % 10 = 0 THEN {base} ELSE 0 END)::BIGINT AS base,
+                 (CASE WHEN n.node % 10 = 0 THEN {init} ELSE 0 END)::BIGINT AS rank
+          FROM nodes n),
+    r0 AS (SELECT node, rank FROM b)""",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+    i{i} AS (SELECT e.dst AS node, sum(r.rank // d.outdeg)::BIGINT AS incoming
+             FROM e JOIN r{i - 1} r ON r.node = e.src
+                    JOIN deg d ON d.src = e.src
+             GROUP BY e.dst),
+    r{i} AS (SELECT bb.node,
+                    (bb.base
+                     + ({dnum} * coalesce(i{i}.incoming, 0)) // {dden})::BIGINT
+                      AS rank
+             FROM b bb LEFT JOIN i{i} ON i{i}.node = bb.node)""")
     parts.append(f"\n    SELECT node, rank AS rank_micro FROM r{iterations}")
     return "".join(parts)
 
@@ -4270,5 +4376,58 @@ def _oracle_dict(pat, onto, lm_values, lm_oov, thr_case) -> dict[str, str]:
             UNION ALL SELECT walk_id, 1, node FROM w1
             UNION ALL SELECT walk_id, 2, node FROM w2
             UNION ALL SELECT walk_id, 3, node FROM w3
+        """,
+        "pagerank_topic": _ppr_oracle(iterations=3),
+        "event_transitions": """
+            WITH base AS (
+              SELECT user_id, event_type, ts, event_id FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            ),
+            p AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS to_type
+              FROM base
+            ),
+            c AS (SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
+                  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+            t AS (SELECT from_type, sum(n_transitions)::BIGINT AS tot
+                  FROM c GROUP BY 1)
+            SELECT c.from_type, c.to_type, c.n_transitions,
+                   (1000000::BIGINT * c.n_transitions) // t.tot AS prob_ppm
+            FROM c JOIN t USING (from_type)
+        """,
+        "quality_linear": f"""
+            WITH w(b, wt) AS (VALUES {", ".join(f"({b}, {wt})" for b, wt in enumerate(_LIN_WEIGHTS))}),
+            tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split({_NORM}, ' '),
+                                        x -> x != '')) AS tk
+              FROM documents
+            ),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(tk), 1, 15))::BIGINT % {_LIN_B} AS b
+                  FROM tok),
+            s AS (SELECT h.doc_id, sum(w.wt)::BIGINT AS ssum
+                  FROM h JOIN w ON w.b = h.b GROUP BY 1)
+            SELECT d.doc_id,
+                   ({_LIN_BIAS} + coalesce(s.ssum, 0))::BIGINT AS score_micro,
+                   (CASE WHEN {_LIN_BIAS} + coalesce(s.ssum, 0)
+                              >= {_LIN_THRESHOLD}
+                         THEN 1 ELSE 0 END)::INT AS keep
+            FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+        """,
+        "bpe_pairs": f"""
+            WITH words AS (
+              SELECT unnest(list_filter(string_split({_NORM}, ' '),
+                                        x -> x != '')) AS w
+              FROM documents
+            ),
+            ex AS (SELECT w, unnest(range(1, length(w))) AS i
+                   FROM words WHERE length(w) >= 2)
+            SELECT substr(w, i::INT, 2) AS pair,
+                   count(*)::BIGINT AS n_occurrences
+            FROM ex GROUP BY 1
+            ORDER BY n_occurrences DESC, pair LIMIT 20
         """,
     }

@@ -17,10 +17,10 @@ global sort materialization).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rollup_time", "kmv_distinct", "burst_buckets"]
+__all__ = ["rollup_time", "kmv_distinct", "burst_buckets", "transition_counts"]
 
 
 def rollup_time(
@@ -145,4 +145,60 @@ def burst_buckets(
             f"cast(({lhs} * {lhs} > {sigma} * {sigma} * {var_n2})"
             f" and (cast(n as decimal(38,0)) * cnt > s) as int)"
         ).alias("is_burst"),
+    )
+
+
+def transition_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition statistics over per-user event
+    sequences: (from_type, to_type, n_transitions, prob_ppm) where
+    ``prob_ppm`` is the conditional next-event probability in integer
+    parts-per-million (``(1e6 * n) div total-from-from_type`` — floor
+    division, engine-portable). The training-data pass behind
+    next-action / session-recommendation models, and the transition
+    matrix a behavioral-anomaly monitor baselines against.
+
+    Ordering contract: each user's stream is ordered by ``(ts, seq)`` —
+    the sequence id breaks timestamp ties so the transition set is
+    deterministic under any partitioning. Rows with a NULL type or NULL
+    timestamp are dropped BEFORE sequencing (Spark orders NULLS FIRST,
+    ANSI engines NULLS LAST — excluding them is the only portable
+    contract, and an event with no timestamp has no position anyway).
+
+    Scale shape: the one ordered window is partitioned by user —
+    bounded by a single user's activity, never corpus-global (the
+    degenerate-key hazard of unordered windows doesn't apply; per-user
+    cardinality is the natural shard). Downstream is two map-side-
+    combinable groupBys joined on from_type (event-type-count rows — a
+    dimension join AQE broadcasts)."""
+    w = Window.partitionBy(F.col("u")).orderBy(F.col("_ts"), F.col("_seq"))
+    base = events.where(
+        F.col(type_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("from_type"),
+        F.col(ts_col).alias("_ts"),
+        F.col(seq_col).alias("_seq"),
+    )
+    pairs = base.withColumn(
+        "to_type", F.lead("from_type").over(w)
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("_total")
+    )
+    return counts.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.expr(
+            "(cast(1000000 as bigint) * n_transitions) div _total"
+        ).alias("prob_ppm"),
     )

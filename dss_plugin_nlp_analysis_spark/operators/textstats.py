@@ -814,3 +814,110 @@ def mixed_language_profile(
         F.col("n_langs").cast("int").alias("n_langs"),
         F.col("n_chunks").cast("int").alias("n_chunks"),
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: list[int],
+    *,
+    bias: int = 0,
+    threshold: int = 0,
+) -> DataFrame:
+    """Linear text classifier deployed as pure Spark expressions — the
+    CCNet/fastText-style learned quality filter, inference-side: a
+    hashing-trick bag-of-words whose integer micro-unit weights were
+    trained offline, with
+
+        score_micro(doc) = bias + sum over tokens t of
+                           weights[h(t) mod B]
+        h(t) = first 60 bits of md5(t)   (15 hex chars via conv —
+               the same ``('0x' || hex)::BIGINT`` an ANSI engine
+               computes, so scores value-hash across engines)
+
+    Output: (id, score_micro, keep) with keep = 1 iff score_micro >=
+    ``threshold``. Integer weights make the token sum order-free —
+    float weights would tie-break keep/drop differently across
+    reduction orders at the decision boundary.
+
+    ``weights`` (size B = the hash-bucket count) ships as ONE array
+    literal materialized as a projected column — a bound reference
+    inside the fold lambda, NOT a re-evaluated subtree (the HOF
+    re-evaluation trap: an unprojected array literal would be rebuilt
+    per token, O(B) per token). This caps B at litteral-size limits
+    (~10^5); a production million-bucket model swaps the array for a
+    broadcast (bucket -> weight) join on an exploded token table —
+    same math, one extra map-side-combinable aggregation.
+
+    Scale shape: pure map, zero shuffle, no UDF."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    b = len(weights)
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in weights])
+    norm = normalized_text(F.col(text_col))
+    toks = F.filter(F.split(norm, " "), lambda x: x != "")
+    out = df.select(
+        F.col(id_col).alias("id"), toks.alias("_toks"), arr.alias("_w")
+    )
+    bucket = lambda t: (  # noqa: E731 — inline hash-bucket expression
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % b
+    )
+    score = F.lit(int(bias)).cast("long") + F.aggregate(
+        "_toks",
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.element_at("_w", (bucket(t) + 1).cast("int")),
+    )
+    return out.select(
+        "id",
+        score.alias("score_micro"),
+        (score >= F.lit(int(threshold))).cast("int").alias("keep"),
+    )
+
+
+def char_pair_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 20,
+) -> DataFrame:
+    """First BPE-merge statistics: corpus-wide counts of adjacent
+    character pairs INSIDE whitespace words of the normalized text,
+    top-k by count (ties by pair text — deterministic boundary). This
+    is iteration one of byte-pair-encoding tokenizer training (the
+    most frequent pair becomes the first merge); running it over the
+    pretraining corpus itself is how a pipeline fits its tokenizer to
+    its data.
+
+    Scale shape: per-row nested array transform (pairs are built from
+    the word array — the token array is materialized as a projected
+    column first, see the HOF re-evaluation trap in chunk_documents),
+    explode_outer + isNotNull (dodges the InferFiltersFromGenerate
+    re-inlining regression), one map-side-combinable count, and the
+    global top-k runs as TakeOrderedAndProject (per-partition k-row
+    heaps), never a full sort."""
+    norm = normalized_text(F.col(text_col))
+    words = F.filter(F.split(norm, " "), lambda x: x != "")
+    pairs = F.flatten(
+        F.transform(
+            "_words",
+            lambda w: F.when(
+                F.length(w) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(w) - 1),
+                    lambda i: w.substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    staged = df.select(words.alias("_words")).select(pairs.alias("_pairs"))
+    e = staged.select(
+        F.explode_outer("_pairs").alias("pair")
+    ).where(F.col("pair").isNotNull())
+    return (
+        e.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+        .limit(k)
+    )

@@ -336,3 +336,60 @@ def test_infer_entity_types_no_window(spark, docs):
     plan = plan_of(infer_entity_types(m))
     assert "Window" not in plan, plan
     assert "partial_min" in plan or "min(" in plan, plan
+
+
+def test_hashed_linear_score_pure_map(spark, docs):
+    """The learned quality filter is expressions only: zero exchanges,
+    no Python evaluation of any kind."""
+    from dss_plugin_nlp_analysis_spark.operators.textstats import (
+        hashed_linear_score,
+    )
+
+    out = hashed_linear_score(docs, "doc_id", "text", [100, -200, 300], bias=5)
+    plan = plan_of(out)
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_char_pair_counts_take_ordered_not_global_sort(spark, docs):
+    """Top-k pairs must run as TakeOrderedAndProject (per-partition
+    heaps), with the count as the only shuffle."""
+    from dss_plugin_nlp_analysis_spark.operators.textstats import (
+        char_pair_counts,
+    )
+
+    plan = plan_of(char_pair_counts(docs, "doc_id", "text", k=10))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_personalized_pagerank_lineage_cut(spark):
+    """Same contract as pagerank: the returned ranks scan checkpointed
+    rows, not the 3-round join tree."""
+    from dss_plugin_nlp_analysis_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 5) for i in range(30)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (3,)], "node long")
+    plan = plan_of(personalized_pagerank(edges, seeds, iterations=3))
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_transition_counts_single_user_window_no_cartesian(spark):
+    """The only ordered window is per-user; downstream joins are
+    equi-joins on from_type."""
+    from dss_plugin_nlp_analysis_spark.operators.rollup import (
+        transition_counts,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = plan_of(transition_counts(ev))
+    assert "CartesianProduct" not in plan, plan
+    # the one logical window is user-partitioned (the subtree may print
+    # twice because counts feeds both sides of the totals join)
+    assert "Window" in plan, plan
+    assert "windowspecdefinition(u#" in plan, plan
