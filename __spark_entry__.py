@@ -1668,6 +1668,22 @@ def _q_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return infer_entity_types(m, entity_col="tag", category_col="tag_category")
 
 
+def _link_seed_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed set (node % 10 == 0) over the SELF-LOOP-FILTERED distinct
+    link-graph node universe — the ONE definition both seeded graph
+    gates share, mirroring the oracles' `_LINK_EDGES`-derived nodes CTE
+    exactly (the raw _link_edges still contains self-loop rows; a node
+    appearing ONLY in self-loops exists in the raw edges but not in the
+    filtered universe, and the two sides must agree on it)."""
+    e = _link_edges(spark, sf_dir).where(F.col("src") != F.col("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return nodes.where(F.col("node") % 10 == 0)
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer HITS hubs/authorities (2 rounds, max-normalized to 1e6
     units) over the link graph — the oracle unrolls the identical four
@@ -1702,14 +1718,9 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines and retries."""
     from dss_plugin_nlp_analysis_spark.operators.graph import random_walks
 
-    e = _link_edges(spark, sf_dir)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
+    return random_walks(
+        _link_edges(spark, sf_dir), _link_seed_nodes(spark, sf_dir), steps=3
     )
-    seeds = nodes.where(F.col("node") % 10 == 0)
-    return random_walks(e, seeds, steps=3)
 
 
 # hashed-linear quality model: the ONE weight/bias definition, injected
@@ -1729,16 +1740,10 @@ def _q_pagerank_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
         personalized_pagerank,
     )
 
-    e = _link_edges(spark, sf_dir)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    seeds = nodes.where(F.col("node") % 10 == 0)
-    return personalized_pagerank(e, seeds, iterations=3).select(
-        "node", F.col("rank").alias("rank_micro")
-    )
+    return personalized_pagerank(
+        _link_edges(spark, sf_dir), _link_seed_nodes(spark, sf_dir),
+        iterations=3,
+    ).select("node", F.col("rank").alias("rank_micro"))
 
 
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1777,7 +1782,7 @@ def _q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return char_pair_counts(docs, "doc_id", "text", k=20)
+    return char_pair_counts(docs, "text", k=20)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

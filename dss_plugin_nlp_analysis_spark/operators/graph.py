@@ -55,6 +55,68 @@ __all__ = [
 ]
 
 
+def _rank_edge_prep(
+    edges: DataFrame, src: str, dst: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared PageRank-family input prep: DISTINCT non-loop edges with
+    the iteration-invariant outdeg pre-joined (computed once, lineage cut
+    once, reused every round — outdeg >= 1 for every src by construction)
+    plus the node universe."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    return e.join(outdeg, "src").localCheckpoint(), nodes
+
+
+def _rank_fixpoint(
+    e_deg: DataFrame,
+    bases: DataFrame,
+    iterations: int,
+    damp_num: int,
+    damp_den: int,
+) -> DataFrame:
+    """The ONE damped-sum integer fixpoint loop behind ``pagerank`` and
+    ``personalized_pagerank`` — parameterized by per-node (base, rank0)
+    columns in ``bases`` (already lineage-cut). Per iteration: edges ⋈
+    ranks equi-join, map-side-combinable sum, per-round localCheckpoint
+    (see module doc)."""
+    ranks = bases.select("node", F.col("rank0").alias("rank"))
+    for _ in range(iterations):
+        incoming = (
+            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").alias("share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("share").alias("incoming"))
+        )
+        ranks = (
+            bases.join(incoming, "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("base")
+                    + F.expr(
+                        f"(cast({damp_num} as bigint)"
+                        f" * coalesce(incoming, cast(0 as bigint)))"
+                        f" div cast({damp_den} as bigint)"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()  # cut per-round lineage (see module doc)
+        )
+    return ranks
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -82,50 +144,14 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # edges ⋈ outdeg is iteration-invariant: precompute once, cut lineage
-    # once, reuse every round (outdeg >= 1 for every src by construction)
-    e_deg = e.join(outdeg, "src").localCheckpoint()
-    nodes = nodes.localCheckpoint()
-
+    e_deg, nodes = _rank_edge_prep(edges, src, dst)
     base = (damp_den - damp_num) * init // damp_den
-    ranks = nodes.withColumn("rank", F.lit(init).cast("long"))
-    for _ in range(iterations):
-        incoming = (
-            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank div outdeg").alias("share"),
-            )
-            .groupBy("node")
-            .agg(F.sum("share").alias("incoming"))
-        )
-        ranks = (
-            nodes.join(incoming, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr(
-                        f"(cast({damp_num} as bigint)"
-                        f" * coalesce(incoming, cast(0 as bigint)))"
-                        f" div cast({damp_den} as bigint)"
-                    )
-                ).alias("rank"),
-            )
-            .localCheckpoint()  # cut per-round lineage (see module doc)
-        )
-    return ranks
+    bases = nodes.select(
+        "node",
+        F.lit(base).cast("long").alias("base"),
+        F.lit(init).cast("long").alias("rank0"),
+    ).localCheckpoint()
+    return _rank_fixpoint(e_deg, bases, iterations, damp_num, damp_den)
 
 
 def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -544,7 +570,11 @@ def transitive_closure(
             .withColumn("depth", F.lit(depth))
             .localCheckpoint()
         )
-        if fixed_depth is None and nxt.limit(1).count() == 0:
+        # the emptiness probe is one narrow scan of the just-checkpointed
+        # frontier; in fixed_depth mode it changes nothing semantically
+        # (an empty frontier stays empty) but skips the remaining rounds'
+        # join/checkpoint jobs
+        if nxt.limit(1).count() == 0:
             return closure
         frontier = nxt
         closure = closure.union(frontier).localCheckpoint()
@@ -691,24 +721,13 @@ def personalized_pagerank(
         rank'(v)  = [v in seeds] * ((damp_den-damp_num)*init div damp_den)
                     + (damp_num * incoming(v)) div damp_den
 
-    Scale shape matches ``pagerank`` (per-iteration edges ⋈ ranks
-    equi-join + map-side-combinable sum, lineage cut per round); the
-    seed flag is precomputed once as a node-keyed column, so the seed
-    set costs one join total, not one per iteration."""
+    Scale shape matches ``pagerank`` (the two share ``_rank_fixpoint``
+    — one loop body to maintain); the seed flag is precomputed once as
+    a node-keyed column, so the seed set costs one join total, not one
+    per iteration."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e_deg = e.join(outdeg, "src").localCheckpoint()
+    e_deg, nodes = _rank_edge_prep(edges, src, dst)
     base = (damp_den - damp_num) * init // damp_den
     s = seeds.select(F.col(node_col).alias("node")).distinct()
     bases = (
@@ -726,30 +745,4 @@ def personalized_pagerank(
         )
         .localCheckpoint()
     )
-    ranks = bases.select("node", F.col("rank0").alias("rank"))
-    for _ in range(iterations):
-        incoming = (
-            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank div outdeg").alias("share"),
-            )
-            .groupBy("node")
-            .agg(F.sum("share").alias("incoming"))
-        )
-        ranks = (
-            bases.join(incoming, "node", "left")
-            .select(
-                "node",
-                (
-                    F.col("base")
-                    + F.expr(
-                        f"(cast({damp_num} as bigint)"
-                        f" * coalesce(incoming, cast(0 as bigint)))"
-                        f" div cast({damp_den} as bigint)"
-                    )
-                ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
-    return ranks
+    return _rank_fixpoint(e_deg, bases, iterations, damp_num, damp_den)

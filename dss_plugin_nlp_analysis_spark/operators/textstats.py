@@ -877,7 +877,6 @@ def hashed_linear_score(
 
 def char_pair_counts(
     df: DataFrame,
-    id_col: str,
     text_col: str,
     *,
     k: int = 20,

@@ -358,7 +358,7 @@ def test_char_pair_counts_take_ordered_not_global_sort(spark, docs):
         char_pair_counts,
     )
 
-    plan = plan_of(char_pair_counts(docs, "doc_id", "text", k=10))
+    plan = plan_of(char_pair_counts(docs, "text", k=10))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Window" not in plan, plan
 

@@ -158,7 +158,7 @@ def test_char_pair_counts_matches_counter(spark):
     texts = [(1, "Hello hello"), (2, "ab a  ba"), (3, None)]
     df = spark.createDataFrame(texts, "doc_id long, text string")
     got = [(r["pair"], r["n_occurrences"])
-           for r in char_pair_counts(df, "doc_id", "text", k=50).collect()]
+           for r in char_pair_counts(df, "text", k=50).collect()]
     c = Counter()
     for _, t in texts:
         import re
