@@ -1723,6 +1723,100 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _typed_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata pages -> attribute_triples: six key lines per doc
+    spanning every literal kind (text, int, decimal, percent, US date,
+    ISO date) plus the prose body — the shared input of the schema-
+    induction and literal-normalization gates; the oracle builds the
+    identical page string with || and chr(10)."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import attribute_triples
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    page = F.concat(
+        F.lit("title: doc "), (d % 50).cast("string"),
+        F.lit(chr(10) + "n_items: "), (d % 1000).cast("string"),
+        F.lit(chr(10) + "score: "), (d % 97).cast("string"),
+        F.lit("."), (d % 10).cast("string"),
+        F.lit(chr(10) + "share: "), (d % 100).cast("string"), F.lit("%"),
+        F.lit(chr(10) + "updated: "), (1 + d % 12).cast("string"),
+        F.lit("/"), (1 + d % 28).cast("string"), F.lit("/2026"),
+        F.lit(chr(10) + "born: 2026-01-"),
+        F.lpad((1 + d % 28).cast("string"), 2, "0"),
+        F.lit(chr(10)), F.col("text"),
+    )
+    return attribute_triples(
+        docs.select("doc_id", page.alias("page")), "doc_id", "page"
+    )
+
+
+def _q_attr_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema induction over the typed attribute table: per-key
+    cardinalities, fan-out, and numeric/date-like value shares in
+    integer ppm — how a pipeline discovers the infobox schema."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import attribute_schema
+
+    return attribute_schema(_typed_kv(spark, sf_dir))
+
+
+def _q_literal_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal typing/normalization: every attribute value classified
+    (int/decimal/percent/date/text) and normalized to exact micro-units
+    or ISO dates — integer/string ops only, byte-identical in SQL."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import normalize_literals
+
+    return normalize_literals(_typed_kv(spark, sf_dir))
+
+
+def _q_current_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal conflict resolution over the multi-snapshot triple view:
+    one believed object per (subj, pred) — latest last_seen, ties by
+    mentions then greatest obj — plus the competing-candidate count."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import current_facts
+
+    t = build_triples(
+        _snapshot_pages(spark, sf_dir),
+        kg_oracle_ontology_df(spark),
+        url_col="url",
+        text_col="text",
+        lang_col="lang",
+        ts_col="warc_ts",
+        category_col=None,
+    )
+    return current_facts(t)
+
+
+def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-15 (5-term query) fused with dense
+    cosine top-15 (query vector 0) by integer reciprocal-rank fusion —
+    the sparse+dense merge every retrieval-augmented pipeline runs."""
+    from pyspark.sql import Window
+
+    from dss_plugin_nlp_analysis_spark.operators.invindex import bm25_topk
+    from dss_plugin_nlp_analysis_spark.operators.similarity import (
+        cosine_topk,
+        rrf_fuse,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sparse = bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=15)
+    # rank over the 15-row candidate list (k-sized single partition —
+    # bounded by k, not the corpus)
+    sparse_r = sparse.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_micro").desc(), F.col("id")))
+        .alias("rank"),
+    )
+    dense = cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=15).select(
+        F.col("neighbor_id").alias("id"), "rank"
+    )
+    return rrf_fuse([sparse_r, dense], k=60).select(
+        F.col("id").alias("doc_id"), "rrf_micro", "n_systems"
+    )
+
+
 # hashed-linear quality model: the ONE weight/bias definition, injected
 # into both the Spark query and the DuckDB oracle (pseudo-trained
 # deterministic weights — the gate certifies the deployment math)
@@ -1892,6 +1986,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q_event_transitions,
         "quality_linear": _q_quality_linear,
         "bpe_pairs": _q_bpe_pairs,
+        "attr_schema": _q_attr_schema,
+        "literal_norm": _q_literal_norm,
+        "current_facts": _q_current_facts,
+        "hybrid_rrf": _q_hybrid_rrf,
     }
 
 
@@ -1915,6 +2013,15 @@ from dss_plugin_nlp_analysis_spark.operators.url import (  # noqa: E402
 )
 from dss_plugin_nlp_analysis_spark.operators.textstats import (  # noqa: E402
     SCRIPT_RANGES as _SCRIPTS,
+)
+from dss_plugin_nlp_analysis_spark.operators.kg import (  # noqa: E402
+    DATELIKE_PATTERN as _KG_DATELIKE,
+    DECIMAL_PATTERN as _KG_DEC,
+    INT_PATTERN as _KG_INT,
+    ISO_DATE_PATTERN as _KG_ISO,
+    NUMERIC_PATTERN as _KG_NUM,
+    PERCENT_PATTERN as _KG_PCT,
+    US_DATE_PATTERN as _KG_US,
 )
 
 _CORPUS_EXACT = f"""
@@ -2048,6 +2155,96 @@ def _pagerank_oracle(iterations: int = 3, init: int = 10**12,
              FROM nodes n LEFT JOIN i{i} ON i{i}.node = n.node)""")
     parts.append(f"\n    SELECT node, rank AS rank_micro FROM r{iterations}")
     return "".join(parts)
+
+
+# multi-snapshot triple view (mirrors _snapshot_pages ∘ build_triples):
+# url = doc_id%500, ts = 2026-01-01 + doc_id%17 days, same keyword->
+# pred/obj mapping as the kg_triples oracle — shared by triple_history
+# and current_facts
+_SNAP_T = r"""
+    m AS (
+      SELECT 'u' || (doc_id % 500)::VARCHAR AS subj,
+             TIMESTAMP '2026-01-01'
+               + (doc_id % 17) * INTERVAL 1 DAY AS ts,
+             unnest(regexp_extract_all(trim(text),
+               '\b(window|stream|table scan)\b')) AS kw
+      FROM documents
+    ),
+    t AS (
+      SELECT subj,
+             CASE kw WHEN 'window' THEN 'alpha_op'
+                     WHEN 'stream' THEN 'zeta_op'
+                     ELSE 'scan_op' END AS pred,
+             CASE kw WHEN 'table scan' THEN 'scan_op'
+                     ELSE 'alpha_op' END AS obj,
+             ts
+      FROM m
+    )
+"""
+
+# BM25 integer scoring chain (mirrors invindex.bm25_topk) as reusable
+# CTEs: `bmtop` = the top-15 (id, score_micro) — shared by the bm25 gate
+# and the hybrid-RRF fusion gate
+_BM25_CORE = f"""
+    corpus AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),
+    dlt AS (SELECT id, CASE WHEN t = '' THEN 0
+                            ELSE len(string_split(t, ' ')) END AS dl
+            FROM corpus),
+    stats AS (SELECT count(*) AS n,
+                     (sum(dl) // count(*))::BIGINT AS avgdl FROM dlt),
+    tf AS (
+      SELECT id, w AS token, count(*) AS tf FROM (
+        SELECT id, unnest(string_split(t, ' ')) AS w
+        FROM corpus WHERE t != ''
+      ) WHERE w IN ({", ".join("'" + t + "'" for t in _BM25_TERMS)})
+      GROUP BY id, w
+    ),
+    dfc AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
+    idf AS (
+      SELECT token,
+             round(ln(1.0 + (n - dfc + 0.5) / (dfc + 0.5))
+                   * 1e6)::BIGINT AS idf_micro
+      FROM dfc, stats
+    ),
+    contrib AS (
+      SELECT tf.id,
+             (idf_micro * ((22 * tf * 1000000)
+                // (10 * tf + 3 + (9 * dl) // avgdl))) // 1000000 AS c
+      FROM tf JOIN dlt ON dlt.id = tf.id
+              JOIN idf USING (token), stats
+    ),
+    bmscore AS (SELECT id, sum(c)::BIGINT AS score_micro
+                FROM contrib GROUP BY id),
+    bmtop AS (SELECT id, score_micro FROM bmscore
+              ORDER BY score_micro DESC, id LIMIT 15)
+"""
+
+# typed metadata pages -> trimmed key/value rows (mirrors _typed_kv):
+# six typed lines per doc + prose body, the shared input of the
+# attr_schema and literal_norm gates
+_TYPED_KV = """
+    pg AS (
+      SELECT doc_id AS subj,
+             'title: doc ' || (doc_id % 50)::VARCHAR || chr(10) ||
+             'n_items: ' || (doc_id % 1000)::VARCHAR || chr(10) ||
+             'score: ' || (doc_id % 97)::VARCHAR || '.'
+               || (doc_id % 10)::VARCHAR || chr(10) ||
+             'share: ' || (doc_id % 100)::VARCHAR || '%' || chr(10) ||
+             'updated: ' || (1 + doc_id % 12)::VARCHAR || '/'
+               || (1 + doc_id % 28)::VARCHAR || '/2026' || chr(10) ||
+             'born: 2026-01-' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0')
+               || chr(10) || text AS page
+      FROM documents
+    ),
+    ln AS (SELECT subj, unnest(string_split(page, chr(10))) AS line FROM pg),
+    kv AS (
+      SELECT subj,
+             trim(substr(line, 1, strpos(line, ': ') - 1)) AS key,
+             trim(substr(line, strpos(line, ': ') + 2)) AS value
+      FROM ln WHERE strpos(line, ': ') > 0
+    ),
+    kvf AS (SELECT * FROM kv WHERE key != '' AND value != '')
+"""
 
 
 def _ppr_oracle(iterations: int = 3, init: int = 10**12,
@@ -3645,36 +3842,8 @@ def _oracle_dict(pat, onto, lm_values, lm_oov, thr_case) -> dict[str, str]:
         # (round absorbs libm ULPs — tfidf precedent) + all-int64 tf
         # saturation with the same early floor divisions as the engine
         "bm25": f"""
-            WITH corpus AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),
-            dlt AS (SELECT id, CASE WHEN t = '' THEN 0
-                                    ELSE len(string_split(t, ' ')) END AS dl
-                    FROM corpus),
-            stats AS (SELECT count(*) AS n,
-                             (sum(dl) // count(*))::BIGINT AS avgdl FROM dlt),
-            tf AS (
-              SELECT id, w AS token, count(*) AS tf FROM (
-                SELECT id, unnest(string_split(t, ' ')) AS w
-                FROM corpus WHERE t != ''
-              ) WHERE w IN ({", ".join("'" + t + "'" for t in _BM25_TERMS)})
-              GROUP BY id, w
-            ),
-            dfc AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
-            idf AS (
-              SELECT token,
-                     round(ln(1.0 + (n - dfc + 0.5) / (dfc + 0.5))
-                           * 1e6)::BIGINT AS idf_micro
-              FROM dfc, stats
-            ),
-            contrib AS (
-              SELECT tf.id,
-                     (idf_micro * ((22 * tf * 1000000)
-                        // (10 * tf + 3 + (9 * dl) // avgdl))) // 1000000 AS c
-              FROM tf JOIN dlt ON dlt.id = tf.id
-                      JOIN idf USING (token), stats
-            )
-            SELECT id AS doc_id, sum(c)::BIGINT AS score_micro
-            FROM contrib GROUP BY id
-            ORDER BY score_micro DESC, doc_id LIMIT 15
+            WITH {_BM25_CORE}
+            SELECT id AS doc_id, score_micro FROM bmtop
         """,
         # bounded BFS from seed users 0-4: two unrolled frontier
         # expansions, each minus the already-visited set
@@ -3871,28 +4040,10 @@ def _oracle_dict(pat, onto, lm_values, lm_oov, thr_case) -> dict[str, str]:
                     AND n::HUGEINT * cnt > s)::INT AS is_burst
             FROM counts JOIN stats USING (key)
         """,
-        # temporal KG facts over the multi-snapshot view (url = doc_id%500,
-        # ts = 2026-01-01 + doc_id%17 days): same keyword->pred/obj mapping
-        # as the kg_triples oracle, then min/max/count-distinct per triple
-        "triple_history": r"""
-            WITH m AS (
-              SELECT 'u' || (doc_id % 500)::VARCHAR AS subj,
-                     TIMESTAMP '2026-01-01'
-                       + (doc_id % 17) * INTERVAL 1 DAY AS ts,
-                     unnest(regexp_extract_all(trim(text),
-                       '\b(window|stream|table scan)\b')) AS kw
-              FROM documents
-            ),
-            t AS (
-              SELECT subj,
-                     CASE kw WHEN 'window' THEN 'alpha_op'
-                             WHEN 'stream' THEN 'zeta_op'
-                             ELSE 'scan_op' END AS pred,
-                     CASE kw WHEN 'table scan' THEN 'scan_op'
-                             ELSE 'alpha_op' END AS obj,
-                     ts
-              FROM m
-            )
+        # temporal KG facts over the multi-snapshot view: min/max/
+        # count-distinct per triple over the shared _SNAP_T fragment
+        "triple_history": f"""
+            WITH {_SNAP_T}
             SELECT subj, pred, obj,
                    min(ts) AS first_seen, max(ts) AS last_seen,
                    count(DISTINCT ts) AS n_snapshots,
@@ -4434,5 +4585,99 @@ def _oracle_dict(pat, onto, lm_values, lm_oov, thr_case) -> dict[str, str]:
                    count(*)::BIGINT AS n_occurrences
             FROM ex GROUP BY 1
             ORDER BY n_occurrences DESC, pair LIMIT 20
+        """,
+        "attr_schema": f"""
+            WITH {_TYPED_KV},
+            d AS (SELECT key, subj, value,
+                         regexp_matches(value, '{_KG_NUM}')::INT AS isnum,
+                         regexp_matches(value, '{_KG_DATELIKE}')::INT AS isdate
+                  FROM kvf),
+            main AS (SELECT key, count(*)::BIGINT AS n_rows,
+                            count(DISTINCT subj)::BIGINT AS n_subjects,
+                            count(DISTINCT value)::BIGINT AS n_values,
+                            sum(isnum)::BIGINT AS n_numeric,
+                            sum(isdate)::BIGINT AS n_datelike
+                     FROM d GROUP BY 1),
+            fo AS (SELECT key, max(cnt)::BIGINT AS max_per_subject FROM
+                     (SELECT key, subj, count(*)::BIGINT AS cnt
+                      FROM kvf GROUP BY 1, 2)
+                   GROUP BY 1)
+            SELECT m.key, n_rows, n_subjects, n_values, max_per_subject,
+                   (1000000::BIGINT * n_numeric) // n_rows AS numeric_ppm,
+                   (1000000::BIGINT * n_datelike) // n_rows AS datelike_ppm
+            FROM main m JOIN fo USING (key)
+        """,
+        "literal_norm": f"""
+            WITH {_TYPED_KV},
+            n AS (SELECT subj, key, value,
+                         CASE WHEN regexp_matches(value, '{_KG_INT}')
+                                THEN 'int'
+                              WHEN regexp_matches(value, '{_KG_DEC}')
+                                THEN 'decimal'
+                              WHEN regexp_matches(value, '{_KG_PCT}')
+                                THEN 'percent'
+                              WHEN regexp_matches(value, '{_KG_ISO}')
+                                THEN 'date'
+                              WHEN regexp_matches(value, '{_KG_US}')
+                                THEN 'date'
+                              ELSE 'text' END AS value_kind,
+                         regexp_replace(value, '^-|%$', '', 'g') AS mag
+                  FROM kvf)
+            SELECT subj, key, value, value_kind,
+                   CASE WHEN value_kind IN ('int', 'decimal', 'percent') THEN
+                     (CASE WHEN value LIKE '-%' THEN -1 ELSE 1 END)::BIGINT
+                     * (string_split(mag, '.')[1]::BIGINT * 1000000
+                        + rpad(coalesce(string_split(mag, '.')[2], ''),
+                               6, '0')::BIGINT)
+                   END AS value_micro,
+                   CASE WHEN regexp_matches(value, '{_KG_ISO}') THEN value
+                        WHEN regexp_matches(value, '{_KG_US}') THEN
+                          string_split(value, '/')[3] || '-'
+                          || lpad(string_split(value, '/')[1], 2, '0') || '-'
+                          || lpad(string_split(value, '/')[2], 2, '0')
+                   END AS value_iso
+            FROM n
+        """,
+        "current_facts": f"""
+            WITH {_SNAP_T},
+            h AS (SELECT subj, pred, obj, max(ts) AS last_seen,
+                         count(*)::BIGINT AS n_mentions
+                  FROM t GROUP BY 1, 2, 3),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY subj, pred
+                                            ORDER BY last_seen DESC,
+                                                     n_mentions DESC,
+                                                     obj DESC) AS rk,
+                         count(*) OVER (PARTITION BY subj, pred)::BIGINT
+                           AS n_candidates
+                  FROM h)
+            SELECT subj, pred, obj, last_seen, n_mentions, n_candidates
+            FROM r WHERE rk = 1
+        """,
+        "hybrid_rrf": f"""
+            WITH {_BM25_CORE},
+            bmrank AS (SELECT id,
+                              row_number() OVER (ORDER BY score_micro DESC,
+                                                 id) AS rank
+                       FROM bmtop),
+            dense AS (
+              SELECT neighbor_id AS id, rank FROM (
+                SELECT c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                         ORDER BY list_cosine_similarity(
+                                    q.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]) DESC,
+                                  c.vec_id
+                       ) AS rank
+                FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+                WHERE q.vec_id = 0
+              ) WHERE rank <= 15
+            ),
+            u AS (SELECT id, 1000000 // (60 + rank) AS term FROM bmrank
+                  UNION ALL
+                  SELECT id, 1000000 // (60 + rank) FROM dense)
+            SELECT id AS doc_id, sum(term)::BIGINT AS rrf_micro,
+                   count(*)::BIGINT AS n_systems
+            FROM u GROUP BY 1
         """,
     }

@@ -35,6 +35,9 @@ __all__ = [
     "predicate_profile",
     "infer_entity_types",
     "linearize_triples",
+    "current_facts",
+    "attribute_schema",
+    "normalize_literals",
     "TRIPLE_COLUMNS",
 ]
 
@@ -679,4 +682,189 @@ def linearize_triples(
             ).alias("kg_text"),
             F.size("ps").alias("n_facts"),
         )
+    )
+
+
+def current_facts(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Temporal conflict resolution — the KG *serving view*: one believed
+    object per (subj, pred), chosen as the candidate with the latest
+    ``last_seen`` across crawl snapshots; ties break by mention count,
+    then by greatest object (a total order, so the pick is deterministic
+    and engine-portable). Returns (subj, pred, obj, last_seen,
+    n_mentions, n_candidates) — n_candidates > 1 marks facts that had
+    competing values (``predicate_profile`` finds the predicates where
+    that matters; this operator resolves them).
+
+    NULL-component triples and NULL timestamps are excluded (same
+    contract as ``triple_delta``; a mention with no snapshot time cannot
+    vote on recency).
+
+    Scale shape: two map-side-combinable groupBys — per-(s,p,o) history
+    collapse, then a per-(s,p) max-struct argmax. No windows over the
+    mention stream, no collects."""
+    h = (
+        triples.select(
+            F.col(subj).alias("subj"),
+            F.col(pred).alias("pred"),
+            F.col(obj).alias("obj"),
+            F.col(ts_col).alias("_ts"),
+        )
+        .where(
+            F.col(subj).isNotNull()
+            & F.col(pred).isNotNull()
+            & F.col(obj).isNotNull()
+            & F.col(ts_col).isNotNull()
+        )
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.max("_ts").alias("last_seen"),
+            F.count(F.lit(1)).alias("n_mentions"),
+        )
+    )
+    return (
+        h.groupBy("subj", "pred")
+        .agg(
+            F.max(F.struct("last_seen", "n_mentions", "obj")).alias("top"),
+            F.count(F.lit(1)).alias("n_candidates"),
+        )
+        .select(
+            "subj",
+            "pred",
+            F.col("top.obj").alias("obj"),
+            F.col("top.last_seen").alias("last_seen"),
+            F.col("top.n_mentions").alias("n_mentions"),
+            "n_candidates",
+        )
+    )
+
+
+# literal-value patterns (Java regex ∩ RE2 subset, same discipline as
+# operators/pii.py): anchored, no backrefs, no lookaround
+NUMERIC_PATTERN = r"^-?[0-9]+(\.[0-9]+)?$"
+INT_PATTERN = r"^-?[0-9]{1,12}$"
+DECIMAL_PATTERN = r"^-?[0-9]{1,12}\.[0-9]{1,6}$"
+PERCENT_PATTERN = r"^-?[0-9]{1,12}(\.[0-9]{1,6})?%$"
+ISO_DATE_PATTERN = r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+US_DATE_PATTERN = r"^[0-9]{1,2}/[0-9]{1,2}/[0-9]{4}$"
+DATELIKE_PATTERN = r"^([0-9]{4}-[0-9]{2}-[0-9]{2}|[0-9]{1,2}/[0-9]{1,2}/[0-9]{4})$"
+
+
+def attribute_schema(
+    attrs: DataFrame,
+    subj: str = "subj",
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Schema induction over the literal-attribute table
+    (``attribute_triples`` output): per key — row/subject/value
+    cardinalities, worst per-subject fan-out, and integer-ppm shares of
+    numeric and date-like values. This is how a pipeline DISCOVERS the
+    infobox schema of a crawl (keys that are 99% numeric become typed
+    columns; keys with huge value cardinality and no dominant type stay
+    free text; a key with max_per_subject >> 1 is list-valued).
+
+    Scale shape: one (key, subj) map-side-combinable count for the
+    fan-out + one per-key aggregation carrying the two regex flags as
+    0/1 ints (classified once per row, in the scan projection); the
+    final join is key-cardinality-sized. No windows, no collects."""
+    d = attrs.select(
+        F.col(key_col).alias("key"),
+        F.col(subj).alias("subj"),
+        F.col(value_col).alias("value"),
+        F.col(value_col).rlike(NUMERIC_PATTERN).cast("int").alias("_num"),
+        F.col(value_col).rlike(DATELIKE_PATTERN).cast("int").alias("_date"),
+    )
+    main = d.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("subj")).alias("n_subjects"),
+        F.count_distinct(F.col("value")).alias("n_values"),
+        F.sum("_num").alias("n_numeric"),
+        F.sum("_date").alias("n_datelike"),
+    )
+    fanout = (
+        d.groupBy("key", "subj")
+        .agg(F.count(F.lit(1)).alias("_per"))
+        .groupBy("key")
+        .agg(F.max("_per").alias("max_per_subject"))
+    )
+    return main.join(fanout, "key").select(
+        "key",
+        "n_rows",
+        "n_subjects",
+        "n_values",
+        "max_per_subject",
+        F.expr("(cast(1000000 as bigint) * n_numeric) div n_rows").alias(
+            "numeric_ppm"
+        ),
+        F.expr("(cast(1000000 as bigint) * n_datelike) div n_rows").alias(
+            "datelike_ppm"
+        ),
+    )
+
+
+def normalize_literals(
+    attrs: DataFrame,
+    subj: str = "subj",
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Literal value normalization — the typing pass between raw
+    ``key: value`` extraction and a queryable KG: classify every value
+    and normalize it into machine form, all in integer/string ops so
+    both engines agree byte-for-byte:
+
+    - ``int``      -?digits (<= 12 digits)  -> value_micro = v * 1e6
+    - ``decimal``  -?d.d (frac <= 6)        -> micro-units, frac
+      right-padded to 6 (exact — never a float parse)
+    - ``percent``  number followed by %     -> micro-units of the number
+    - ``date``     YYYY-MM-DD or M/D/YYYY   -> value_iso = YYYY-MM-DD
+      (zero-padded); FORMAT normalization only — 99/99/9999 passes
+      through unvalidated, range checks are a downstream concern
+    - ``text``     everything else         -> value_micro/value_iso NULL
+
+    Integer caps (12 int digits, 6 frac digits) keep every product
+    inside int64; values beyond the caps stay ``text`` rather than
+    overflowing. Pure map: zero shuffle at any scale."""
+    v = F.col(value_col)
+    neg = F.when(v.startswith("-"), F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    mag = F.regexp_replace(v, r"^-|%$", "")
+    # F.get, not [i]: ANSI mode errors on out-of-bounds indices (an int
+    # value has no frac part, a non-date no second '/' segment)
+    int_part = F.get(F.split(mag, r"\."), 0).cast("long")
+    frac_raw = F.coalesce(F.get(F.split(mag, r"\."), 1), F.lit(""))
+    frac = F.rpad(frac_raw, 6, "0").cast("long")
+    micro = neg * (int_part * F.lit(1_000_000).cast("long") + frac)
+    us_m = F.get(F.split(v, "/"), 0)
+    us_d = F.get(F.split(v, "/"), 1)
+    us_y = F.get(F.split(v, "/"), 2)
+    kind = (
+        F.when(v.rlike(INT_PATTERN), F.lit("int"))
+        .when(v.rlike(DECIMAL_PATTERN), F.lit("decimal"))
+        .when(v.rlike(PERCENT_PATTERN), F.lit("percent"))
+        .when(v.rlike(ISO_DATE_PATTERN), F.lit("date"))
+        .when(v.rlike(US_DATE_PATTERN), F.lit("date"))
+        .otherwise(F.lit("text"))
+    )
+    return attrs.select(
+        F.col(subj).alias("subj"),
+        F.col(key_col).alias("key"),
+        v.alias("value"),
+        kind.alias("value_kind"),
+        F.when(
+            kind.isin("int", "decimal", "percent"), micro
+        ).alias("value_micro"),
+        F.when(v.rlike(ISO_DATE_PATTERN), v)
+        .when(
+            v.rlike(US_DATE_PATTERN),
+            F.concat_ws(
+                "-", us_y, F.lpad(us_m, 2, "0"), F.lpad(us_d, 2, "0")
+            ),
+        )
+        .alias("value_iso"),
     )

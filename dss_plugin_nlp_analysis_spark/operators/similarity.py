@@ -439,3 +439,52 @@ def cosine_dup_pairs(
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    k: int = 60,
+    scale: int = 10**6,
+    id_col: str = "id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N retrieval
+    rankings — the standard hybrid sparse+dense merge (BM25 candidates +
+    embedding candidates into one list), computed in integers::
+
+        rrf_micro(d) = sum over systems of  scale div (k + rank_d)
+
+    Each input must provide (id, 1-based rank); only ids a system
+    returned contribute that system's term (the usual top-k RRF —
+    missing means rank infinity). Returns (id, rrf_micro, n_systems)
+    with n_systems = how many rankings contained the id. Floor division
+    makes the fused score engine-portable; float RRF ties at the merge
+    boundary differ across summation orders, integer RRF cannot.
+
+    Scale shape: a union of rank-table projections (each top-k-sized —
+    candidate lists, not corpora) + one map-side-combinable groupBy.
+    The expensive part of hybrid retrieval is producing the input
+    rankings (bm25_topk, cosine_topk — each already scale-shaped);
+    fusion itself is candidate-sized."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    parts = [
+        r.select(
+            F.col(id_col).alias("id"),
+            F.expr(
+                f"cast({scale} as bigint)"
+                f" div (cast({k} as bigint) + cast({rank_col} as bigint))"
+            ).alias("_term"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.union(p)
+    return u.groupBy("id").agg(
+        F.sum("_term").alias("rrf_micro"),
+        F.count(F.lit(1)).alias("n_systems"),
+    )

@@ -393,3 +393,42 @@ def test_transition_counts_single_user_window_no_cartesian(spark):
     # twice because counts feeds both sides of the totals join)
     assert "Window" in plan, plan
     assert "windowspecdefinition(u#" in plan, plan
+
+
+def test_current_facts_no_window(spark, docs):
+    """Temporal resolution is two map-side-combinable groupBys (history
+    collapse + max-struct argmax) — never a per-(subj,pred) window over
+    the mention stream."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import current_facts
+
+    t = build_triples(
+        docs.withColumn("warc_ts", F.current_timestamp()),
+        kg_oracle_ontology_df(spark), url_col="doc_id", lang_col="lang",
+        ts_col="warc_ts", category_col=None, languages=LANGS,
+    )
+    plan = plan_of(current_facts(t))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_normalize_literals_pure_map(spark):
+    """Literal typing is expressions only: zero exchanges, no Python."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import normalize_literals
+
+    a = spark.createDataFrame(
+        [(1, "k", "42")], "subj long, key string, value string"
+    )
+    plan = plan_of(normalize_literals(a))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_rrf_fuse_no_cartesian(spark):
+    """Fusion is a union + one groupBy over candidate lists."""
+    from dss_plugin_nlp_analysis_spark.operators.similarity import rrf_fuse
+
+    r1 = spark.createDataFrame([(1, 1), (2, 2)], "id long, rank int")
+    r2 = spark.createDataFrame([(2, 1)], "id long, rank int")
+    plan = plan_of(rrf_fuse([r1, r2]))
+    assert "CartesianProduct" not in plan and "Join" not in plan, plan
+    assert "HashAggregate" in plan, plan
