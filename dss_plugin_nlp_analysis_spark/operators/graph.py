@@ -544,10 +544,12 @@ def transitive_closure(
     empties — the closure of a cyclic graph is reachability-minus-self,
     not an infinite loop. After ``max_depth`` non-empty rounds this
     still raises (a hierarchy THAT deep is a data bug to inspect).
-    ``fixed_depth`` runs exactly that many rounds with no convergence
-    probe — the bounded variant an unrolled/recursive-CTE oracle
-    replicates; identical to convergence whenever fixed_depth >= true
-    depth."""
+    ``fixed_depth`` bounds the rounds at exactly that many (the
+    variant an unrolled/recursive-CTE oracle replicates; identical to
+    convergence whenever fixed_depth >= true depth) — the per-round
+    emptiness probe (one narrow scan of the just-checkpointed frontier)
+    still runs and ends the loop early once the frontier empties, since
+    an empty frontier stays empty."""
     e = (
         edges.select(F.col(child).alias("child"), F.col(parent).alias("parent"))
         .where(F.col("child") != F.col("parent"))

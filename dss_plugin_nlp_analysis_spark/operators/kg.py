@@ -472,7 +472,10 @@ def attribute_triples(
     InferFiltersFromGenerate re-inlining regression (see
     duplicated_spans).
     """
-    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    # \r?\n: a CRLF page would otherwise leave '\r' glued to every value
+    # (trim strips spaces, not carriage returns) and poison downstream
+    # typing (normalize_literals) — split handles both line conventions
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\r?\n")
     w = df.select(F.col(id_col).alias("subj"), lines.alias("_lines"))
     e = w.select(
         "subj", F.posexplode_outer("_lines").alias("line_idx", "line")
@@ -709,17 +712,19 @@ def current_facts(
     collapse, then a per-(s,p) max-struct argmax. No windows over the
     mention stream, no collects."""
     h = (
-        triples.select(
-            F.col(subj).alias("subj"),
-            F.col(pred).alias("pred"),
-            F.col(obj).alias("obj"),
-            F.col(ts_col).alias("_ts"),
-        )
-        .where(
+        triples.where(  # filter BEFORE the renaming projection: the
+            # original Column refs disambiguate even if the input carries
+            # duplicate names (post-select they'd need analyzer rescue)
             F.col(subj).isNotNull()
             & F.col(pred).isNotNull()
             & F.col(obj).isNotNull()
             & F.col(ts_col).isNotNull()
+        )
+        .select(
+            F.col(subj).alias("subj"),
+            F.col(pred).alias("pred"),
+            F.col(obj).alias("obj"),
+            F.col(ts_col).alias("_ts"),
         )
         .groupBy("subj", "pred", "obj")
         .agg(
@@ -746,13 +751,17 @@ def current_facts(
 
 # literal-value patterns (Java regex ∩ RE2 subset, same discipline as
 # operators/pii.py): anchored, no backrefs, no lookaround
-NUMERIC_PATTERN = r"^-?[0-9]+(\.[0-9]+)?$"
-INT_PATTERN = r"^-?[0-9]{1,12}$"
-DECIMAL_PATTERN = r"^-?[0-9]{1,12}\.[0-9]{1,6}$"
-PERCENT_PATTERN = r"^-?[0-9]{1,12}(\.[0-9]{1,6})?%$"
-ISO_DATE_PATTERN = r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
-US_DATE_PATTERN = r"^[0-9]{1,2}/[0-9]{1,2}/[0-9]{4}$"
-DATELIKE_PATTERN = r"^([0-9]{4}-[0-9]{2}-[0-9]{2}|[0-9]{1,2}/[0-9]{1,2}/[0-9]{4})$"
+# \z, not $: Java's $ also matches BEFORE a trailing line terminator, so
+# a CRLF-contaminated value like '123\r' would classify as int on Spark
+# (then crash the ANSI micro-cast) while RE2/DuckDB says text; \z means
+# absolute end-of-text in BOTH engines
+NUMERIC_PATTERN = r"^-?[0-9]+(\.[0-9]+)?\z"
+INT_PATTERN = r"^-?[0-9]{1,12}\z"
+DECIMAL_PATTERN = r"^-?[0-9]{1,12}\.[0-9]{1,6}\z"
+PERCENT_PATTERN = r"^-?[0-9]{1,12}(\.[0-9]{1,6})?%\z"
+ISO_DATE_PATTERN = r"^[0-9]{4}-[0-9]{2}-[0-9]{2}\z"
+US_DATE_PATTERN = r"^[0-9]{1,2}/[0-9]{1,2}/[0-9]{4}\z"
+DATELIKE_PATTERN = r"^([0-9]{4}-[0-9]{2}-[0-9]{2}|[0-9]{1,2}/[0-9]{1,2}/[0-9]{4})\z"
 
 
 def attribute_schema(

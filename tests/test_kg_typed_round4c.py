@@ -108,3 +108,30 @@ def test_rrf_fuse_rejects_bad_inputs(spark):
         rrf_fuse([])
     with pytest.raises(ValueError):
         rrf_fuse([r1], k=-1)
+
+
+def test_crlf_values_stay_clean_and_untyped_garbage_stays_text(spark):
+    # CRLF page: '\r' must NOT survive the line split into values
+    # (review finding: Java '$' matches before a trailing '\r', so a
+    # '123\r' value would classify int on Spark, text on RE2 — and the
+    # decimal micro-cast would crash under ANSI)
+    page = "n: 123\r\nscore: 3.5\r\nwhen: 3/4/2026\r\nplain"
+    from dss_plugin_nlp_analysis_spark.operators.kg import attribute_triples
+
+    df = spark.createDataFrame([(1, page)], "id long, page string")
+    kv = attribute_triples(df, "id", "page")
+    vals = {r["key"]: r["value"] for r in kv.collect()}
+    assert vals == {"n": "123", "score": "3.5", "when": "3/4/2026"}
+    got = {r["key"]: (r["value_kind"], r["value_micro"], r["value_iso"])
+           for r in normalize_literals(kv, subj="subj").collect()}
+    assert got["n"] == ("int", 123_000_000, None)
+    assert got["score"] == ("decimal", 3_500_000, None)
+    assert got["when"] == ("date", None, "2026-03-04")
+    # a value with an embedded carriage return (not from the line split)
+    # must classify text on BOTH engines (\z anchors) — and never crash
+    raw = spark.createDataFrame(
+        [(1, "k", "123\r"), (2, "k", "3.5\r")],
+        "subj long, key string, value string",
+    )
+    got2 = {r["subj"]: r["value_kind"] for r in normalize_literals(raw).collect()}
+    assert got2 == {1: "text", 2: "text"}
