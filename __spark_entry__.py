@@ -1817,6 +1817,28 @@ def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase over per-user
+    event streams, strictly-after semantics on the (ts, event_id) total
+    order."""
+    from dss_plugin_nlp_analysis_spark.operators.rollup import funnel_counts
+
+    return funnel_counts(load_table(spark, sf_dir, "events"), _FUNNEL_STEPS)
+
+
+def _q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (integer epoch-day // 7 buckets —
+    no calendar week-truncation semantics)."""
+    from dss_plugin_nlp_analysis_spark.operators.rollup import (
+        cohort_retention,
+    )
+
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
 # hashed-linear quality model: the ONE weight/bias definition, injected
 # into both the Spark query and the DuckDB oracle (pseudo-trained
 # deterministic weights — the gate certifies the deployment math)
@@ -1990,6 +2012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "literal_norm": _q_literal_norm,
         "current_facts": _q_current_facts,
         "hybrid_rrf": _q_hybrid_rrf,
+        "funnel": _q_funnel,
+        "cohort": _q_cohort,
     }
 
 
@@ -4679,5 +4703,51 @@ def _oracle_dict(pat, onto, lm_values, lm_oov, thr_case) -> dict[str, str]:
             SELECT id AS doc_id, sum(term)::BIGINT AS rrf_micro,
                    count(*)::BIGINT AS n_systems
             FROM u GROUP BY 1
+        """,
+        # greedy earliest-completion funnel: exact for existence (if any
+        # ordered chain exists, the earliest one does); strictly-after on
+        # the (ts, event_id) total order
+        "funnel": f"""
+            WITH ev AS (SELECT user_id AS u, event_type AS t, ts,
+                               event_id AS seq
+                        FROM events
+                        WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+            f1 AS (SELECT u, ts, seq FROM
+                     (SELECT u, ts, seq, row_number() OVER
+                        (PARTITION BY u ORDER BY ts, seq) AS rn
+                      FROM ev WHERE t = '{_FUNNEL_STEPS[0]}')
+                   WHERE rn = 1),
+            c2 AS (SELECT e.u, e.ts, e.seq
+                   FROM ev e JOIN f1 ON f1.u = e.u
+                   WHERE e.t = '{_FUNNEL_STEPS[1]}'
+                     AND (e.ts > f1.ts OR (e.ts = f1.ts AND e.seq > f1.seq))),
+            f2 AS (SELECT u, ts, seq FROM
+                     (SELECT u, ts, seq, row_number() OVER
+                        (PARTITION BY u ORDER BY ts, seq) AS rn FROM c2)
+                   WHERE rn = 1),
+            c3 AS (SELECT e.u, e.ts, e.seq
+                   FROM ev e JOIN f2 ON f2.u = e.u
+                   WHERE e.t = '{_FUNNEL_STEPS[2]}'
+                     AND (e.ts > f2.ts OR (e.ts = f2.ts AND e.seq > f2.seq))),
+            f3 AS (SELECT u, ts, seq FROM
+                     (SELECT u, ts, seq, row_number() OVER
+                        (PARTITION BY u ORDER BY ts, seq) AS rn FROM c3)
+                   WHERE rn = 1)
+            SELECT 0 AS step_idx, '{_FUNNEL_STEPS[0]}' AS step,
+                   (SELECT count(*) FROM f1)::BIGINT AS n_users
+            UNION ALL SELECT 1, '{_FUNNEL_STEPS[1]}',
+                   (SELECT count(*) FROM f2)::BIGINT
+            UNION ALL SELECT 2, '{_FUNNEL_STEPS[2]}',
+                   (SELECT count(*) FROM f3)::BIGINT
+        """,
+        "cohort": """
+            WITH w AS (SELECT DISTINCT user_id AS u,
+                              date_diff('day', DATE '1970-01-01', ts::DATE)
+                                // 7 AS week
+                       FROM events WHERE ts IS NOT NULL),
+            f AS (SELECT u, min(week) AS cohort_week FROM w GROUP BY u)
+            SELECT cohort_week, (week - cohort_week) AS week_offset,
+                   count(*)::BIGINT AS n_users
+            FROM w JOIN f USING (u) GROUP BY 1, 2
         """,
     }

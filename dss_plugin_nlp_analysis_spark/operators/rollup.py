@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rollup_time", "kmv_distinct", "burst_buckets", "transition_counts"]
+__all__ = ["rollup_time", "kmv_distinct", "burst_buckets", "transition_counts", "funnel_counts", "cohort_retention"]
 
 
 def rollup_time(
@@ -201,4 +201,108 @@ def transition_counts(
         F.expr(
             "(cast(1000000 as bigint) * n_transitions) div _total"
         ).alias("prob_ppm"),
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Ordered funnel analysis: for the step sequence [s1, s2, ...],
+    how many users performed s1, then s2 strictly after it, then s3
+    strictly after that, ... — (step_idx, step, n_users). The classic
+    conversion funnel, and the event-sequence labeling pass a
+    behavior-model training set starts from.
+
+    Semantics: a user converts step i+1 iff they have an event of that
+    type strictly after their earliest qualifying completion of step i,
+    where "after" is the total order (ts, seq) — the sequence id breaks
+    timestamp ties, so the funnel is deterministic under any
+    partitioning. Greedy earliest-completion is exact for existence: if
+    ANY ordered chain exists, the earliest one does. NULL-timestamp
+    rows are excluded (no position), same contract as
+    ``transition_counts``.
+
+    Scale shape: per step one map-side-combinable min-struct groupBy
+    over that step's (filtered) events + one user-keyed equi-join to
+    the previous frontier — k-1 joins for a k-step funnel, frontier
+    always user-count-sized and shrinking. No windows, no collects."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    base = events.where(
+        F.col(type_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.struct(F.col(ts_col).alias("ts"), F.col(seq_col).alias("seq"))
+        .alias("pos"),
+    )
+    frontier = (
+        base.where(F.col("t") == steps[0])
+        .groupBy("u")
+        .agg(F.min("pos").alias("pos"))
+    )
+    rows = [frontier.agg(F.count(F.lit(1)).alias("n_users")).select(
+        F.lit(0).alias("step_idx"), F.lit(steps[0]).alias("step"), "n_users"
+    )]
+    for i, step in enumerate(steps[1:], start=1):
+        cand = base.where(F.col("t") == step).select(
+            "u", F.col("pos").alias("cpos")
+        )
+        frontier = (
+            frontier.join(cand, "u")
+            .where(F.col("cpos") > F.col("pos"))
+            .groupBy("u")
+            .agg(F.min("cpos").alias("pos"))
+        )
+        rows.append(
+            frontier.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i).alias("step_idx"), F.lit(step).alias("step"),
+                "n_users",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.union(r)
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST active
+    week, counted in every later week they were active —
+    (cohort_week, week_offset, n_users). The standard curation metric
+    for longitudinal corpora (does a crawl keep seeing the same hosts?)
+    and the product-analytics staple.
+
+    Weeks are integer epoch-day buckets (``days_since_1970 div 7``) —
+    pure int arithmetic both engines evaluate identically; calendar
+    date_trunc('week') semantics (ISO vs locale week starts) are
+    deliberately avoided. NULL timestamps are excluded.
+
+    Scale shape: distinct (user, week) activity -> per-user min week
+    (map-side combinable) -> user-keyed equi-join -> (cohort, offset)
+    count. No windows, no collects."""
+    weeks = events.where(F.col(ts_col).isNotNull()).select(
+        F.col(user_col).alias("u"),
+        F.expr(
+            f"cast(datediff(cast({ts_col} as date), date'1970-01-01')"
+            " as bigint) div 7"
+        ).alias("week"),
+    ).distinct()
+    first = weeks.groupBy("u").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(first, "u")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )

@@ -135,3 +135,61 @@ def test_crlf_values_stay_clean_and_untyped_garbage_stays_text(spark):
     )
     got2 = {r["subj"]: r["value_kind"] for r in normalize_literals(raw).collect()}
     assert got2 == {1: "text", 2: "text"}
+
+
+def _events(spark, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    )
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_funnel_strict_order_and_ties(spark):
+    from dss_plugin_nlp_analysis_spark.operators.rollup import funnel_counts
+
+    ev = _events(spark, [
+        # u1 converts fully in order
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 00:01:00", 1, "click"),
+        (3, "2024-01-01 00:02:00", 1, "purchase"),
+        # u2: click BEFORE view -> stops at view
+        (4, "2024-01-01 00:00:00", 2, "click"),
+        (5, "2024-01-01 00:01:00", 2, "view"),
+        # u3: same-timestamp view then click (seq breaks the tie) but no
+        # purchase -> stops after click
+        (6, "2024-01-01 00:00:00", 3, "view"),
+        (7, "2024-01-01 00:00:00", 3, "click"),
+        # u4 never views
+        (8, "2024-01-01 00:00:00", 4, "purchase"),
+    ])
+    got = {r["step"]: r["n_users"]
+           for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_rejects_empty_steps(spark):
+    from dss_plugin_nlp_analysis_spark.operators.rollup import funnel_counts
+
+    with pytest.raises(ValueError):
+        funnel_counts(_events(spark, []), [])
+
+
+def test_cohort_retention_offsets(spark):
+    from dss_plugin_nlp_analysis_spark.operators.rollup import (
+        cohort_retention,
+    )
+
+    ev = _events(spark, [
+        # u1 first active week W, active again W+2 (two events same week
+        # count once)
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-02 00:00:00", 1, "view"),
+        (3, "2024-01-15 00:00:00", 1, "view"),
+        # u2 joins one week later, never returns
+        (4, "2024-01-08 00:00:00", 2, "view"),
+        (5, None, 2, "view"),  # NULL ts excluded
+    ])
+    got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in cohort_retention(ev).collect()}
+    w = (19723) // 7  # 2024-01-01 is epoch day 19723
+    assert got == {(w, 0): 1, (w, 2): 1, (w + 1, 0): 1}

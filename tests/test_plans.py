@@ -432,3 +432,26 @@ def test_rrf_fuse_no_cartesian(spark):
     plan = plan_of(rrf_fuse([r1, r2]))
     assert "CartesianProduct" not in plan and "Join" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_funnel_no_windows_frontier_joins_only(spark):
+    """Each funnel step is a min-struct groupBy + user-keyed equi-join —
+    no per-user ordered windows, no cartesian."""
+    from dss_plugin_nlp_analysis_spark.operators.rollup import funnel_counts
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = plan_of(funnel_counts(ev, ["view", "click"]))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cohort_retention_no_window(spark):
+    """Cohort matrix = distinct + two combinable groupBys + equi-join."""
+    from dss_plugin_nlp_analysis_spark.operators.rollup import (
+        cohort_retention,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = plan_of(cohort_retention(ev))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
