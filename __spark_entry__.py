@@ -1817,6 +1817,18 @@ def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language cap: the 50 md5-smallest doc ids per language —
+    RefinedWeb-style absolute volume caps, computed as a two-phase
+    distributed min-k (bounded heaps, never a per-group sort window)."""
+    from dss_plugin_nlp_analysis_spark.operators.sampling import (
+        group_capped_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_capped_sample(docs, "doc_id", "lang", cap=50, seed="cap")
+
+
 _FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -2014,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": _q_hybrid_rrf,
         "funnel": _q_funnel,
         "cohort": _q_cohort,
+        "group_cap": _q_group_cap,
     }
 
 
@@ -4739,6 +4752,22 @@ def _oracle_dict(pat, onto, lm_values, lm_oov, thr_case) -> dict[str, str]:
                    (SELECT count(*) FROM f2)::BIGINT
             UNION ALL SELECT 2, '{_FUNNEL_STEPS[2]}',
                    (SELECT count(*) FROM f3)::BIGINT
+        """,
+        # per-language cap: row_number over the same md5('cap|id') hash
+        # (engine-identical 60-bit integer) — the window formulation the
+        # Spark side deliberately avoids at scale but which is exact at
+        # oracle size
+        "group_cap": """
+            WITH k AS (
+              SELECT lang, doc_id,
+                     ('0x' || substr(md5('cap' || '|' || doc_id::VARCHAR),
+                                     1, 15))::BIGINT AS h
+              FROM documents
+            ),
+            r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                               ORDER BY h, doc_id) AS rn
+                  FROM k)
+            SELECT lang, doc_id, h FROM r WHERE rn <= 50
         """,
         "cohort": """
             WITH w AS (SELECT DISTINCT user_id AS u,

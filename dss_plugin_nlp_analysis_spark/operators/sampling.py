@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sample_hash", "deterministic_sample", "stratified_sample"]
+__all__ = ["sample_hash", "deterministic_sample", "stratified_sample", "group_capped_sample"]
 
 _SPACE = 1 << 60
 
@@ -59,3 +59,81 @@ def stratified_sample(
     for value, frac in sorted(fractions.items()):
         thr = F.when(F.col(strata_col) == value, F.lit(_threshold(frac))).otherwise(thr)
     return df.where(sample_hash(F.col(id_col), seed) < thr)
+
+
+def group_capped_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    *,
+    cap: int,
+    seed: str = "cap",
+) -> DataFrame:
+    """Deterministic per-group CAP (RefinedWeb-style domain/language
+    caps): keep at most ``cap`` rows per group — exactly the cap rows
+    with the smallest ``md5(seed|id)``, so the selection is reproducible
+    across engines, retries, and repartitionings. Complements
+    ``stratified_sample`` (which keeps *fractions*): a cap bounds
+    absolute volume ("no domain contributes more than N pages")
+    regardless of group size. Returns the selected key rows
+    (group, id, h) — semi-join back to materialize full rows.
+
+    Scale shape — two-phase distributed min-k, NEVER a per-group sort
+    window (``row_number() OVER (PARTITION BY group ORDER BY h)`` would
+    sort-buffer an entire language's rows through single reducers):
+
+    - phase 1: every input partition keeps its own cap-smallest rows
+      per group with bounded heaps inside one ``mapInPandas`` pass
+      (memory O(groups-in-partition x cap), no shuffle);
+    - phase 2: survivors (<= cap x n_partitions per group) repartition
+      by group — the only shuffle, shipping at most cap rows per
+      (group, input-partition) — and the same heap pass runs once more.
+
+    The result is exactly the global min-k because min-k is a
+    semilattice: min-k(union of partition min-ks) = global min-k.
+    Duplicate ids contribute one candidate row each (multiset
+    semantics, mirroring the oracle's row_number)."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+
+    keyed = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        sample_hash(F.col(id_col), seed).alias("h"),
+    )
+    schema = keyed.schema
+
+    def keep_cap(batches):
+        import heapq
+
+        import pandas as pd
+
+        # heapq is a min-heap: store -h so the root is the current
+        # WORST (largest-h) survivor; a smaller-h candidate compares
+        # greater and replaces it. h is md5-derived and collision-free
+        # across ids, so no tie-break component is needed.
+        best: dict = {}
+        seq = 0  # untied heap entries (h collisions are impossible, but
+        #          a dup id yields equal h — seq keeps the tuple orderable
+        for pdf in batches:
+            for g, i, h in zip(pdf["g"], pdf["id"], pdf["h"]):
+                heap = best.setdefault(g, [])
+                item = (-int(h), seq, i)
+                seq += 1
+                if len(heap) < cap:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        rows = [
+            (g, i, -neg_h)
+            for g, heap in best.items()
+            for (neg_h, _, i) in heap
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=["g", "id", "h"])
+
+    p1 = keyed.mapInPandas(keep_cap, schema=schema)
+    p2 = p1.repartition("g").mapInPandas(keep_cap, schema=schema)
+    return p2.select(
+        F.col("g").alias(group_col), F.col("id").alias(id_col), "h"
+    )

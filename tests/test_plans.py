@@ -455,3 +455,17 @@ def test_cohort_retention_no_window(spark):
     plan = plan_of(cohort_retention(ev))
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_group_capped_sample_no_window_single_shuffle(spark, docs):
+    """The per-group cap must run as the two-phase heap (mapInPandas x2)
+    with the survivors' repartition as the only exchange — never a
+    per-group sort window over the corpus."""
+    from dss_plugin_nlp_analysis_spark.operators.sampling import (
+        group_capped_sample,
+    )
+
+    plan = plan_of(group_capped_sample(docs, "doc_id", "lang", cap=5))
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "MapInPandas" in plan, plan

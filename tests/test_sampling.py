@@ -44,3 +44,63 @@ def test_stratified_sample_per_stratum_and_null(spark):
     # pure map: no shuffle
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_group_capped_sample_exact_min_k(spark):
+    from dss_plugin_nlp_analysis_spark.operators.sampling import (
+        group_capped_sample,
+        sample_hash,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(90)], "id long, lang string"
+    ).repartition(7)
+    out = group_capped_sample(df, "id", "lang", cap=5, seed="t")
+    rows = [(r["lang"], r["id"], r["h"]) for r in out.collect()]
+    assert len(rows) == 15  # 3 groups x cap
+    # exact global min-k per group, verified against a full sort
+    ref = df.select(
+        "lang", "id", sample_hash(F.col("id"), "t").alias("h")
+    ).collect()
+    by_group = {}
+    for r in ref:
+        by_group.setdefault(r["lang"], []).append((r["h"], r["id"]))
+    expected = {
+        (g, i, h)
+        for g, pairs in by_group.items()
+        for h, i in sorted(pairs)[:5]
+    }
+    assert set(rows) == expected
+    # deterministic across runs and repartitionings
+    again = set(
+        (r["lang"], r["id"], r["h"])
+        for r in group_capped_sample(
+            df.repartition(3), "id", "lang", cap=5, seed="t"
+        ).collect()
+    )
+    assert again == expected
+
+
+def test_group_capped_sample_small_groups_kept_whole(spark):
+    from dss_plugin_nlp_analysis_spark.operators.sampling import (
+        group_capped_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, lang string"
+    )
+    out = group_capped_sample(df, "id", "lang", cap=10)
+    assert out.count() == 3  # groups under the cap pass through whole
+
+
+def test_group_capped_sample_rejects_bad_cap(spark):
+    import pytest
+
+    from dss_plugin_nlp_analysis_spark.operators.sampling import (
+        group_capped_sample,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, lang string")
+    with pytest.raises(ValueError):
+        group_capped_sample(df, "id", "lang", cap=0)
