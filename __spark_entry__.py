@@ -2273,7 +2273,7 @@ _TYPED_KV = """
                || chr(10) || text AS page
       FROM documents
     ),
-    ln AS (SELECT subj, unnest(string_split(page, chr(10))) AS line FROM pg),
+    ln AS (SELECT subj, unnest(string_split_regex(page, '\r?\n')) AS line FROM pg),
     kv AS (
       SELECT subj,
              trim(substr(line, 1, strpos(line, ': ') - 1)) AS key,
@@ -4042,9 +4042,10 @@ def _oracle_dict(pat, onto, lm_values, lm_oov, thr_case) -> dict[str, str]:
               FROM documents
             ),
             ln AS (
-              SELECT subj, unnest(string_split(page, chr(10))) AS line,
-                     generate_subscripts(string_split(page, chr(10)), 1) - 1
-                       AS line_idx
+              SELECT subj,
+                     unnest(string_split_regex(page, '\r?\n')) AS line,
+                     generate_subscripts(string_split_regex(page, '\r?\n'),
+                                         1) - 1 AS line_idx
               FROM pg
             ),
             kv AS (
@@ -4724,7 +4725,10 @@ def _oracle_dict(pat, onto, lm_values, lm_oov, thr_case) -> dict[str, str]:
             WITH ev AS (SELECT user_id AS u, event_type AS t, ts,
                                event_id AS seq
                         FROM events
-                        WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+                        WHERE user_id IS NOT NULL
+                          AND event_type IS NOT NULL
+                          AND ts IS NOT NULL
+                          AND event_id IS NOT NULL),
             f1 AS (SELECT u, ts, seq FROM
                      (SELECT u, ts, seq, row_number() OVER
                         (PARTITION BY u ORDER BY ts, seq) AS rn

@@ -223,9 +223,13 @@ def funnel_counts(
     where "after" is the total order (ts, seq) — the sequence id breaks
     timestamp ties, so the funnel is deterministic under any
     partitioning. Greedy earliest-completion is exact for existence: if
-    ANY ordered chain exists, the earliest one does. NULL-timestamp
-    rows are excluded (no position), same contract as
-    ``transition_counts``.
+    ANY ordered chain exists, the earliest one does. Rows with a NULL
+    user, type, timestamp, OR sequence id are excluded — the portable
+    contract (``transition_counts`` docstring): Spark's struct ordering
+    puts a NULL seq FIRST within a timestamp tie while ANSI engines
+    sort it last, a NULL user would otherwise count as one phantom
+    step-0 "user" who can never convert, and a NULL ts/seq has no
+    position.
 
     Scale shape: per step one map-side-combinable min-struct groupBy
     over that step's (filtered) events + one user-keyed equi-join to
@@ -234,7 +238,10 @@ def funnel_counts(
     if not steps:
         raise ValueError("steps must be non-empty")
     base = events.where(
-        F.col(type_col).isNotNull() & F.col(ts_col).isNotNull()
+        F.col(user_col).isNotNull()
+        & F.col(type_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(seq_col).isNotNull()
     ).select(
         F.col(user_col).alias("u"),
         F.col(type_col).alias("t"),
@@ -290,13 +297,18 @@ def cohort_retention(
     Scale shape: distinct (user, week) activity -> per-user min week
     (map-side combinable) -> user-keyed equi-join -> (cohort, offset)
     count. No windows, no collects."""
-    weeks = events.where(F.col(ts_col).isNotNull()).select(
-        F.col(user_col).alias("u"),
-        F.expr(
-            f"cast(datediff(cast({ts_col} as date), date'1970-01-01')"
-            " as bigint) div 7"
-        ).alias("week"),
-    ).distinct()
+    # Column refs (not f-string name interpolation) so quoted/dotted
+    # column names work like everywhere else in this module; the div
+    # stays in a name-free expr
+    days = F.datediff(
+        F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    weeks = (
+        events.where(F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("u"), days.alias("_days"))
+        .select("u", F.expr("cast(_days as bigint) div 7").alias("week"))
+        .distinct()
+    )
     first = weeks.groupBy("u").agg(F.min("week").alias("cohort_week"))
     return (
         weeks.join(first, "u")

@@ -96,7 +96,11 @@ def group_capped_sample(
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
 
-    keyed = df.select(
+    # NULL ids are excluded (same contract as the KG operators' NULL
+    # keys): a NULL id has no hash — and a NULL in the h column would
+    # make Arrow hand pandas a float64 column, silently rounding the
+    # surviving 60-bit hashes above 2^53
+    keyed = df.where(F.col(id_col).isNotNull()).select(
         F.col(group_col).alias("g"),
         F.col(id_col).alias("id"),
         sample_hash(F.col(id_col), seed).alias("h"),
