@@ -269,6 +269,7 @@ def neighbor_jaccard(
     *,
     min_shared: int = 1,
     max_hub_degree: int | None = None,
+    exact_counts: bool = False,
 ) -> DataFrame:
     """Structural node similarity: for every node pair sharing at least
     ``min_shared`` undirected neighbors, the Jaccard of their neighbor
@@ -290,11 +291,21 @@ def neighbor_jaccard(
     hub *pivots* (degree > cap) from wedge generation BEFORE the
     self-join, the same posting-list cap as ngram_jaccard
     (operators/dedup.py): a page linked by millions of entities carries
-    no discriminative signal but would dominate the shuffle. Degrees in
-    deg_a/deg_b stay the TRUE degrees (cap changes candidate recall,
-    never the reported similarity of surviving pairs). Everything is
-    equi-joins + map-side-combinable counts; AQE skew-splits what
-    remains.
+    no discriminative signal but would dominate the shuffle.
+
+    Cap semantics (when ``max_hub_degree`` is set and ``exact_counts``
+    is False, the default): deg_a/deg_b stay the TRUE degrees, but
+    ``shared`` — and therefore jaccard_ppm's numerator AND union — count
+    only NON-HUB witnesses, so a surviving pair that additionally shares
+    a hub neighbor reports a jaccard_ppm BELOW its true Jaccard (a
+    conservative lower bound). ``min_shared`` is likewise evaluated on
+    the capped witness count (it is a recall knob). Pass
+    ``exact_counts=True`` to recompute the TRUE intersection for the
+    surviving pairs via a second, pair-restricted count: one extra
+    equi-join chain sized Σ deg(a) over surviving pairs — bounded by
+    |pairs|·avg-degree, never by hub² wedges, so it stays scale-safe
+    while making jaccard_ppm exact for every emitted pair (candidate
+    recall is still capped).
     """
     und = (
         edges.select(
@@ -324,6 +335,25 @@ def neighbor_jaccard(
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
+    if exact_counts and max_hub_degree is not None:
+        # recompute the TRUE intersection, restricted to surviving pairs:
+        # pairs ⋈ adj(node_a) on node_a gives (a, b, nbr) — sized
+        # Σ deg(a) over pairs — then an equi-join on (node_b, nbr)
+        # keeps the nbrs both endpoints share, hubs included. No hub²
+        # wedge blow-up: the hub contributes at most one row per
+        # (surviving pair, hub) incidence.
+        pairs = inter.select("node_a", "node_b")
+        inter = (
+            pairs.join(
+                adj.select(F.col("node").alias("node_a"), "nbr"), "node_a"
+            )
+            .join(
+                adj.select(F.col("node").alias("node_b"), "nbr"),
+                ["node_b", "nbr"],
+            )
+            .groupBy("node_a", "node_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
     return (
         inter.join(deg.select(F.col("node").alias("node_a"), F.col("deg").alias("deg_a")), "node_a")
         .join(deg.select(F.col("node").alias("node_b"), F.col("deg").alias("deg_b")), "node_b")

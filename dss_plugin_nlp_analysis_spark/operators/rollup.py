@@ -40,6 +40,8 @@ def rollup_time(
     map-side combinable; the union is G independent groupBys over one
     scan each (Spark caches nothing here — persist upstream if the
     source is expensive)."""
+    if not granularities:
+        raise ValueError("granularities must be non-empty")
     outs = []
     keys = [F.col(key_col).alias("key")] if key_col else []
     for label, g in sorted(granularities.items()):
@@ -294,21 +296,40 @@ def cohort_retention(
     date_trunc('week') semantics (ISO vs locale week starts) are
     deliberately avoided. NULL timestamps are excluded.
 
+    ``ts_col`` accepts BOTH contracts in this module: a timestamp/date
+    column (days via datediff) or integer epoch SECONDS (days via
+    ``ts div 86400`` — the portable contract rollup_time documents);
+    the branch is on the column's schema type, so the two operators no
+    longer silently require different ts types.
+
     Scale shape: distinct (user, week) activity -> per-user min week
     (map-side combinable) -> user-keyed equi-join -> (cohort, offset)
     count. No windows, no collects."""
+    from pyspark.sql import types as T
+
     # Column refs (not f-string name interpolation) so quoted/dotted
-    # column names work like everywhere else in this module; the div
-    # stays in a name-free expr
-    days = F.datediff(
-        F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date")
+    # column names work like everywhere else in this module; the divs
+    # stay in name-free exprs over locally-aliased columns
+    base = events.where(F.col(ts_col).isNotNull()).select(
+        F.col(user_col).alias("u"), F.col(ts_col).alias("_ts")
     )
-    weeks = (
-        events.where(F.col(ts_col).isNotNull())
-        .select(F.col(user_col).alias("u"), days.alias("_days"))
-        .select("u", F.expr("cast(_days as bigint) div 7").alias("week"))
-        .distinct()
-    )
+    if isinstance(
+        events.schema[ts_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    ):
+        base = base.select(
+            "u", F.expr("cast(_ts as bigint) div 86400").alias("_days")
+        )
+    else:
+        base = base.select(
+            "u",
+            F.datediff(
+                F.col("_ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("_days"),
+        )
+    weeks = base.select(
+        "u", F.expr("cast(_days as bigint) div 7").alias("week")
+    ).distinct()
     first = weeks.groupBy("u").agg(F.min("week").alias("cohort_week"))
     return (
         weeks.join(first, "u")

@@ -332,12 +332,19 @@ def quantile_buckets(
     ~10^7 distinct values), independent of corpus row count. The 1-row
     threshold table is broadcast back; no corpus sort, no driver collect.
     Rows bucket as v <= t1 | t2 | t3 | else, lowest quartile first.
+
+    NULL contract (matching the NULL-key contract in kg.py/rollup.py):
+    rows whose metric is NULL — or whose cast to long yields NULL — are
+    EXCLUDED from both the histogram and the output. Without the filter
+    they would sort NULLS FIRST into the cumulative window (inflating
+    cum against N and skewing every threshold) and then land in the top
+    bucket because ``v <= t`` evaluates to NULL.
     """
     from pyspark.sql import Window
 
     vals = df.select(
         F.col(id_col).alias("id"), F.col(value_col).cast("long").alias("v")
-    )
+    ).where(F.col("v").isNotNull())
     hist = vals.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = hist.withColumn("cum", F.sum("c").over(w))
@@ -658,10 +665,17 @@ def winnow_overlap_pairs(
     feeds BOTH the doc-frequency aggregate and the join probe side, and
     the two exchanges are not shape-equal so ReuseExchange cannot
     deduplicate them — without the cache the expensive per-row winnow
-    map executes twice over the corpus. The cache is evictable
-    (MEMORY_AND_DISK LRU) and sized at one (id, fp) row per selected
-    hash; pass False to keep the plan fully lazy (e.g. when a caller
-    materializes posting itself)."""
+    map executes twice over the corpus. CACHE LIFETIME: the handle is
+    internal and never unpersisted here (the result is a lazy plan; the
+    cache only fills when the caller materializes it, so this function
+    cannot see "after"), so each persist=True call pins one
+    corpus-sized (id, fp) entry in the CacheManager for the rest of the
+    session — evictable under memory pressure (MEMORY_AND_DISK LRU) but
+    live until ``spark.catalog.clearCache()``. One-shot jobs (the gated
+    query, the bench) accept that; a long-lived service making repeated
+    calls should pass ``persist=False`` and either accept the double
+    winnow map or persist/unpersist its own posting via
+    ``winnow_fingerprints`` + explode around the call."""
     fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window, engine=engine)
     # explode_OUTER, not explode: for a plain explode over a projected
     # attribute, InferFiltersFromGenerate adds `size(col) > 0` and
