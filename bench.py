@@ -130,73 +130,118 @@ def bench_queries(spark: SparkSession) -> tuple[dict, int]:
     onto = demo_ontology_df(spark)
     onto_cat = demo_ontology_df(spark, with_category=True)
 
-    # spin up the Python worker pool + codegen before timing (one-time
-    # session cost, ~10 s for 32 workers; not a per-query property), and
-    # pre-warm the minhash pipeline's generated classes on a small slice —
-    # JIT profiling starts cheaply here instead of inside the first full
-    # timed run (the adaptive warmup in timed() then converges in fewer
-    # full-corpus executions)
-    tag_documents(docs, onto, lang_col="lang", languages=LANGS).select(
-        F.count("*")
-    ).collect()
-    minhash_candidate_pairs(
-        docs_small.limit(10_000), "doc_id", "text", num_hashes=8, bands=4
-    ).select(F.count("*")).collect()
+    # every timed query is a closure over its INPUT DataFrame so the exact
+    # same logical plan can first run against a small same-shape corpus:
+    # whole-stage codegen caches generated classes by source text, and two
+    # plans that differ only in their (cached) input data generate
+    # IDENTICAL source — so the 1-replica pre-warm run C2-compiles the
+    # same classes the full-corpus timed run executes. r4's artifact
+    # showed a 28 s cold tag_match (warm 4.8 s) because only the minhash
+    # pipeline had a pre-warm: each timed plan owns DISTINCT generated
+    # classes (different aggregates/projections), so warming one plan
+    # does not warm its siblings.
+    docs_warm = replicated_docs(spark, SF_DIR, 1, parts=CPUS).cache()
+    docs_warm.count()
 
-    timed(
-        "tag_match",
-        lambda: tag_documents(docs, onto, lang_col="lang", languages=LANGS)
-        .select(F.count("*"), F.count("tag")).collect(),
-    )
-    timed(
-        "tag_match_category",
-        lambda: tag_documents(
-            docs, onto_cat, lang_col="lang", category_col="category", languages=LANGS
-        ).select(F.count("*")).collect(),
-    )
-    timed(
-        "tag_doc_json",
-        lambda: tag_documents(
-            docs, onto, lang_col="lang", output_format="one_row_per_doc_json",
+    def q_tag_match(d):
+        tag_documents(d, onto, lang_col="lang", languages=LANGS).select(
+            F.count("*"), F.count("tag")
+        ).collect()
+
+    def q_tag_category(d):
+        tag_documents(
+            d, onto_cat, lang_col="lang", category_col="category", languages=LANGS
+        ).select(F.count("*")).collect()
+
+    def q_tag_json(d):
+        tag_documents(
+            d, onto, lang_col="lang", output_format="one_row_per_doc_json",
             languages=LANGS,
-        ).select(F.count("tag_json_full")).collect(),
-    )
-    timed(
-        "kg_triples",
-        lambda: build_triples(
-            docs, kg_oracle_ontology_df(spark), url_col="doc_id", lang_col="lang",
+        ).select(F.count("tag_json_full")).collect()
+
+    def q_kg_triples(d):
+        build_triples(
+            d, kg_oracle_ontology_df(spark), url_col="doc_id", lang_col="lang",
             ts_col=None, category_col=None, languages=LANGS,
-        ).select(F.count("*")).collect(),
-    )
-    timed(
-        "dedup_minhash",
-        lambda: minhash_candidate_pairs(docs_small, "doc_id", "text", num_hashes=8, bands=4)
-        .select(F.count("*")).collect(),
-    )
+        ).select(F.count("*")).collect()
+
+    def q_minhash(d):
+        minhash_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4).select(
+            F.count("*")
+        ).collect()
+
     # corpus-global line dedup: the one genuinely-shuffling webclean op
     # (multi-line docs derived the same way as the gated query)
     from dss_plugin_nlp_analysis_spark.operators.webclean import line_dedup
 
-    t = F.trim(F.col("text"))
-    for sep in (" table ", " value ", " a ", " the "):
-        t = F.replace(t, F.lit(sep), F.lit("\n"))
-    lined = docs_small.withColumn("text", t)
-    timed(
-        "line_dedup",
-        lambda: line_dedup(lined, "doc_id", "text")
-        .select(F.count("*"), F.sum(F.length("clean_text"))).collect(),
-    )
+    def lined(d):
+        t = F.trim(F.col("text"))
+        for sep in (" table ", " value ", " a ", " the "):
+            t = F.replace(t, F.lit(sep), F.lit("\n"))
+        return d.withColumn("text", t)
+
+    def q_line_dedup(d):
+        line_dedup(lined(d), "doc_id", "text").select(
+            F.count("*"), F.sum(F.length("clean_text"))
+        ).collect()
+
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    timed(
-        "embedding_topk",
-        lambda: cosine_topk(emb, emb.limit(50), k=10).select(F.count("*")).collect(),
-    )
+
+    def q_topk(_):
+        cosine_topk(emb, emb.limit(50), k=10).select(F.count("*")).collect()
+
+    plans = [
+        ("tag_match", q_tag_match, docs),
+        ("tag_match_category", q_tag_category, docs),
+        ("tag_doc_json", q_tag_json, docs),
+        ("kg_triples", q_kg_triples, docs),
+        ("dedup_minhash", q_minhash, docs_small),
+        ("line_dedup", q_line_dedup, docs_small),
+        ("embedding_topk", q_topk, None),
+    ]
+    # pre-warm pass: run EVERY plan twice on the 1-replica corpus (first
+    # spins the Python worker pool, second executes the freshly-compiled
+    # classes so C2 profiling finishes on cheap data); the adaptive warmup
+    # in timed() then converges in 1-2 full-corpus runs instead of riding
+    # a 4-6x JIT cliff
+    for _name, fn, _d in plans:
+        fn(docs_warm)
+        fn(docs_warm)
+    for name, fn, d in plans:
+        timed(name, lambda fn=fn, d=d: fn(d))
+
+    # per-language throughput (VERDICT r4 #7): aggregate docs/s can hide a
+    # CJK-lattice regression behind the fast-path languages; one warm
+    # measured run per language over the lang-filtered cached corpus
+    per_lang: dict[str, dict] = {}
+    for lang in LANGS:
+        dl = docs.where(F.col("lang") == lang)
+        nl = dl.count()
+        if not nl:
+            continue
+        job = lambda: tag_documents(  # noqa: E731
+            dl, onto, lang_col="lang", languages=LANGS
+        ).select(F.count("*"), F.count("tag")).collect()
+        job()  # this filter shape is new -> one warm run
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            job()
+            best = min(best, time.perf_counter() - t0)
+        per_lang[lang] = {
+            "sec": round(best, 3),
+            "n_docs": nl,
+            "docs_per_sec": round(nl / best, 1),
+        }
+
+    docs_warm.unpersist()
     docs.unpersist()
     if docs_small is not docs:
         docs_small.unpersist()
     timings["_cold"] = cold
     timings["_warmups"] = warmups
     timings["_n_docs_dedup"] = n_small
+    timings["_per_lang"] = per_lang
     return timings, n_docs
 
 
@@ -230,6 +275,76 @@ def scaling_leg(cores: int, replicas: int) -> dict:
             "n_docs": n_docs,
             "load_before": round(load_before, 2),
             "load_after": round(os.getloadavg()[0], 2),
+        }
+    finally:
+        spark.stop()
+
+
+def run_skew() -> dict:
+    """Hot-domain skew demonstration (north rule: 'salts hot domains to
+    defuse skew'). Builds a corpus whose PHYSICAL layout is partitioned by
+    domain — the realistic ingest layout of a crawl — with one domain
+    holding ~50% of all documents, then runs the triple-extraction job
+    twice on the SAME cached input: once inheriting the skewed layout
+    (one straggler task carries half the corpus) and once with
+    ``repartition_by_url`` (an xxhash64(url) exchange before the match
+    stage; urls are distinct per doc, so the hot domain spreads evenly).
+    Reports both walls and the speedup — the measured value of the salt
+    exchange, not a design claim."""
+    spark = make_spark(CPUS)
+    try:
+        from dss_plugin_nlp_analysis_spark.demo import kg_oracle_ontology_df
+        from dss_plugin_nlp_analysis_spark.operators.kg import build_triples
+
+        replicas = int(os.environ.get("KG_SKEW_REPLICAS", "40"))
+        base = replicated_docs(spark, SF_DIR, replicas)
+        # ~50% of docs land on one hot domain, the rest across 1000 hosts;
+        # the input is then PARTITIONED BY DOMAIN (one fat partition)
+        docs = (
+            base.withColumn(
+                "domain",
+                F.when(
+                    F.col("doc_id") % 2 == 0, F.lit("hot.example")
+                ).otherwise(
+                    F.concat(F.lit("host-"), (F.col("doc_id") % 1000).cast("string"), F.lit(".example"))
+                ),
+            )
+            .withColumn(
+                "url",
+                F.concat(F.lit("https://"), F.col("domain"), F.lit("/doc/"), F.col("doc_id").cast("string")),
+            )
+            .repartition(CPUS, "domain")
+            .cache()
+        )
+        n_docs = docs.count()
+        onto = kg_oracle_ontology_df(spark)
+
+        def job(salt: int | None):
+            build_triples(
+                docs, onto, url_col="url", lang_col="lang", ts_col=None,
+                category_col=None, languages=LANGS, repartition_by_url=salt,
+            ).select(F.count("*")).collect()
+
+        out: dict[str, dict] = {}
+        for label, salt in (("skewed_layout", None), ("salted_repartition", CPUS * 2)):
+            job(salt)  # warm: codegen/JIT for this plan shape
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                job(salt)
+                best = min(best, time.perf_counter() - t0)
+            out[label] = {
+                "sec": round(best, 3),
+                "docs_per_sec": round(n_docs / best, 1),
+            }
+        return {
+            "metric": "skew_salt_speedup",
+            "value": round(out["skewed_layout"]["sec"] / out["salted_repartition"]["sec"], 3),
+            "unit": "x",
+            "n_docs": n_docs,
+            "hot_domain_share": 0.5,
+            "cpus": CPUS,
+            **out,
         }
     finally:
         spark.stop()
@@ -450,6 +565,9 @@ def main() -> None:
         i = sys.argv.index("--scaling-leg")
         print(json.dumps(scaling_leg(int(sys.argv[i + 1]), int(sys.argv[i + 2]))))
         return
+    if "--skew" in sys.argv:
+        print(json.dumps({"skew": run_skew(), "sf_dir": SF_DIR}))
+        return
     if "--scaling" in sys.argv:
         print(json.dumps({"scaling": run_scaling(), "sf_dir": SF_DIR}))
         return
@@ -460,6 +578,7 @@ def main() -> None:
         cold = timings.pop("_cold")
         warm_runs = timings.pop("_warmups")
         n_docs_dedup = timings.pop("_n_docs_dedup")
+        per_lang = timings.pop("_per_lang")
         total = round(time.perf_counter() - t0, 3)
         sf = SF_DIR.rstrip("/").split("sf")[-1]
         print(
@@ -471,6 +590,7 @@ def main() -> None:
                     "queries": timings,
                     "cold_queries": cold,
                     "warm_runs": warm_runs,
+                    "per_lang": per_lang,
                     "total_sec": total,
                     "n_docs": n_docs,
                     "n_docs_dedup": n_docs_dedup,
