@@ -43,8 +43,8 @@ _EN_VERBS = (
     "repair repeat replace reply report request return review roll save "
     "search seem select serve share shout sign smell smile solve sound "
     "stay study succeed suffer suggest supply support suppose talk test "
-    "thank touch train travel treat trust turn visit wait walk wash watch "
-    "wonder worry"
+    "thank touch train travel treat trust try turn update upload use "
+    "visit wait walk want wash watch wonder worry"
 ).split()
 
 # one-syllable CVC stems whose final consonant doubles (stop→stopped)
@@ -52,6 +52,18 @@ _EN_VERBS_DOUBLING = (
     "stop plan drop grab chat shop slip trip wrap hug jog nod rob rub "
     "scan trim"
 ).split()
+
+# regular adjectives: comparative/superlative generation. Doubling and
+# y→i classes listed separately; 'good/bad/far' are irregular (lemmas.py).
+_EN_ADJ = (
+    "small fast slow old young new tall short high low long strong weak "
+    "cheap great rich poor dark warm cool cold deep hard soft thick "
+    "clean clear quick smart sweet bright tight loud proud plain fresh "
+    "smooth rough tough calm"
+).split()
+_EN_ADJ_DOUBLING = "big hot thin fat sad wet".split()
+_EN_ADJ_Y = "easy happy heavy busy early dirty funny lucky pretty".split()
+_EN_ADJ_E = "nice safe late large close wide simple gentle".split()
 
 _EN_NOUNS = (
     "answer area arm article artist baby bag ball band bank bath beach "
@@ -77,7 +89,10 @@ _EN_NOUNS = (
     "singer sister son song source space sport star station store "
     "story street student subject table target task tax teacher team "
     "ticket tool tooth town toy train tree truck unit village visitor "
-    "voice wall watch wave way wheel window winner worker"
+    "voice wall watch wave way wheel window winner worker "
+    "account address browser button comment developer email feature "
+    "item link option photo profile server setting site update user "
+    "version video website"
 ).split()
 
 
@@ -112,6 +127,18 @@ def _en() -> dict[str, str]:
             out[n + "es"] = n
         else:
             out[n + "s"] = n
+    for a in _EN_ADJ:
+        out[a + "er"] = a
+        out[a + "est"] = a
+    for a in _EN_ADJ_DOUBLING:
+        out[a + a[-1] + "er"] = a
+        out[a + a[-1] + "est"] = a
+    for a in _EN_ADJ_Y:
+        out[a[:-1] + "ier"] = a
+        out[a[:-1] + "iest"] = a
+    for a in _EN_ADJ_E:
+        out[a + "r"] = a
+        out[a + "st"] = a
     return out
 
 
@@ -169,11 +196,36 @@ _FR_ER_END = (
 ).split()
 
 
+# 2nd-group -ir verbs (finir class: fully regular -iss- paradigm)
+_FR_IR = (
+    "finir choisir réussir réfléchir remplir grandir vieillir obéir "
+    "punir agir bâtir nourrir applaudir guérir saisir établir réunir "
+    "avertir accomplir ralentir"
+).split()
+_FR_IR_END = (
+    "is it issons issez issent i ie ies issais issait issions issiez "
+    "issaient issant irai iras ira irons irez iront"
+).split()
+
+
 def _fr() -> dict[str, str]:
     out: dict[str, str] = {}
     for v in _FR_ER:
         stem = v[:-2]
         for e in _FR_ER_END:
+            # -ger keeps the soft g before a/o endings (mangeons,
+            # mangeaient); -cer takes ç (commençons) — standard French
+            # orthography, required for the generated form to be the
+            # real surface form
+            if v.endswith("ger") and e[0] in "ao":
+                out[stem + "e" + e] = v
+            elif v.endswith("cer") and e[0] in "ao":
+                out[stem[:-1] + "ç" + e] = v
+            else:
+                out[stem + e] = v
+    for v in _FR_IR:
+        stem = v[:-2]
+        for e in _FR_IR_END:
             out[stem + e] = v
     return out
 
@@ -243,7 +295,11 @@ _DE_WEAK = (
     "brauchen glauben hören holen dienen danken drehen bauen feiern "
     "führen fehlen folgen fühlen hoffen kochen lachen legen loben "
     "malen merken mieten passen prüfen reisen setzen stellen stören "
-    "teilen träumen üben wecken wünschen zahlen zählen"
+    "teilen träumen üben wecken wünschen zahlen zählen "
+    "machen sagen arbeiten antworten warten besuchen erklären erzählen "
+    "verkaufen bezahlen bestellen benutzen schicken schenken schmecken "
+    "wechseln sammeln studieren probieren passieren telefonieren "
+    "diskutieren informieren interessieren funktionieren"
 ).split()
 _DE_NO_GE_PREFIXES = ("be", "ge", "er", "ver", "zer", "ent", "emp", "miss")
 
@@ -262,7 +318,9 @@ def _de() -> dict[str, str]:
         out[stem + t + "est"] = v
         out[stem + t + "en"] = v
         out[stem + t + "et"] = v
-        if v.startswith(_DE_NO_GE_PREFIXES):
+        # -ieren verbs and inseparable prefixes take no ge- participle
+        # (studiert, besucht — standard German morphology)
+        if v.startswith(_DE_NO_GE_PREFIXES) or v.endswith("ieren"):
             out[stem + t] = v
         else:
             out["ge" + stem + t] = v
@@ -276,7 +334,7 @@ _RU_MASC = (
     "стол дом город завод класс журнал стакан вопрос ответ закон "
     "план поезд мост сад лес час парк шкаф зал диван экран телефон "
     "компьютер документ момент проект процент результат спорт билет "
-    "банк буква автор адрес"
+    "банк буква автор адрес год мир вид текст сайт файл номер"
 ).split()
 # feminine -а hard stems (книга-type) — singular oblique + nom/acc plural
 _RU_FEM_A = (
@@ -285,6 +343,23 @@ _RU_FEM_A = (
     "монета ракета дорога нога рука голова вода гора трава зима весна"
 ).split()
 _RU_VELARS = set("кгхжчшщ")
+
+# regular verbs, concatenative paradigms only (no consonant mutation):
+# 1st-conjugation -ать/-ять (читать class: present on the а/я stem) and
+# 2nd-conjugation -ить (говорить class). Stems with labial/dental 1sg
+# mutation (любить→люблю, ходить→хожу) are deliberately excluded.
+_RU_VERBS_AT = (
+    "читать думать делать сделать знать работать играть слушать "
+    "спрашивать отвечать понимать начинать покупать открывать "
+    "закрывать помогать мечтать гулять выбирать показывать "
+    "рассказывать изучать получать решать"
+).split()
+# (-овать verbs like использовать present on -у- and hushing stems like
+# учить with the ю→у spelling rule are excluded: not concatenative)
+_RU_VERBS_IT = (
+    "говорить звонить дарить варить курить строить помнить верить "
+    "жарить хранить"
+).split()
 
 
 def _ru() -> dict[str, str]:
@@ -298,6 +373,20 @@ def _ru() -> dict[str, str]:
         i_pl = "и" if stem[-1] in _RU_VELARS else "ы"
         for e in (i_pl, "е", "у", "ой", "ам", "ами", "ах"):
             out[stem + e] = n
+    for v in _RU_VERBS_AT:
+        past = v[:-2]  # чита-
+        for e in ("л", "ла", "ло", "ли"):
+            out[past + e] = v
+        # present/future on the same stem: читаю, читаешь, ...
+        for e in ("ю", "ешь", "ет", "ем", "ете", "ют"):
+            out[past + e] = v
+    for v in _RU_VERBS_IT:
+        past = v[:-2]  # говори-
+        for e in ("л", "ла", "ло", "ли"):
+            out[past + e] = v
+        stem = v[:-3]  # говор-
+        for e in ("ю", "ишь", "ит", "им", "ите", "ят"):
+            out[stem + e] = v
     return out
 
 
