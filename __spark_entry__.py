@@ -570,6 +570,38 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(docs.select("doc_id", img.alias("img")), "doc_id", "img")
 
 
+def _q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel-decode gate (round 5): synthesize a valid binary PPM
+    (P6) per document — ASCII-hex pixels so the DuckDB oracle can rebuild
+    byte-identical images in SQL — then run the actual codec
+    (functions/imagecodec.decode_rgb inside decode_channel_sums) and emit
+    integer per-channel pixel sums. Integer outputs value-hash across
+    engines; the oracle sums ascii codes positionally over the same
+    reconstructed pixel string."""
+    from dss_plugin_nlp_analysis_spark.operators.multimodal import (
+        decode_channel_sums,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    img = F.encode(
+        F.concat(
+            F.lit("P6\n"),
+            (F.col("doc_id") % 13 + 2).cast("string"),
+            F.lit(" "),
+            (F.col("doc_id") % 7 + 2).cast("string"),
+            F.lit("\n255\n"),
+            F.expr(
+                "substring(repeat(md5(coalesce(text, '')), 11), 1, "
+                "cast((doc_id % 13 + 2) * (doc_id % 7 + 2) * 3 as int))"
+            ),
+        ),
+        "utf-8",
+    )
+    return decode_channel_sums(
+        docs.select("doc_id", img.alias("img")), "doc_id", "img"
+    )
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decode→featurize path: deterministic md5 featurizer is replicated in
     # the DuckDB oracle; the float32 cast is mirrored via ::REAL so the
@@ -1943,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_markers": _q_langid_markers,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_real_decode": _q_multimodal_real_decode,
         "tag_match_lemma": _q_tag_match_lemma,
         "tag_match_skiplang": _q_tag_match_skiplang,
         "tag_match_linked": _q_tag_match_linked,
@@ -3712,6 +3745,27 @@ def _oracle_dict(pat, onto, lm_values, lm_oov, thr_case) -> dict[str, str]:
                    'raw' AS fmt,
                    length(text)::INT AS payload_bytes
             FROM documents
+        """,
+        # real pixel decode: the oracle reconstructs the identical P6
+        # bytes (ASCII-hex pixels) and sums ascii codes positionally —
+        # byte i (1-based) belongs to channel (i-1) % 3 in row-major RGB
+        "multimodal_real_decode": """
+            WITH base AS (
+              SELECT doc_id,
+                     (doc_id % 13 + 2) AS w,
+                     (doc_id % 7 + 2) AS h,
+                     substr(repeat(md5(coalesce(text, '')), 11), 1,
+                            ((doc_id % 13 + 2) * (doc_id % 7 + 2) * 3)::INT) AS px
+              FROM documents
+            )
+            SELECT doc_id AS id, w::INT AS width, h::INT AS height,
+                   list_sum(list_transform(range(1, (w*h*3 + 1)::BIGINT), i ->
+                     CASE WHEN (i-1) % 3 = 0 THEN ascii(substr(px, i::INT, 1)) ELSE 0 END))::BIGINT AS sum_r,
+                   list_sum(list_transform(range(1, (w*h*3 + 1)::BIGINT), i ->
+                     CASE WHEN (i-1) % 3 = 1 THEN ascii(substr(px, i::INT, 1)) ELSE 0 END))::BIGINT AS sum_g,
+                   list_sum(list_transform(range(1, (w*h*3 + 1)::BIGINT), i ->
+                     CASE WHEN (i-1) % 3 = 2 THEN ascii(substr(px, i::INT, 1)) ELSE 0 END))::BIGINT AS sum_b
+            FROM base
         """,
         # md5 featurizer replicated exactly: h = first 15 hex of
         # md5(buf || '|d'); feature = (h / 2^60) * 2 - 1, computed in

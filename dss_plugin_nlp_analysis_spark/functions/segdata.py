@@ -60,6 +60,19 @@ _ZH_WORDS = (
     "米饭", "面条", "水果", "蔬菜", "咖啡", "啤酒", "天气", "下雨",
     "下雪", "春天", "夏天", "秋天", "冬天", "大海", "高山", "河流",
     "森林", "动物", "植物", "地球", "太阳", "月亮", "星星", "宇宙",
+    # round 5: web/crawl-era vocabulary (same public high-frequency
+    # criterion; chosen to leave the classical golden and the OOV-HMM
+    # fixtures' statistics untouched — no new 网-final/民-initial words,
+    # nothing containing 小/红/书)
+    "讨论", "识别", "著名", "智能", "科技", "创新", "研发", "设计",
+    "建设", "生产", "制造", "质量", "标准", "要求", "基础", "结构",
+    "功能", "特点", "过程", "阶段", "时代", "地区", "人口", "群众",
+    "专家", "学者", "教师", "工人", "农民", "警察", "司机", "护士",
+    "电子", "商务", "支付", "快递", "物流", "直播", "游戏", "动画",
+    "照片", "相机", "屏幕", "键盘", "鼠标", "文件", "邮件", "密码",
+    "账号", "登录", "注册", "下载", "上传", "搜索", "浏览", "网站",
+    "网页", "博客", "论坛", "社区", "粉丝", "评论", "转发", "分享",
+    "关注", "消息", "通知", "提醒", "设置", "版本", "更新", "升级",
 )
 
 # Japanese: common function words, copulas/auxiliaries, everyday nouns.

@@ -1,11 +1,20 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
-Images/audio/video ride as ``binary`` columns with a small self-describing
-header; the Spark-side plumbing (schema, Arrow batch shape, mapInPandas
-iterator discipline, partition sizing) is real and tested. The actual
-codec work is STUBBED — the decode seam raises ``NotImplementedError``
-unless the deterministic fake codec is selected (image/audio libraries are
-not in this container; plug Pillow/torchaudio/decord at the marked seam).
+Images/audio/video ride as ``binary`` columns; the Spark-side plumbing
+(schema, Arrow batch shape, mapInPandas iterator discipline, partition
+sizing) is real and tested. Round 5 makes the codec itself real within
+the sandbox (functions/imagecodec.py, dependency-free):
+
+- metadata (``decode_image_meta``): REAL header parsing for PNG, GIF,
+  JPEG, BMP and PPM/PGM, plus the deterministic fake wire format;
+- pixels (``resize_images``/``extract_features``/``decode_channel_sums``):
+  REAL decode + nearest-neighbor resample for the uncompressed formats
+  (BMP 24/32-bit BI_RGB, PPM/PGM binary and ASCII).
+
+The remaining ``NotImplementedError`` seam is compressed pixel data
+(PNG inflate, JPEG entropy decode, GIF LZW) — plug Pillow/torchvision
+there; everything else, including the formats' metadata, works without
+any library.
 
 Fake wire format (deterministic, oracle-reproducible):
     b"IMG|<width>|<height>|<fmt>|" + payload-bytes
@@ -19,9 +28,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dss_plugin_nlp_analysis_spark.functions import imagecodec
+
 __all__ = [
     "fake_image_binary", "decode_image_meta", "resize_images",
-    "extract_features", "frame_sample_plan",
+    "extract_features", "frame_sample_plan", "decode_channel_sums",
 ]
 
 META_SCHEMA = "id long, width int, height int, fmt string, payload_bytes int"
@@ -34,16 +45,25 @@ def fake_image_binary(width: Column, height: Column, payload: Column) -> Column:
 
 
 def _decode_header(buf: bytes) -> tuple[int, int, str, int]:
-    """The decode seam. Real codecs plug in here (Pillow etc.)."""
+    """The metadata decode seam: fake wire format, else a REAL container
+    header parse (PNG/GIF/JPEG/BMP/PPM/PGM — imagecodec.sniff). For real
+    containers ``payload_bytes`` is the stored object size (the column a
+    crawl-pipeline filter actually wants); for the fake format it is the
+    fake payload length (oracle-pinned)."""
     if buf is None:
-        raise NotImplementedError("real image decoding requires an image library")
-    head = bytes(buf).split(b"|", 4)
-    if head[0] != b"IMG" or len(head) != 5:
+        raise NotImplementedError("cannot decode NULL image bytes")
+    b = bytes(buf)
+    head = b.split(b"|", 4)
+    if head[0] == b"IMG" and len(head) == 5:
+        return int(head[1]), int(head[2]), head[3].decode(), len(head[4])
+    meta = imagecodec.sniff(b)
+    if meta is None:
         raise NotImplementedError(
-            "real image decoding is stubbed in this environment; only the "
-            "deterministic fake codec (IMG|w|h|fmt|payload) is available"
+            "unrecognized image container (PNG/GIF/JPEG/BMP/PPM/PGM and "
+            "the IMG|w|h|fmt|payload fake format are supported)"
         )
-    return int(head[1]), int(head[2]), head[3].decode(), len(head[4])
+    fmt, w, h = meta
+    return w, h, fmt, len(b)
 
 
 def decode_image_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
@@ -70,20 +90,29 @@ def decode_image_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     return df.select(id_col, bin_col).mapInPandas(decode, META_SCHEMA)
 
 
-def _resize_fake(buf: bytes, w: int, h: int) -> bytes:
-    """The resize seam. A real implementation plugs Pillow's
-    ``Image.resize`` in here; the fake codec rewrites the header
-    dimensions and scales the payload length proportionally (area ratio,
-    min 1 byte for non-empty payloads; empty stays empty),
-    deterministically."""
-    ow, oh, fmt, _n = _decode_header(buf)
-    payload = bytes(buf).split(b"|", 4)[4]
-    if not payload or not ow * oh:
-        resized = payload
-    else:
-        new_len = max(1, (len(payload) * w * h) // (ow * oh))
-        resized = (payload * (new_len // len(payload) + 1))[:new_len]
-    return b"IMG|%d|%d|%s|" % (w, h, fmt.encode()) + resized
+def _resize_one(buf: bytes, w: int, h: int) -> bytes:
+    """The resize seam. Fake wire format: header rewrite + proportional
+    payload scaling (area ratio, min 1 byte for non-empty payloads).
+    Real decodable formats (BMP/PPM/PGM): actual nearest-neighbor pixel
+    resample, re-encoded in the same container. Compressed formats raise
+    at imagecodec.decode_rgb (the library seam)."""
+    b = bytes(buf)
+    if b.startswith(b"IMG|"):
+        ow, oh, fmt, _n = _decode_header(b)
+        payload = b.split(b"|", 4)[4]
+        if not payload or not ow * oh:
+            resized = payload
+        else:
+            new_len = max(1, (len(payload) * w * h) // (ow * oh))
+            resized = (payload * (new_len // len(payload) + 1))[:new_len]
+        return b"IMG|%d|%d|%s|" % (w, h, fmt.encode()) + resized
+    fmt = (imagecodec.sniff(b) or ("?",))[0]
+    arr = imagecodec.resize_nearest(imagecodec.decode_rgb(b), w, h)
+    if fmt == "bmp":
+        return imagecodec.encode_bmp(arr)
+    if fmt == "pgm":
+        return imagecodec.encode_pgm(arr)
+    return imagecodec.encode_ppm(arr)
 
 
 def resize_images(
@@ -91,10 +120,11 @@ def resize_images(
 ) -> DataFrame:
     """mapInPandas resize: binary → binary at the target dimensions.
 
-    Arrow batch shape and output schema are the real plumbing; the pixel
-    resampling itself is the ``_resize_fake`` stub seam (raises
-    NotImplementedError for non-fake payloads, like ``_decode_header``).
-    Returns (id, image) with the same column names so resize stages chain.
+    Real nearest-neighbor pixel resampling for decodable containers
+    (BMP/PPM/PGM — ``_resize_one``), the deterministic header/payload
+    rewrite for the fake format, NotImplementedError only for
+    compressed pixel data. Returns (id, image) with the same column
+    names so resize stages chain.
     """
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -102,7 +132,7 @@ def resize_images(
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].values,
-                    "image": [_resize_fake(b, width, height) for b in pdf[bin_col]],
+                    "image": [_resize_one(b, width, height) for b in pdf[bin_col]],
                 }
             )
 
@@ -124,17 +154,28 @@ def extract_features(
     import hashlib
 
     def _featurize(buf: bytes) -> list[float]:
-        # same contract as the other codec seams: only the fake wire
-        # format is featurizable here; real payloads need a real encoder
-        if buf is None or not bytes(buf).startswith(b"IMG|"):
-            raise NotImplementedError(
-                "real feature extraction is stubbed in this environment; "
-                "only the deterministic fake codec (IMG|w|h|fmt|payload) "
-                "is available — plug a real encoder (CLIP/torchvision) here"
-            )
+        if buf is None:
+            raise NotImplementedError("cannot featurize NULL image bytes")
+        b = bytes(buf)
+        if not b.startswith(b"IMG|"):
+            # REAL pixel features for decodable containers: per-column-strip
+            # luma means in [-1, 1] — deterministic integer pooling, no
+            # model. A learned encoder (CLIP/torchvision) plugs in here
+            # for richer semantics; compressed formats raise inside
+            # decode_rgb (the library seam).
+            arr = imagecodec.decode_rgb(b)
+            luma = arr.astype("int64").sum(axis=2) // 3
+            w = luma.shape[1]
+            vals = []
+            for d in range(dim):
+                lo = min(d * w // dim, w - 1)
+                hi = max((d + 1) * w // dim, lo + 1)
+                strip = luma[:, lo:hi]
+                vals.append(int(strip.sum()) // strip.size)
+            return [v / 255.0 * 2.0 - 1.0 for v in vals]
         out = []
         for d in range(dim):
-            h = int(hashlib.md5(bytes(buf) + b"|%d" % d).hexdigest()[:15], 16)
+            h = int(hashlib.md5(b + b"|%d" % d).hexdigest()[:15], 16)
             out.append(h / float(2 ** 60) * 2.0 - 1.0)
         return out
 
@@ -150,6 +191,42 @@ def extract_features(
     return df.select(id_col, bin_col).mapInPandas(
         featurize, "id long, embedding array<float>"
     )
+
+
+CHANNEL_SUMS_SCHEMA = (
+    "id long, width int, height int, sum_r long, sum_g long, sum_b long"
+)
+
+
+def decode_channel_sums(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """REAL pixel decode, oracle-exact: per-image integer channel sums
+    over the decoded RGB array (BMP/PPM/PGM). Integer outputs make the
+    result value-hash-comparable across engines — the correctness gate
+    for the real decode path (a DuckDB oracle can reconstruct the same
+    PPM bytes and sum ASCII pixel codes positionally)."""
+
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dss_plugin_nlp_analysis_spark.functions.imagecodec import decode_rgb
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                arr = decode_rgb(b).astype("int64")
+                rows.append(
+                    (
+                        i,
+                        arr.shape[1],
+                        arr.shape[0],
+                        int(arr[:, :, 0].sum()),
+                        int(arr[:, :, 1].sum()),
+                        int(arr[:, :, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "width", "height", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(sums, CHANNEL_SUMS_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, id_col: str, n_frames_col: str, every: int = 10) -> DataFrame:
