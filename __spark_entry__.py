@@ -350,6 +350,86 @@ def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select("subj", "pred", "obj", "keyword", "sentence", "sent_idx", "category", "lang")
 
 
+def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-permission gate: synthesized robots.txt bodies (comments,
+    mixed-case keys, non-* groups, empty Disallow, a second * group on
+    every third host) parsed by operators/robots.py, then the longest-
+    match/Allow-ties decision over per-document URLs. The oracle derives
+    the expected decisions independently from the same construction —
+    the parser must reduce the noisy bodies to exactly the * rules for
+    the decisions to hash-match."""
+    from dss_plugin_nlp_analysis_spark.operators.robots import (
+        parse_robots,
+        robots_allowed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 7).cast("string")
+    hosts = docs.select(F.concat(F.lit("h"), h, F.lit(".ex")).alias("host")).distinct()
+    body = F.concat(
+        F.lit("# synthetic robots\nUser-Agent: *\nDisallow: /d"),
+        F.regexp_extract(F.col("host"), "h(\\d+)", 1),
+        F.lit(" # private tree\nAllow: /d"),
+        F.regexp_extract(F.col("host"), "h(\\d+)", 1),
+        F.lit("/ok\nDisallow:\nUser-agent: bot\nDisallow: /\n"),
+        F.when(
+            F.regexp_extract(F.col("host"), "h(\\d+)", 1).cast("int") % 3 == 0,
+            F.lit("\nUser-agent: *\nAllow: /x\n"),
+        ).otherwise(F.lit("")),
+    )
+    robots = hosts.select("host", body.alias("body"))
+    urls = docs.select(
+        F.concat(
+            F.lit("https://h"), h, F.lit(".ex"),
+            F.element_at(
+                F.array(
+                    F.concat(F.lit("/d"), h, F.lit("/a")),
+                    F.concat(F.lit("/d"), h, F.lit("/ok/b")),
+                    F.lit("/x/c"),
+                    F.lit("/plain"),
+                ),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+        ).alias("url")
+    )
+    out = robots_allowed(urls, parse_robots(robots))
+    return out.select(
+        "url", "host", "path", F.col("allowed").cast("int").alias("allowed"), "rule_path"
+    )
+
+
+def _q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE unsupervised keyword extraction over the documents table
+    (integer degree/frequency scores — see operators/textstats.py)."""
+    from dss_plugin_nlp_analysis_spark.operators.textstats import rake_keywords
+
+    return rake_keywords(load_table(spark, sf_dir, "documents"))
+
+
+def _q_kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF materialization gate: the kg_triples build serialized as
+    canonical N-Triples lines (subject/predicate IRIs with percent
+    escapes, sentence provenance as the quoted literal object with the
+    spec's ECHAR escapes). Pure string expressions on both engines."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import ntriples_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = build_triples(
+        docs,
+        kg_oracle_ontology_df(spark),
+        url_col="doc_id",
+        text_col="text",
+        lang_col="lang",
+        ts_col=None,
+        category_col=None,
+    ).select(
+        F.concat(F.lit("https://ex.org/doc/"), F.col("subj").cast("string")).alias("subj"),
+        "pred",
+        F.col("sentence").alias("obj"),
+    )
+    return ntriples_lines(t).select("subj", "pred", "line")
+
+
 # --- text prep (P3/P4 native, T1 UDF, HTML extraction) --------------------
 
 def _q_linebreak_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1953,6 +2033,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ontology_clean": _q_ontology_clean,
         "distinct_langs": _q_distinct_langs,
         "kg_triples": _q_kg_triples,
+        "kg_ntriples": _q_kg_ntriples,
+        "rake_keywords": _q_rake_keywords,
+        "robots_filter": _q_robots_filter,
         "linebreak_norm": _q_linebreak_norm,
         "sentence_split": _q_sentence_split,
         "html_extract": _q_html_extract,
@@ -3246,6 +3329,94 @@ def _oracle_dict(pat, onto, lm_values, lm_oov, thr_case) -> dict[str, str]:
                    NULL::VARCHAR AS category,
                    lang
             FROM m
+        """,
+        # robots: the oracle derives the expected decision per (host,
+        # path-case) directly from the synthetic construction — an
+        # INDEPENDENT expectation the parser+decision chain must reproduce
+        "robots_filter": """
+            WITH d AS (
+              SELECT doc_id % 7 AS h, doc_id % 4 AS m FROM documents
+            ),
+            rows_ AS (
+              SELECT 'h' || h::VARCHAR || '.ex' AS host,
+                     CASE m WHEN 0 THEN '/d' || h::VARCHAR || '/a'
+                            WHEN 1 THEN '/d' || h::VARCHAR || '/ok/b'
+                            WHEN 2 THEN '/x/c'
+                            ELSE '/plain' END AS path,
+                     CASE WHEN m = 0 THEN 0 ELSE 1 END AS allowed,
+                     CASE WHEN m = 0 THEN '/d' || h::VARCHAR
+                          WHEN m = 1 THEN '/d' || h::VARCHAR || '/ok'
+                          WHEN m = 2 AND h % 3 = 0 THEN '/x'
+                          ELSE NULL END AS rule_path
+              FROM d
+            )
+            SELECT 'https://' || host || path AS url, host, path,
+                   allowed::INT AS allowed, rule_path
+            FROM rows_
+        """,
+        # RAKE: identical boundary regex (RAKE_BOUNDARY_PATTERN, shared
+        # constant), chr(1) marker, per-doc window phrase numbering,
+        # integer deg*1e6 // freq word scores
+        "rake_keywords": f"""
+            WITH tk AS (
+              SELECT doc_id AS id,
+                     string_split(trim(regexp_replace(
+                       regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]+',
+                                      ' ' || chr(1) || ' ', 'g'),
+                       ' +', ' ', 'g')), ' ') AS toks
+              FROM documents
+            ),
+            pos AS (SELECT id, toks, unnest(range(1, len(toks) + 1)) AS pos FROM tk),
+            tok AS (SELECT id, pos, toks[pos::INT] AS w FROM pos),
+            seq AS (SELECT id, pos, w,
+                           (w = chr(1) OR w = '' OR w IN ('the','a','an','of','and','to','in','is','it','that')) AS b,
+                           sum(CASE WHEN (w = chr(1) OR w = '' OR w IN ('the','a','an','of','and','to','in','is','it','that')) THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS phrase_id
+                    FROM tok),
+            ph AS (SELECT id, phrase_id, list(w ORDER BY pos) AS ws
+                   FROM seq WHERE NOT b GROUP BY id, phrase_id),
+            ph2 AS (SELECT id, phrase_id, ws, array_to_string(ws, ' ') AS phrase, len(ws) AS n_words
+                    FROM ph WHERE len(ws) <= 4),
+            mem AS (SELECT id, phrase_id, phrase, n_words, unnest(ws) AS w FROM ph2),
+            wst AS (SELECT id, w, count(*) AS freq, sum(n_words) AS deg FROM mem GROUP BY id, w),
+            wsc AS (SELECT id, w, ((deg * 1000000) // freq)::BIGINT AS w_score_ppm FROM wst),
+            sc AS (SELECT m.id, m.phrase_id, m.phrase, m.n_words, sum(w_score_ppm) AS score_ppm
+                   FROM mem m JOIN wsc ON wsc.id = m.id AND wsc.w = m.w
+                   GROUP BY m.id, m.phrase_id, m.phrase, m.n_words)
+            SELECT id, phrase,
+                   max(n_words)::INT AS n_words,
+                   count(*)::BIGINT AS n_occurrences,
+                   max(score_ppm)::BIGINT AS score_ppm
+            FROM sc GROUP BY id, phrase
+        """,
+        # N-Triples serialization: IRI percent-escapes (backslash first)
+        # then the literal ECHAR escapes over the sentence object; DuckDB
+        # replace() is literal+global, same as Spark's F.replace chain
+        "kg_ntriples": f"""
+            WITH {_KG_M},
+            t AS (
+              SELECT 'https://ex.org/doc/' || doc_id::VARCHAR AS subj,
+                     CASE kw WHEN 'window' THEN 'alpha_op'
+                             WHEN 'stream' THEN 'zeta_op'
+                             ELSE 'scan_op' END AS pred,
+                     sentence AS obj
+              FROM m
+            ),
+            esc AS (
+              SELECT subj, pred,
+                     replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(
+                       subj, '\\', '%5C'), ' ', '%20'), '<', '%3C'), '>', '%3E'), '"', '%22'),
+                       '{{', '%7B'), '}}', '%7D'), '|', '%7C'), '^', '%5E'), chr(96), '%60') AS s_esc,
+                     replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(
+                       pred, '\\', '%5C'), ' ', '%20'), '<', '%3C'), '>', '%3E'), '"', '%22'),
+                       '{{', '%7B'), '}}', '%7D'), '|', '%7C'), '^', '%5E'), chr(96), '%60') AS p_esc,
+                     replace(replace(replace(replace(replace(
+                       obj, '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t') AS o_esc
+              FROM t
+            )
+            SELECT subj, pred,
+                   '<' || s_esc || '> <http://example.org/pred/' || p_esc || '> "' || o_esc || '" .' AS line
+            FROM esc
         """,
         "linebreak_norm": r"""
             SELECT doc_id,

@@ -15,7 +15,7 @@ small dimension table).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.langsupport import validate_languages
@@ -876,4 +876,78 @@ def normalize_literals(
             ),
         )
         .alias("value_iso"),
+    )
+
+
+# --- RDF materialization ---------------------------------------------------
+
+_NT_IRI_ESCAPES = [
+    # N-Triples IRIREF (RDF 1.1 §2, grammar [8]) forbids these characters
+    # unescaped; percent-encode them (backslash FIRST — it is the escape
+    # introducer of the literal pass and must not double-process)
+    ("\\", "%5C"), (" ", "%20"), ("<", "%3C"), (">", "%3E"), ('"', "%22"),
+    ("{", "%7B"), ("}", "%7D"), ("|", "%7C"), ("^", "%5E"), ("`", "%60"),
+]
+_NT_LIT_ESCAPES = [
+    # ECHAR escapes required inside STRING_LITERAL_QUOTE (same spec,
+    # grammar [9]): backslash first, then quote/LF/CR/TAB
+    ("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t"),
+]
+
+
+def _chain_replace(col: Column, pairs: list[tuple[str, str]]) -> Column:
+    for old, new in pairs:
+        col = F.replace(col, F.lit(old), F.lit(new))
+    return col
+
+
+def ntriples_lines(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    *,
+    pred_namespace: str = "http://example.org/pred/",
+    obj_namespace: str | None = None,
+) -> DataFrame:
+    """Serialize (subj, pred, obj) into canonical N-Triples lines — the
+    interchange format a materialized KG ships in (W3C RDF 1.1 N-Triples;
+    the reference stops at DataFrame output, this is new surface for the
+    trillion-triple build).
+
+    - ``subj`` is taken as an IRI (crawl URLs); forbidden IRIREF chars
+      are percent-encoded.
+    - ``pred`` becomes ``<pred_namespace + tag>`` (tag IRI-escaped).
+    - ``obj`` becomes either a quoted literal with the spec's ECHAR
+      escapes (default) or an IRI under ``obj_namespace`` when given
+      (ontology-node objects).
+
+    NULL-component triples are excluded (an N-Triples statement has no
+    NULL position). Pure string expressions — zero shuffles, zero Python;
+    the whole serialization rides whole-stage codegen next to the scan.
+
+    Returns (subj, pred, obj, line).
+    """
+    t = triples.where(
+        F.col(subj).isNotNull() & F.col(pred).isNotNull() & F.col(obj).isNotNull()
+    )
+    s_iri = F.concat(F.lit("<"), _chain_replace(F.col(subj), _NT_IRI_ESCAPES), F.lit(">"))
+    p_iri = F.concat(
+        F.lit("<"), F.lit(pred_namespace),
+        _chain_replace(F.col(pred), _NT_IRI_ESCAPES), F.lit(">"),
+    )
+    if obj_namespace is None:
+        o_term = F.concat(
+            F.lit('"'), _chain_replace(F.col(obj), _NT_LIT_ESCAPES), F.lit('"')
+        )
+    else:
+        o_term = F.concat(
+            F.lit("<"), F.lit(obj_namespace),
+            _chain_replace(F.col(obj), _NT_IRI_ESCAPES), F.lit(">"),
+        )
+    return t.select(
+        F.col(subj).alias("subj"),
+        F.col(pred).alias("pred"),
+        F.col(obj).alias("obj"),
+        F.concat_ws(" ", s_iri, p_iri, o_term, F.lit(".")).alias("line"),
     )

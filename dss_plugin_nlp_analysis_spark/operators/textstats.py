@@ -927,3 +927,93 @@ def char_pair_counts(
         .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
         .limit(k)
     )
+
+
+# --- RAKE keyword extraction ------------------------------------------------
+
+# punctuation/symbol runs become explicit phrase-boundary markers; the
+# marker char (\x01) never appears in text and is itself consumed by the
+# single regex pass. Shared verbatim with the DuckDB oracle.
+RAKE_BOUNDARY_PATTERN = "[^a-z0-9 ]+"
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    max_phrase_len: int = 4,
+) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction, Rose et al. 2010):
+    candidate phrases are maximal token runs between stopword/punctuation
+    boundaries; word score = degree/frequency over the doc's candidate
+    words (degree = sum of containing-phrase lengths); phrase score = sum
+    of member word scores. The standard unsupervised keyword tagger for
+    KG enrichment when no ontology covers a domain.
+
+    Integer contract: ``score_ppm`` sums per-word ``deg * 1e6 div freq``
+    (int64 floor division) so results value-hash across engines.
+    Candidates longer than ``max_phrase_len`` words are dropped BEFORE
+    scoring (nltk-rake convention; also the scale guard — no unbounded
+    phrase strings ride the shuffle).
+
+    Scale shape: one bounded per-document window (phrase numbering over
+    token positions — bounded by document length, the event_transitions
+    contract), then (id, word)/(id, phrase) groupBys and one (id, word)
+    equi-join. No collects, no cross joins.
+
+    Returns (id, phrase, n_words, n_occurrences, score_ppm).
+    """
+    from pyspark.sql import Window
+
+    stop = stopwords or EN_STOPWORDS
+    norm = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    marked = F.regexp_replace(norm, RAKE_BOUNDARY_PATTERN, " \x01 ")
+    toks = F.split(F.trim(F.regexp_replace(marked, " +", " ")), " ")
+    t = df.select(F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "w"))
+    stop_arr = F.array(*[F.lit(s) for s in stop])
+    boundary = (
+        (F.col("w") == "\x01") | (F.col("w") == "") | F.array_contains(stop_arr, F.col("w"))
+    )
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = t.select(
+        "id", "pos", "w", F.sum(boundary.cast("int")).over(win).alias("phrase_id"),
+        boundary.alias("b"),
+    )
+    phrases = (
+        seq.where(~F.col("b"))
+        .groupBy("id", "phrase_id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "w"))).alias("pw"))
+        .select(
+            "id",
+            "phrase_id",
+            F.transform(F.col("pw"), lambda s: s["w"]).alias("ws"),
+        )
+        .select(
+            "id", "phrase_id", "ws",
+            F.array_join(F.col("ws"), " ").alias("phrase"),
+            F.size("ws").alias("n_words"),
+        )
+        .where(F.col("n_words") <= max_phrase_len)
+    )
+    member = phrases.select(
+        "id", "phrase_id", "phrase", "n_words", F.explode("ws").alias("w")
+    )
+    wstats = member.groupBy("id", "w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("n_words").alias("deg"),
+    ).select(
+        "id", "w", F.expr("deg * 1000000 div freq").alias("w_score_ppm")
+    )
+    scored = (
+        member.join(wstats, ["id", "w"])
+        .groupBy("id", "phrase_id", "phrase", "n_words")
+        .agg(F.sum("w_score_ppm").alias("score_ppm"))
+    )
+    return scored.groupBy("id", "phrase").agg(
+        F.max("n_words").alias("n_words"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.max("score_ppm").alias("score_ppm"),
+    )

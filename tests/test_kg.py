@@ -404,3 +404,33 @@ def test_triple_delta_null_components_excluded(spark):
     # the NULL-keyed fact must not surface as a contradictory
     # added+removed pair — it is excluded by contract
     assert [(r["subj"], r["status"]) for r in rows] == [("u1", "same")]
+
+
+def test_ntriples_escaping_and_null_exclusion(spark):
+    """RDF 1.1 N-Triples: ECHAR escapes in literals, percent-encoding of
+    forbidden IRIREF chars, NULL-component exclusion, IRI-object mode."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import ntriples_lines
+
+    rows = [
+        ("http://a.org/x y", "is a", 'quote " back \\ nl \n tab \t cr \r end'),
+        ("http://a.org/<b>", "p|q", "plain"),
+        (None, "p", "o"),
+        ("s", None, "o"),
+        ("s", "p", None),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = {r["subj"]: r["line"] for r in ntriples_lines(df).collect()}
+    assert len(out) == 2  # NULL-component rows dropped
+    assert out["http://a.org/x y"] == (
+        '<http://a.org/x%20y> <http://example.org/pred/is%20a> '
+        '"quote \\" back \\\\ nl \\n tab \\t cr \\r end" .'
+    )
+    assert out["http://a.org/<b>"] == (
+        '<http://a.org/%3Cb%3E> <http://example.org/pred/p%7Cq> "plain" .'
+    )
+    # IRI-object mode wraps the object under the namespace
+    iri = ntriples_lines(
+        spark.createDataFrame([("s", "p", "node 1")], "subj string, pred string, obj string"),
+        obj_namespace="http://ex.org/node/",
+    ).collect()[0]["line"]
+    assert iri == '<s> <http://example.org/pred/p> <http://ex.org/node/node%201> .'
