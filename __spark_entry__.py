@@ -2025,6 +2025,139 @@ def _q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_pair_counts(docs, "text", k=20)
 
 
+def _structured_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized page HTML with structured data: a schema.org JSON-LD
+    Article island (absent for doc_id%11==0 pages, malformed JSON for
+    doc_id%13==5 — both engines must yield no facts) plus OpenGraph meta
+    tags (og:image:width only on doc_id%7==0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    body = F.concat(
+        F.lit('{"@type":"Article","name":"N'), (d % 100).cast("string"),
+        F.lit('","author":{"@type":"Person","name":"P'), (d % 13).cast("string"),
+        F.lit('"},"wordCount":'), (d % 500).cast("string"), F.lit("}"),
+    )
+    body = F.when(d % 13 == 5, F.lit('{"broken":')).otherwise(body)
+    og = F.concat(
+        F.lit('<meta property="og:title" content="T'), (d % 50).cast("string"),
+        F.lit('"><meta property="og:type" content="'),
+        F.when(d % 3 == 0, F.lit("article"))
+        .when(d % 3 == 1, F.lit("video"))
+        .otherwise(F.lit("website")),
+        F.lit('">'),
+        F.when(
+            d % 7 == 0, F.lit('<meta property="og:image:width" content="1200">')
+        ).otherwise(F.lit("")),
+    )
+    island = F.when(d % 11 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit('<script type="application/ld+json">'), body, F.lit("</script>")
+        )
+    )
+    html = F.concat(F.lit("<html><head>"), og, F.lit("</head>"), island, F.lit("<p>x</p></html>"))
+    return docs.select("doc_id", html.alias("html"))
+
+
+def _q_jsonld_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD mining: the first ld+json island per page
+    flattened to (id, pred, obj) facts via JVM-side JSON paths — the
+    publisher-stated fact source of a web KG. Pages without an island,
+    with malformed JSON, or missing a path emit no row ('headline' is
+    requested but never present — the absent-path case is always
+    exercised). Pure map + explode, zero shuffle (test_plans.py)."""
+    from dss_plugin_nlp_analysis_spark.operators.structured import extract_jsonld
+
+    pages = _structured_pages(spark, sf_dir)
+    return extract_jsonld(
+        pages,
+        "doc_id",
+        "html",
+        {
+            "type": "$['@type']",
+            "name": "$.name",
+            "author": "$.author.name",
+            "words": "$.wordCount",
+            "headline": "$.headline",
+        },
+    )
+
+
+def _q_og_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenGraph tag extraction: (id, og_key, og_content) rows from two
+    positionally-zipped regexp_extract_all passes — same structural
+    formulation as the DuckDB oracle. Pure map, zero shuffle."""
+    from dss_plugin_nlp_analysis_spark.operators.structured import extract_og
+
+    return extract_og(_structured_pages(spark, sf_dir), "doc_id", "html")
+
+
+def _q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (2 rounds) over the
+    link graph: per round a dst-keyed equi-join, a map-side-combinable
+    (node,label) count, and an order-free min-struct argmax — the DuckDB
+    oracle unrolls the same two rounds with a row_number tie-break."""
+    from dss_plugin_nlp_analysis_spark.operators.graph import label_propagation
+
+    return label_propagation(_link_edges(spark, sf_dir), rounds=2)
+
+
+def _q_canonical_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical chain resolution by pointer doubling (3 rounds =
+    2^3 saturating hops): urls chain toward doc_id - doc_id%4 one hop at
+    a time, plus a planted 2-cycle (canonical-spam shape) that must
+    resolve deterministically with is_terminal=false. The oracle applies
+    the same 8 saturating steps via a counted recursive CTE."""
+    from dss_plugin_nlp_analysis_spark.operators.url import resolve_canonical
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://s.example/"), d.cast("string"))
+    canon = F.when(
+        d % 4 != 0,
+        F.concat(F.lit("https://s.example/"), (d - 1).cast("string")),
+    )
+    pages = docs.select(url.alias("url"), canon.alias("canon")).union(
+        spark.createDataFrame(
+            [
+                ("https://s.example/cycA", "https://s.example/cycB"),
+                ("https://s.example/cycB", "https://s.example/cycA"),
+            ],
+            ["url", "canon"],
+        )
+    )
+    return resolve_canonical(pages, "url", "canon", rounds=3)
+
+
+def _q_entity_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity-name matching: candidate pairs share a
+    2-char blocking key (never a cartesian — plan-asserted) and match at
+    Levenshtein <= 2; the 'zz…' names form one hot block above the
+    max_block_size=30 cap and are dropped entirely (the skew guard's
+    recall trade, exercised)."""
+    from dss_plugin_nlp_analysis_spark.operators.er import blocked_name_matches
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    suffix = (
+        F.when(d % 6 == 1, F.lit("x"))
+        .when(d % 6 == 2, F.lit("xy"))
+        .when(d % 6 == 3, F.lit("!"))
+        .when(d % 6 == 4, F.lit("q"))
+        .otherwise(F.lit(""))
+    )
+    name = F.when(d % 97 == 0, F.concat(F.lit("zz hotbrand"), (d % 3).cast("string"))).otherwise(
+        F.concat(
+            F.char(97 + (d % 20)),
+            F.char(97 + (F.expr("doc_id div 20") % 20)),
+            F.lit("brand"),
+            (d % 10).cast("string"),
+            suffix,
+        )
+    )
+    names = docs.select(d.alias("eid"), name.alias("name"))
+    return blocked_name_matches(names, "eid", "name", max_dist=2, max_block_size=30)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -2036,6 +2169,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ntriples": _q_kg_ntriples,
         "rake_keywords": _q_rake_keywords,
         "robots_filter": _q_robots_filter,
+        "jsonld_triples": _q_jsonld_triples,
+        "og_meta": _q_og_meta,
+        "label_prop": _q_label_prop,
+        "canonical_chain": _q_canonical_chain,
+        "entity_blocking": _q_entity_blocking,
         "linebreak_norm": _q_linebreak_norm,
         "sentence_split": _q_sentence_split,
         "html_extract": _q_html_extract,
@@ -2456,6 +2594,138 @@ def oracle_sql() -> dict[str, str]:
             {d['dup_clusters']}
           ) GROUP BY cluster_id
         ) GROUP BY cluster_size
+    """
+    # structured-data pages shared by jsonld_triples / og_meta — one CTE
+    # body so the two gates can never drift from the Spark synthesis
+    structured_html = r"""
+        h AS (
+          SELECT doc_id AS id,
+            '<html><head>'
+            || '<meta property="og:title" content="T' || (doc_id % 50) || '">'
+            || '<meta property="og:type" content="'
+            || CASE WHEN doc_id % 3 = 0 THEN 'article'
+                    WHEN doc_id % 3 = 1 THEN 'video' ELSE 'website' END || '">'
+            || CASE WHEN doc_id % 7 = 0
+                    THEN '<meta property="og:image:width" content="1200">'
+                    ELSE '' END
+            || '</head>'
+            || CASE WHEN doc_id % 11 = 0 THEN ''
+                    ELSE '<script type="application/ld+json">'
+                      || CASE WHEN doc_id % 13 = 5 THEN '{"broken":'
+                              ELSE '{"@type":"Article","name":"N' || (doc_id % 100)
+                                || '","author":{"@type":"Person","name":"P'
+                                || (doc_id % 13) || '"},"wordCount":'
+                                || (doc_id % 500) || '}'
+                         END
+                      || '</script>' END
+            || '<p>x</p></html>' AS html
+          FROM documents
+        )
+    """
+    d["jsonld_triples"] = rf"""
+        WITH {structured_html},
+        b AS (SELECT id,
+                     regexp_extract(html,
+                       '(?s)<script type="application/ld\+json">(.*?)</script>',
+                       1) AS blk
+              FROM h),
+        v AS (SELECT id, CASE WHEN json_valid(blk) THEN blk END AS blk FROM b),
+        kv AS (
+          SELECT id, 'author' AS pred,
+                 json_extract_string(blk, '$.author.name') AS obj FROM v
+          UNION ALL SELECT id, 'headline',
+                 json_extract_string(blk, '$.headline') FROM v
+          UNION ALL SELECT id, 'name', json_extract_string(blk, '$.name') FROM v
+          UNION ALL SELECT id, 'type',
+                 json_extract_string(blk, '$."@type"') FROM v
+          UNION ALL SELECT id, 'words',
+                 json_extract_string(blk, '$.wordCount') FROM v
+        )
+        SELECT id, pred, obj FROM kv WHERE obj IS NOT NULL
+    """
+    d["og_meta"] = rf"""
+        WITH {structured_html},
+        ex AS (SELECT id,
+                 regexp_extract_all(html,
+                   '<meta property="og:([a-z:]+)" content="([^"]*)"', 1) AS ks,
+                 regexp_extract_all(html,
+                   '<meta property="og:([a-z:]+)" content="([^"]*)"', 2) AS vs
+               FROM h)
+        SELECT id, unnest(ks) AS og_key, unnest(vs) AS og_content FROM ex
+    """
+    # label propagation: 2 unrolled synchronous rounds over the
+    # symmetrized link graph, argmax = (count DESC, label ASC)
+    d["label_prop"] = f"""
+        WITH {_LINK_EDGES},
+        ue AS (SELECT src, dst FROM e UNION
+               SELECT dst AS src, src AS dst FROM e),
+        l0 AS (SELECT DISTINCT src AS node FROM ue),
+        i0 AS (SELECT node, node AS label FROM l0),
+        c1 AS (SELECT ue.src AS node, l.label, count(*) AS c
+               FROM ue JOIN i0 l ON l.node = ue.dst GROUP BY 1, 2),
+        b1 AS (SELECT node, label FROM (
+                 SELECT node, label,
+                        row_number() OVER (PARTITION BY node
+                                           ORDER BY c DESC, label) AS rn
+                 FROM c1) WHERE rn = 1),
+        i1 AS (SELECT i0.node, coalesce(b1.label, i0.label) AS label
+               FROM i0 LEFT JOIN b1 USING (node)),
+        c2 AS (SELECT ue.src AS node, l.label, count(*) AS c
+               FROM ue JOIN i1 l ON l.node = ue.dst GROUP BY 1, 2),
+        b2 AS (SELECT node, label FROM (
+                 SELECT node, label,
+                        row_number() OVER (PARTITION BY node
+                                           ORDER BY c DESC, label) AS rn
+                 FROM c2) WHERE rn = 1)
+        SELECT i1.node, coalesce(b2.label, i1.label) AS label
+        FROM i1 LEFT JOIN b2 USING (node)
+    """
+    # canonical chains: exactly 2^3 = 8 saturating pointer steps (the
+    # doubling count of the Spark query), counted recursive CTE; the
+    # planted 2-cycle rotates back to itself (even step count) with
+    # is_terminal = false
+    d["canonical_chain"] = """
+        WITH RECURSIVE pages AS (
+          SELECT 'https://s.example/' || doc_id AS url,
+                 CASE WHEN doc_id % 4 != 0
+                      THEN 'https://s.example/' || (doc_id - 1) END AS canon
+          FROM documents
+          UNION ALL SELECT 'https://s.example/cycA', 'https://s.example/cycB'
+          UNION ALL SELECT 'https://s.example/cycB', 'https://s.example/cycA'
+        ),
+        m AS (SELECT url, canon FROM pages
+              WHERE canon IS NOT NULL AND canon != url),
+        r AS (
+          SELECT url, url AS cur, 0 AS i FROM pages
+          UNION ALL
+          SELECT r.url, coalesce(m.canon, r.cur) AS cur, i + 1
+          FROM r LEFT JOIN m ON m.url = r.cur WHERE i < 8
+        )
+        SELECT r.url, r.cur AS resolved, m.url IS NULL AS is_terminal
+        FROM r LEFT JOIN m ON m.url = r.cur WHERE i = 8
+    """
+    # blocked fuzzy ER: same synthesis, blocking, cap, and Levenshtein
+    d["entity_blocking"] = """
+        WITH names AS (
+          SELECT doc_id AS eid,
+            CASE WHEN doc_id % 97 = 0 THEN 'zz hotbrand' || (doc_id % 3)
+                 ELSE chr((97 + doc_id % 20)::INT)
+                   || chr((97 + (doc_id // 20) % 20)::INT)
+                   || 'brand' || (doc_id % 10)
+                   || CASE doc_id % 6 WHEN 1 THEN 'x' WHEN 2 THEN 'xy'
+                        WHEN 3 THEN '!' WHEN 4 THEN 'q' ELSE '' END
+            END AS name
+          FROM documents
+        ),
+        k AS (SELECT eid, name, substr(name, 1, 2) AS bkey
+              FROM names WHERE length(name) >= 2),
+        ok AS (SELECT bkey FROM k GROUP BY bkey HAVING count(*) <= 30),
+        kk AS (SELECT k.* FROM k JOIN ok USING (bkey))
+        SELECT a.eid AS id_a, b.eid AS id_b,
+               a.name AS name_a, b.name AS name_b,
+               levenshtein(a.name, b.name)::INT AS dist
+        FROM kk a JOIN kk b ON a.bkey = b.bkey AND a.eid < b.eid
+        WHERE levenshtein(a.name, b.name) <= 2
     """
     return d
 

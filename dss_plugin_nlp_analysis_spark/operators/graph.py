@@ -52,6 +52,7 @@ __all__ = [
     "transitive_closure",
     "random_walks",
     "personalized_pagerank",
+    "label_propagation",
 ]
 
 
@@ -778,3 +779,69 @@ def personalized_pagerank(
         .localCheckpoint()
     )
     return _rank_fixpoint(e_deg, bases, iterations, damp_num, damp_den)
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    rounds: int = 2,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan 2007) — community
+    detection over the alias/link graph; a KG build uses the communities
+    as candidate entity groups coarser than connected components (which
+    over-merge through one noisy alias edge).
+
+    Returns (node, label). Edges are undirected (symmetrized) with
+    self-loops dropped and parallel edges collapsed; labels start as the
+    node's own id. Each round, EVERY node simultaneously adopts the most
+    frequent label among its neighbors, ties broken by minimum label —
+    fully deterministic (the textbook random-order variant is not), so
+    the fixed-``rounds`` result is value-hash reproducible against an
+    unrolled-CTE oracle. Synchronous LPA can oscillate on bipartite
+    structures; ``rounds`` is a hard bound, not a convergence promise
+    (run components.py when you need the stable over-merge instead).
+
+    Scale shape: per round one edges⋈labels equi-join on dst, one
+    map-side-combinable groupBy(node,label) count, one node-sized
+    argmin-struct reduce, one node-keyed join back — all key-partitioned,
+    no windows; lineage cut per round with ``localCheckpoint`` (module
+    doc)."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        cand = (
+            e.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        # argmax by (count desc, label asc): min over (-c, label) structs —
+        # an order-free reduce, no per-node sort window
+        best = (
+            cand.groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("b"))
+            .select("node", F.col("b.label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return labels

@@ -33,6 +33,7 @@ __all__ = [
     "extract_links",
     "anchor_text_index",
     "snapshot_diff",
+    "resolve_canonical",
 ]
 
 _FRAGMENT = r"#.*$"
@@ -195,4 +196,64 @@ def anchor_text_index(
         n_links.join(n_texts, "target")
         .join(texts, "target", "left")
         .select("target", "n_links", "n_texts", "anchor_texts")
+    )
+
+
+def resolve_canonical(
+    df: DataFrame,
+    url_col: str,
+    canon_col: str,
+    *,
+    rounds: int = 4,
+) -> DataFrame:
+    """Resolve ``rel=canonical`` pointer chains to their terminal url.
+
+    Crawls carry canonical pointers (``<link rel=canonical>``, HTTP 301
+    targets) that frequently CHAIN — m.site.com → site.com/amp →
+    site.com — and a KG build must group facts under the terminal url,
+    not each hop. Input: one row per page, ``canon_col`` NULL (or equal
+    to the url) when the page is its own canonical.
+
+    Returns (url, resolved, is_terminal): ``resolved`` is the page's
+    pointer target after exactly ``2**rounds`` saturating hops
+    (f(x) = canon[x] if x has a pointer else x), computed with POINTER
+    DOUBLING — ``rounds`` self-joins instead of 2**rounds, the classic
+    O(log chain-length) shuffle bound (Shiloach-Vishkin style), so the
+    default 4 rounds covers chains up to 16 hops at 4 node-keyed
+    equi-joins. ``is_terminal`` is false when ``resolved`` still has an
+    outgoing pointer — i.e. the page sits on a cycle (or a chain deeper
+    than 2**rounds): canonical-pointer SPAM LOOPS exist in real crawls,
+    and the saturating-step formulation is cycle-safe by construction
+    (it rotates deterministically instead of diverging), with the flag
+    telling the caller which resolutions to quarantine.
+
+    Scale shape: each round is one equi-join of the (url, cur) table with
+    itself on cur = url — key-partitioned, no windows, no driver state;
+    lineage cut per round (see graph.py module doc for why persist()
+    is not enough on iterated plans).
+    """
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    # one saturating step: cur = f(url); NULL/self pointers saturate at url
+    p = df.select(
+        F.col(url_col).alias("url"),
+        F.coalesce(F.col(canon_col), F.col(url_col)).alias("cur"),
+    ).localCheckpoint()
+    pointers = p.where(F.col("cur") != F.col("url")).select(
+        F.col("url").alias("p_url"), F.col("cur").alias("p_cur")
+    ).localCheckpoint()
+    for _ in range(rounds):
+        q = p.select(F.col("url").alias("q_url"), F.col("cur").alias("q_cur"))
+        p = (
+            p.join(q, p["cur"] == q["q_url"], "left")
+            .select("url", F.coalesce("q_cur", "cur").alias("cur"))
+            .localCheckpoint()
+        )
+    return (
+        p.join(pointers, p["cur"] == pointers["p_url"], "left")
+        .select(
+            "url",
+            F.col("cur").alias("resolved"),
+            F.col("p_url").isNull().alias("is_terminal"),
+        )
     )

@@ -1,0 +1,183 @@
+"""Round-5 operator surface: structured-data extraction (JSON-LD /
+OpenGraph), blocked fuzzy entity matching, label propagation, and
+canonical-chain resolution — unit edge cases + executed-plan scale
+assertions (the oracle gates live in test_entry.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_analysis_spark.operators.er import (
+    blocked_name_matches,
+    normalize_name,
+)
+from dss_plugin_nlp_analysis_spark.operators.graph import label_propagation
+from dss_plugin_nlp_analysis_spark.operators.structured import (
+    extract_jsonld,
+    extract_og,
+)
+from dss_plugin_nlp_analysis_spark.operators.url import resolve_canonical
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return spark.createDataFrame(
+        [
+            (
+                1,
+                '<html><script type="application/ld+json">'
+                '{"@type":"Article","name":"A1","author":'
+                '{"@type":"Person","name":"P1"},"n":7}</script>'
+                '<meta property="og:title" content="T1">'
+                '<meta property="og:type" content="article"></html>',
+            ),
+            (2, "<html>no structured data</html>"),
+            (
+                3,
+                '<script type="application/ld+json">{bad json</script>'
+                '<meta property="og:title" content="T3">',
+            ),
+            (4, None),
+        ],
+        ["id", "html"],
+    ).withColumn("html", F.coalesce("html", F.lit("")))
+
+
+class TestExtractJsonld:
+    def test_facts_and_absent_paths(self, spark, pages):
+        rows = {
+            (r.id, r.pred): r.obj
+            for r in extract_jsonld(
+                pages,
+                "id",
+                "html",
+                {"name": "$.name", "author": "$.author.name", "n": "$.n",
+                 "missing": "$.nope"},
+            ).collect()
+        }
+        # page 1 yields its three present facts; 'missing' never appears;
+        # pages 2 (no island), 3 (malformed), 4 (empty) yield nothing
+        assert rows == {(1, "name"): "A1", (1, "author"): "P1", (1, "n"): "7"}
+
+    def test_empty_paths_rejected(self, pages):
+        with pytest.raises(ValueError, match="non-empty"):
+            extract_jsonld(pages, "id", "html", {})
+
+    def test_zero_shuffle_pure_map(self, pages):
+        plan = plan_of(extract_jsonld(pages, "id", "html", {"name": "$.name"}))
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestExtractOg:
+    def test_rows_in_document_order(self, pages):
+        rows = [
+            (r.id, r.og_key, r.og_content)
+            for r in extract_og(pages, "id", "html").orderBy("id", "og_key").collect()
+        ]
+        assert rows == [
+            (1, "title", "T1"),
+            (1, "type", "article"),
+            (3, "title", "T3"),
+        ]
+
+    def test_zero_shuffle_pure_map(self, pages):
+        plan = plan_of(extract_og(pages, "id", "html"))
+        assert "Exchange" not in plan, plan
+
+
+class TestBlockedNameMatches:
+    def test_matches_within_block_and_cap(self, spark):
+        names = spark.createDataFrame(
+            [(1, "Acme Corp"), (2, "acme corp."), (3, "ACME c0rp"),
+             (4, "Zenith"), (5, "zenitth"), (6, ""), (7, None), (8, "x")]
+            # a hot block: 40 'qq...' names above the cap of 30
+            + [(100 + i, f"qq{i}") for i in range(40)],
+            ["id", "name"],
+        )
+        out = blocked_name_matches(names, "id", "name", max_dist=2, max_block_size=30)
+        pairs = {(r.id_a, r.id_b): r.dist for r in out.collect()}
+        # case/punct variants match inside the 'ac' block; 'qq' block dropped
+        assert pairs == {(1, 2): 1, (1, 3): 1, (2, 3): 2, (4, 5): 1}
+
+    def test_prefix_typo_escapes_block(self, spark):
+        # documented recall trade: a typo INSIDE the 2-char key separates
+        # the blocks, so no pair is produced
+        names = spark.createDataFrame(
+            [(1, "acme corp"), (2, "qcme corp")], ["id", "name"]
+        )
+        assert blocked_name_matches(names, "id", "name").count() == 0
+
+    def test_validation(self, spark):
+        names = spark.createDataFrame([(1, "ab")], ["id", "name"])
+        with pytest.raises(ValueError, match="max_dist"):
+            blocked_name_matches(names, "id", "name", max_dist=-1)
+        with pytest.raises(ValueError, match="max_block_size"):
+            blocked_name_matches(names, "id", "name", max_block_size=1)
+
+    def test_normalize_name(self, spark):
+        df = spark.range(1).select(
+            normalize_name(F.lit("  Acme   CORP \t x ")).alias("n"),
+            normalize_name(F.lit(None).cast("string")).alias("m"),
+        )
+        r = df.collect()[0]
+        assert r.n == "acme corp x" and r.m == ""
+
+    def test_no_cartesian_key_equi_join_only(self, spark):
+        names = spark.createDataFrame([(1, "acme"), (2, "acmee")], ["id", "name"])
+        plan = plan_of(blocked_name_matches(names, "id", "name"))
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+class TestLabelPropagation:
+    def test_triangle_plus_tail_converges_to_min(self, spark):
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4)], ["src", "dst"]
+        )
+        out = {r.node: r.label for r in label_propagation(edges, rounds=3).collect()}
+        # the triangle floods label 1; the tail node 4 hangs off node 3
+        assert out[1] == 1 and out[2] == 1 and out[3] == 1 and out[4] in (1, 3)
+
+    def test_deterministic_across_runs(self, spark):
+        edges = spark.createDataFrame(
+            [(i, (i * 7) % 23) for i in range(23)], ["src", "dst"]
+        )
+        a = sorted(map(tuple, label_propagation(edges, rounds=2).collect()))
+        b = sorted(map(tuple, label_propagation(edges, rounds=2).collect()))
+        assert a == b
+
+    def test_validation(self, spark):
+        edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+        with pytest.raises(ValueError, match="rounds"):
+            label_propagation(edges, rounds=0)
+
+
+class TestResolveCanonical:
+    @pytest.fixture(scope="class")
+    def cdf(self, spark):
+        return spark.createDataFrame(
+            [("u1", "u2"), ("u2", "u3"), ("u3", None), ("c1", "c2"),
+             ("c2", "c1"), ("t1", None), ("self", "self")],
+            ["url", "canon"],
+        )
+
+    def test_chain_cycle_terminal(self, spark, cdf):
+        out = {r.url: (r.resolved, r.is_terminal)
+               for r in resolve_canonical(cdf, "url", "canon", rounds=3).collect()}
+        assert out["u1"] == ("u3", True) and out["u2"] == ("u3", True)
+        assert out["u3"] == ("u3", True) and out["t1"] == ("t1", True)
+        assert out["self"] == ("self", True)
+        # 2-cycle: 8 (even) saturating steps rotate back; flagged unresolved
+        assert out["c1"] == ("c1", False) and out["c2"] == ("c2", False)
+
+    def test_rounds_zero_is_one_step(self, spark, cdf):
+        out = {r.url: r.resolved
+               for r in resolve_canonical(cdf, "url", "canon", rounds=0).collect()}
+        assert out["u1"] == "u2"  # f^(2^0) = one hop
+
+    def test_validation(self, spark, cdf):
+        with pytest.raises(ValueError, match="rounds"):
+            resolve_canonical(cdf, "url", "canon", rounds=-1)
