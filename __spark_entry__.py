@@ -2158,6 +2158,112 @@ def _q_entity_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_name_matches(names, "eid", "name", max_dist=2, max_block_size=30)
 
 
+def _q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing (crawl-frontier source): synthesized urlset XML
+    with optional lastmod (doc_id%3==0), a second url entry (doc_id%5==0)
+    and a spec-invalid loc-less entry (doc_id%17==0, dropped) — entries
+    extracted whole THEN fields per entry, so optional fields can't
+    positionally desynchronize. Pure map + explode."""
+    from dss_plugin_nlp_analysis_spark.sources.sitemap import parse_sitemap
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    entry1 = F.concat(
+        F.lit("<url><loc>https://d"), (d % 30).cast("string"),
+        F.lit(".example/p"), d.cast("string"), F.lit("</loc>"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("<lastmod>2026-0"), (d % 9 + 1).cast("string"), F.lit("-01</lastmod>")),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    extra = F.when(
+        d % 5 == 0,
+        F.concat(
+            F.lit("<url><loc>https://d"), (d % 30).cast("string"),
+            F.lit(".example/extra"), d.cast("string"), F.lit("</loc></url>"),
+        ),
+    ).otherwise(F.lit(""))
+    bad = F.when(
+        d % 17 == 0, F.lit("<url><lastmod>2026-01-01</lastmod></url>")
+    ).otherwise(F.lit(""))
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'), entry1, extra, bad, F.lit("</urlset>")
+    )
+    return parse_sitemap(docs.select("doc_id", xml.alias("xml")), "doc_id", "xml")
+
+
+def _q_hreflang_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang alternate-language link extraction (translation-variant
+    clusters): en + de-AT alternates per page, x-default on doc_id%4==0.
+    Pure map + explode, zero shuffle."""
+    from dss_plugin_nlp_analysis_spark.operators.structured import extract_hreflang
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    group = (d % 40).cast("string")
+    html = F.concat(
+        F.lit('<link rel="alternate" hreflang="en" href="https://ex.org/'),
+        group, F.lit('?lang=en">'),
+        F.lit('<link rel="alternate" hreflang="de-AT" href="https://ex.org/'),
+        group, F.lit('?lang=de">'),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit('<link rel="alternate" hreflang="x-default" href="https://ex.org/'),
+                group, F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return extract_hreflang(docs.select("doc_id", html.alias("html")), "doc_id", "html")
+
+
+def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-scoped boilerplate-line detection: every page in a domain
+    shares a planted 'nav menu' header line (ratio 100%), natural text
+    lines derived from word splits mostly stay under the 30% threshold.
+    Distinct (domain,line,id) → combinable count → one domain-sized
+    equi-join; never a window."""
+    from dss_plugin_nlp_analysis_spark.operators.webclean import boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    text = F.concat(
+        F.lit("nav menu\n"),
+        F.replace(F.trim(F.col("text")), F.lit(" the "), F.lit("\n")),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("d"), (d % 25).cast("string")).alias("domain"),
+        text.alias("text"),
+    )
+    return boilerplate_lines(
+        pages, "doc_id", "domain", "text", min_ratio_ppm=300_000, min_pages=2
+    )
+
+
+def _q_domain_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain curation verdicts over page-level quality signals:
+    deterministic integer scores/keep flags vary by domain so all three
+    verdicts (keep / drop / review-too-small) are exercised; one
+    map-side-combinable groupBy(domain)."""
+    from dss_plugin_nlp_analysis_spark.operators.webclean import domain_policy
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pages = docs.select(
+        F.when(d % 997 == 0, F.lit("tiny"))
+        .otherwise(F.concat(F.lit("d"), (d % 25).cast("string")))
+        .alias("domain"),
+        ((d % 25) * 37_000 + (d % 13)).alias("score"),
+        ((d % 13) < (d % 25)).alias("keep"),
+    )
+    return domain_policy(
+        pages, "domain", "score", "keep",
+        min_pages=100, min_mean_score=400_000, min_keep_ppm=500_000,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -2174,6 +2280,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_prop": _q_label_prop,
         "canonical_chain": _q_canonical_chain,
         "entity_blocking": _q_entity_blocking,
+        "sitemap_urls": _q_sitemap_urls,
+        "hreflang_links": _q_hreflang_links,
+        "boilerplate": _q_boilerplate,
+        "domain_policy": _q_domain_policy,
         "linebreak_norm": _q_linebreak_norm,
         "sentence_split": _q_sentence_split,
         "html_extract": _q_html_extract,
@@ -2726,6 +2836,109 @@ def oracle_sql() -> dict[str, str]:
                levenshtein(a.name, b.name)::INT AS dist
         FROM kk a JOIN kk b ON a.bkey = b.bkey AND a.eid < b.eid
         WHERE levenshtein(a.name, b.name) <= 2
+    """
+    # sitemap parsing: islands first, fields per island (an entry with a
+    # missing optional lastmod cannot desynchronize)
+    d["sitemap_urls"] = r"""
+        WITH x AS (
+          SELECT doc_id AS id,
+            '<?xml version="1.0"?><urlset>'
+            || '<url><loc>https://d' || (doc_id % 30) || '.example/p'
+            || doc_id || '</loc>'
+            || CASE WHEN doc_id % 3 = 0
+                 THEN '<lastmod>2026-0' || (doc_id % 9 + 1) || '-01</lastmod>'
+                 ELSE '' END
+            || '</url>'
+            || CASE WHEN doc_id % 5 = 0
+                 THEN '<url><loc>https://d' || (doc_id % 30) || '.example/extra'
+                      || doc_id || '</loc></url>' ELSE '' END
+            || CASE WHEN doc_id % 17 = 0
+                 THEN '<url><lastmod>2026-01-01</lastmod></url>' ELSE '' END
+            || '</urlset>' AS xml
+          FROM documents
+        ),
+        e AS (SELECT id,
+                     unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1))
+                       AS entry
+              FROM x),
+        f AS (SELECT id,
+                     regexp_extract(entry, '(?s)<loc>(.*?)</loc>', 1) AS loc,
+                     regexp_extract(entry, '(?s)<lastmod>(.*?)</lastmod>', 1)
+                       AS lm
+              FROM e)
+        SELECT id, loc, CASE WHEN lm != '' THEN lm END AS lastmod
+        FROM f WHERE loc != ''
+    """
+    d["hreflang_links"] = """
+        WITH h AS (
+          SELECT doc_id AS id,
+            '<link rel="alternate" hreflang="en" href="https://ex.org/'
+            || (doc_id % 40) || '?lang=en">'
+            || '<link rel="alternate" hreflang="de-AT" href="https://ex.org/'
+            || (doc_id % 40) || '?lang=de">'
+            || CASE WHEN doc_id % 4 = 0
+                 THEN '<link rel="alternate" hreflang="x-default" href="https://ex.org/'
+                      || (doc_id % 40) || '">' ELSE '' END AS html
+          FROM documents
+        ),
+        ex AS (SELECT id,
+                 regexp_extract_all(html,
+                   '<link rel="alternate" hreflang="([A-Za-z0-9-]+)" href="([^"]*)"',
+                   1) AS hls,
+                 regexp_extract_all(html,
+                   '<link rel="alternate" hreflang="([A-Za-z0-9-]+)" href="([^"]*)"',
+                   2) AS hrefs
+               FROM h)
+        SELECT id, unnest(hls) AS hreflang, unnest(hrefs) AS href FROM ex
+    """
+    # boilerplate: distinct (domain, line, page) then per-domain page-share
+    d["boilerplate"] = """
+        WITH pages AS (
+          SELECT doc_id AS id, 'd' || (doc_id % 25) AS domain,
+                 'nav menu' || chr(10)
+                 || replace(trim(text), ' the ', chr(10)) AS text
+          FROM documents
+        ),
+        arrs AS (
+          SELECT id, domain,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                                            x -> trim(x)),
+                             x -> x != '') AS lines
+          FROM pages
+        ),
+        ln AS (SELECT DISTINCT id, domain, unnest(lines) AS line FROM arrs),
+        dp AS (SELECT domain, count(DISTINCT id)::BIGINT AS domain_pages
+               FROM pages GROUP BY domain
+               HAVING count(DISTINCT id) >= 2),
+        c AS (SELECT domain, line, count(*)::BIGINT AS n_pages
+              FROM ln GROUP BY domain, line)
+        SELECT c.domain, c.line, c.n_pages, dp.domain_pages,
+               (c.n_pages * 1000000) // dp.domain_pages AS ratio_ppm
+        FROM c JOIN dp USING (domain)
+        WHERE (c.n_pages * 1000000) // dp.domain_pages >= 300000
+    """
+    d["domain_policy"] = """
+        WITH pages AS (
+          SELECT CASE WHEN doc_id % 997 = 0 THEN 'tiny'
+                      ELSE 'd' || (doc_id % 25) END AS domain,
+                 ((doc_id % 25) * 37000 + (doc_id % 13))::BIGINT AS score,
+                 (doc_id % 13) < (doc_id % 25) AS keep
+          FROM documents
+        ),
+        a AS (SELECT domain, count(*)::BIGINT AS n_pages,
+                     sum(score)::BIGINT AS s,
+                     sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS kept
+              FROM pages
+              WHERE domain IS NOT NULL AND score IS NOT NULL
+              GROUP BY domain)
+        SELECT domain, n_pages,
+               s // n_pages AS mean_score,
+               (kept * 1000000) // n_pages AS keep_ppm,
+               CASE WHEN n_pages < 100 THEN 'review'
+                    WHEN s // n_pages >= 400000
+                         AND (kept * 1000000) // n_pages >= 500000 THEN 'keep'
+                    ELSE 'drop' END AS verdict
+        FROM a
     """
     return d
 

@@ -36,7 +36,7 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["extract_jsonld", "extract_og", "jsonld_block"]
+__all__ = ["extract_jsonld", "extract_og", "extract_hreflang", "jsonld_block"]
 
 # non-greedy island body; (?s) so embedded newlines stay inside the block.
 # Attribute order/spacing is frozen to the canonical form emitted by the
@@ -44,6 +44,8 @@ __all__ = ["extract_jsonld", "extract_og", "jsonld_block"]
 _JSONLD_RE = r'(?s)<script type="application/ld\+json">(.*?)</script>'
 # og: keys are lowercase ascii + ':' (og:image:width etc.)
 _OG_RE = r'<meta property="og:([a-z:]+)" content="([^"]*)"'
+# hreflang alternates: BCP-47-ish codes (en, de-AT, zh-Hant, x-default)
+_HREFLANG_RE = r'<link rel="alternate" hreflang="([A-Za-z0-9-]+)" href="([^"]*)"'
 
 
 def jsonld_block(html: Column) -> Column:
@@ -107,4 +109,31 @@ def extract_og(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
             F.col("kv.k").alias("og_key"),
             F.col("kv.v").alias("og_content"),
         )
+    )
+
+
+def extract_hreflang(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """hreflang alternate-language links as (id, hreflang, href) rows.
+
+    ``<link rel="alternate" hreflang=…>`` clusters are how publishers
+    declare translation variants of one page — a multilingual corpus
+    build uses them to group parallel documents (translation-pair mining)
+    and to avoid counting a page's 12 language variants as 12 independent
+    facts' sources. Same zipped two-pass regexp_extract_all formulation
+    as ``extract_og`` (attribute order frozen — the canonical emission);
+    pure map, zero shuffle. Grouping the variants afterwards is one
+    groupBy over the resolved href set (or ``url.resolve_canonical``
+    first, since hreflang targets are frequently themselves chained).
+    """
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(html, F.lit(_HREFLANG_RE), 1).alias("hl"),
+        F.regexp_extract_all(html, F.lit(_HREFLANG_RE), 2).alias("href"),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(pairs).alias("kv")
+    ).select(
+        "id",
+        F.col("kv.hl").alias("hreflang"),
+        F.col("kv.href").alias("href"),
     )

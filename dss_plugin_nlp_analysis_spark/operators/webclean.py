@@ -33,6 +33,8 @@ __all__ = [
     "c4_line_filter",
     "line_dedup",
     "dedup_lines_in_doc",
+    "boilerplate_lines",
+    "domain_policy",
     "TERMINAL_PUNCT",
 ]
 
@@ -173,4 +175,126 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         df.select(F.col(id_col).alias("id"))
         .join(rebuilt, "id", "left")
         .select("id", F.coalesce("clean_text", F.lit("")).alias("clean_text"))
+    )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    text_col: str,
+    *,
+    min_ratio_ppm: int = 500_000,
+    min_pages: int = 2,
+) -> DataFrame:
+    """Domain-scoped boilerplate detection: lines that repeat across a
+    site's pages (nav menus, cookie banners, footers) — the CCNet/
+    RefinedWeb site-template signal. Global line dedup (``line_dedup``)
+    keeps the FIRST copy of a boilerplate line; this finds the TEMPLATE
+    itself so a cleaner can strip every copy, including the first.
+
+    Returns (domain, line, n_pages, domain_pages, ratio_ppm) for trimmed
+    non-empty lines that appear on at least ``min_ratio_ppm`` / 1e6 of the
+    domain's pages, restricted to domains with at least ``min_pages``
+    pages (one-page domains would make every line 100% 'boilerplate').
+    ratio_ppm = n_pages * 1e6 div domain_pages (integer — order-free).
+
+    Scale shape: explode lines → DISTINCT (domain, line, id) (a line
+    repeated WITHIN one page counts that page once) → groupBy(domain,
+    line) count — both shuffle on the same leading key, map-side
+    combinable — then one equi-join against the domain-sized page-count
+    table. Never a window; the hot-domain key skew is the equi-key kind
+    AQE splits.
+    """
+    if min_pages < 1:
+        raise ValueError(f"min_pages must be >= 1, got {min_pages}")
+    if not (0 < min_ratio_ppm <= 1_000_000):
+        raise ValueError(
+            f"min_ratio_ppm must be in (0, 1e6], got {min_ratio_ppm}"
+        )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(domain_col).alias("domain"),
+        F.col(text_col).alias("text"),
+    ).where(F.col("domain").isNotNull())
+    dpages = (
+        base.select("domain", "id")
+        .distinct()
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("domain_pages"))
+        .where(F.col("domain_pages") >= F.lit(min_pages))
+    )
+    per_page = (
+        base.select("domain", "id", F.explode(_lines(F.col("text"))).alias("line"))
+        .distinct()
+        .groupBy("domain", "line")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    return (
+        per_page.join(dpages, "domain")
+        .withColumn(
+            "ratio_ppm",
+            F.expr("n_pages * cast(1000000 as bigint) div domain_pages"),
+        )
+        .where(F.col("ratio_ppm") >= F.lit(min_ratio_ppm))
+        .select("domain", "line", "n_pages", "domain_pages", "ratio_ppm")
+    )
+
+
+def domain_policy(
+    df: DataFrame,
+    domain_col: str,
+    score_col: str,
+    keep_col: str,
+    *,
+    min_pages: int = 3,
+    min_mean_score: int = 0,
+    min_keep_ppm: int = 500_000,
+) -> DataFrame:
+    """Per-domain curation policy: aggregate page-level quality into a
+    site-level keep/drop verdict — the RefinedWeb/C4 blocklist-builder
+    step (spam farms fail page filters consistently; dropping the whole
+    domain beats re-scoring its pages forever).
+
+    Inputs are page rows with an integer quality score (e.g.
+    ``textstats.hashed_linear_score`` micro-units) and a boolean keep
+    flag (e.g. the Gopher composite). Returns per domain: n_pages,
+    mean_score (integer floor mean — order-free), keep_ppm, and
+    ``verdict``: 'keep' when mean_score >= min_mean_score AND
+    keep_ppm >= min_keep_ppm, 'drop' when both fail or either fails,
+    'review' when the domain has fewer than ``min_pages`` pages (too
+    little evidence to blocklist — route to the next crawl). NULL
+    domains and NULL scores are excluded (a page that failed scoring
+    cannot vote).
+
+    Scale shape: ONE map-side-combinable groupBy(domain) — sums and
+    counts only, no distincts, no windows; domain cardinality is ~1e7 at
+    crawl scale, far below page count.
+    """
+    if min_pages < 1:
+        raise ValueError(f"min_pages must be >= 1, got {min_pages}")
+    base = df.select(
+        F.col(domain_col).alias("domain"),
+        F.col(score_col).cast("long").alias("score"),
+        F.col(keep_col).cast("boolean").alias("keep"),
+    ).where(F.col("domain").isNotNull() & F.col("score").isNotNull())
+    agg = base.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("score").alias("_sum"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("_kept"),
+    )
+    mean = F.expr("_sum div n_pages")
+    keep_ppm = F.expr("_kept * cast(1000000 as bigint) div n_pages")
+    return agg.select(
+        "domain",
+        "n_pages",
+        mean.alias("mean_score"),
+        keep_ppm.alias("keep_ppm"),
+        F.when(F.col("n_pages") < F.lit(min_pages), F.lit("review"))
+        .when(
+            (mean >= F.lit(min_mean_score)) & (keep_ppm >= F.lit(min_keep_ppm)),
+            F.lit("keep"),
+        )
+        .otherwise(F.lit("drop"))
+        .alias("verdict"),
     )

@@ -181,3 +181,129 @@ class TestResolveCanonical:
     def test_validation(self, spark, cdf):
         with pytest.raises(ValueError, match="rounds"):
             resolve_canonical(cdf, "url", "canon", rounds=-1)
+
+
+class TestParseSitemap:
+    def test_entries_fields_and_invalid(self, spark):
+        from dss_plugin_nlp_analysis_spark.sources.sitemap import (
+            parse_sitemap,
+            parse_sitemap_index,
+        )
+
+        xml = (
+            "<urlset>"
+            "<url><loc>https://a.example/1</loc>"
+            "<lastmod>2026-01-02</lastmod></url>"
+            "<url><loc>https://a.example/2</loc></url>"  # no lastmod
+            "<url><lastmod>2026-01-03</lastmod></url>"  # loc-less: dropped
+            "</urlset>"
+            "<sitemapindex><sitemap><loc>https://a.example/s.xml</loc>"
+            "</sitemap></sitemapindex>"
+        )
+        df = spark.createDataFrame([(1, xml), (2, None), (3, "")], ["id", "xml"])
+        rows = sorted(
+            (r.id, r.loc, r.lastmod) for r in parse_sitemap(df, "id", "xml").collect()
+        )
+        assert rows == [
+            (1, "https://a.example/1", "2026-01-02"),
+            (1, "https://a.example/2", None),
+        ]
+        idx = [(r.id, r.loc) for r in parse_sitemap_index(df, "id", "xml").collect()]
+        assert idx == [(1, "https://a.example/s.xml")]
+
+    def test_zero_shuffle(self, spark):
+        from dss_plugin_nlp_analysis_spark.sources.sitemap import parse_sitemap
+
+        df = spark.createDataFrame([(1, "<url><loc>x</loc></url>")], ["id", "xml"])
+        assert "Exchange" not in plan_of(parse_sitemap(df, "id", "xml"))
+
+
+class TestExtractHreflang:
+    def test_rows(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.structured import (
+            extract_hreflang,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, '<link rel="alternate" hreflang="en" href="https://e/en">'
+                    '<link rel="alternate" hreflang="zh-Hant" href="https://e/zh">'),
+                (2, "<p>none</p>"),
+                (3, None),
+            ],
+            ["id", "html"],
+        )
+        rows = sorted(
+            (r.id, r.hreflang, r.href)
+            for r in extract_hreflang(df, "id", "html").collect()
+        )
+        assert rows == [(1, "en", "https://e/en"), (1, "zh-Hant", "https://e/zh")]
+
+
+class TestBoilerplateLines:
+    def test_template_found_within_page_repeat_counts_once(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.webclean import (
+            boilerplate_lines,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "a.com", "cookie banner\nunique one\ncookie banner"),
+                (2, "a.com", "cookie banner\nunique two"),
+                (3, "a.com", "unique three"),
+                (4, "b.com", "lonely page line"),  # 1-page domain: excluded
+                (5, None, "cookie banner"),  # NULL domain: excluded
+            ],
+            ["id", "domain", "text"],
+        )
+        out = {
+            (r.domain, r.line): (r.n_pages, r.domain_pages, r.ratio_ppm)
+            for r in boilerplate_lines(
+                df, "id", "domain", "text", min_ratio_ppm=600_000, min_pages=2
+            ).collect()
+        }
+        # within-page repeat on page 1 counts once -> 2 of 3 pages = 666666
+        assert out == {("a.com", "cookie banner"): (2, 3, 666_666)}
+
+    def test_validation(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.webclean import (
+            boilerplate_lines,
+        )
+
+        df = spark.createDataFrame([(1, "d", "t")], ["id", "domain", "text"])
+        with pytest.raises(ValueError, match="min_pages"):
+            boilerplate_lines(df, "id", "domain", "text", min_pages=0)
+        with pytest.raises(ValueError, match="min_ratio_ppm"):
+            boilerplate_lines(df, "id", "domain", "text", min_ratio_ppm=0)
+
+
+class TestDomainPolicy:
+    def test_verdicts_and_null_exclusion(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.webclean import domain_policy
+
+        rows = (
+            [("good.com", 100, True)] * 3
+            + [("bad.com", 5, False), ("bad.com", 5, True), ("bad.com", 5, False)]
+            + [("small.com", 100, True)]
+            + [("good.com", None, True), (None, 100, True)]  # excluded votes
+        )
+        df = spark.createDataFrame(rows, ["domain", "score", "keep"])
+        out = {
+            r.domain: (r.n_pages, r.mean_score, r.keep_ppm, r.verdict)
+            for r in domain_policy(
+                df, "domain", "score", "keep",
+                min_pages=2, min_mean_score=50, min_keep_ppm=500_000,
+            ).collect()
+        }
+        assert out["good.com"] == (3, 100, 1_000_000, "keep")
+        assert out["bad.com"] == (3, 5, 333_333, "drop")
+        assert out["small.com"] == (1, 100, 1_000_000, "review")
+        assert set(out) == {"good.com", "bad.com", "small.com"}
+
+    def test_single_combinable_aggregate_no_window(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.webclean import domain_policy
+
+        df = spark.createDataFrame([("d", 1, True)], ["domain", "score", "keep"])
+        plan = plan_of(domain_policy(df, "domain", "score", "keep"))
+        assert "Window" not in plan
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
