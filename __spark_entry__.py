@@ -2264,6 +2264,78 @@ def _q_domain_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hearst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hearst-pattern hyponymy mining: corpus text augmented with a
+    deterministic taxonomy sentence so all three planted patterns fire
+    per doc (such-as / and-other / including) on doc-varying terms, plus
+    whatever the natural text yields — both engines extract identically.
+    Pure map + explode, zero shuffle."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import hearst_patterns
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    derived = F.concat(
+        F.trim(F.col("text")),
+        F.lit(" engines such as "),
+        F.char(97 + (d % 20)), F.char(97 + (F.expr("doc_id div 20") % 20)),
+        F.lit("base and other platforms including "),
+        F.char(97 + (d % 7)),
+        F.lit("store."),
+    )
+    return hearst_patterns(
+        docs.select("doc_id", derived.alias("text")), "doc_id", "text"
+    )
+
+
+def _mention_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized mention stream (subj, sent_idx, sentence, obj,
+    keyword) shared by relation_patterns / fact_support: the _KG_M
+    keyword regex over single-sentence docs, url subjects carrying a
+    30-way domain split."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    sent = F.trim(F.col("text"))
+    kws = F.regexp_extract_all(
+        sent, F.lit(r"\b(window|stream|table scan)\b"), 1
+    )
+    subj = F.concat(
+        F.lit("https://d"), (d % 30).cast("string"),
+        F.lit(".example/p"), d.cast("string"),
+    )
+    return (
+        docs.select(
+            subj.alias("subj"),
+            F.lit(0).cast("int").alias("sent_idx"),
+            sent.alias("sentence"),
+            F.explode(kws).alias("keyword"),
+        )
+        .withColumn("obj", F.col("keyword"))
+        .select("subj", "sent_idx", "sentence", "obj", "keyword")
+    )
+
+
+def _q_relation_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distant-supervision connector mining: normalized between-entity
+    text per co-mention pair, aggregated to (connector, n_mentions,
+    n_pairs) — one sentence-keyed self-equi-join plus one combinable
+    groupBy, no windows."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import relation_patterns
+
+    return relation_patterns(
+        _mention_stream(spark, sf_dir), max_connector_chars=60, min_count=2
+    )
+
+
+def _q_fact_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-diversity fact support: per co-mentioned entity pair,
+    mention/doc/domain counts and diversity_ppm (domains per doc) —
+    the spam-resistance confidence signal; domain derived from the url
+    subject inside the operator."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import fact_support
+
+    return fact_support(_mention_stream(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -2284,6 +2356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_links": _q_hreflang_links,
         "boilerplate": _q_boilerplate,
         "domain_policy": _q_domain_policy,
+        "hearst": _q_hearst,
+        "relation_patterns": _q_relation_patterns,
+        "fact_support": _q_fact_support,
         "linebreak_norm": _q_linebreak_norm,
         "sentence_split": _q_sentence_split,
         "html_extract": _q_html_extract,
@@ -2836,6 +2911,84 @@ def oracle_sql() -> dict[str, str]:
                levenshtein(a.name, b.name)::INT AS dist
         FROM kk a JOIN kk b ON a.bkey = b.bkey AND a.eid < b.eid
         WHERE levenshtein(a.name, b.name) <= 2
+    """
+    # Hearst patterns: generated from the SAME operator pattern table so
+    # the oracle can never drift from HEARST_PATTERNS
+    from dss_plugin_nlp_analysis_spark.operators.kg import HEARST_PATTERNS
+
+    hearst_branches = "\n        UNION ALL".join(
+        f"""
+        SELECT id,
+               unnest(regexp_extract_all(low, '{rex}', {hypo_g})) AS hypo,
+               unnest(regexp_extract_all(low, '{rex}', {hyper_g})) AS hyper,
+               '{name}' AS pattern
+        FROM t"""
+        for name, rex, hypo_g, hyper_g in HEARST_PATTERNS
+    )
+    d["hearst"] = f"""
+        WITH t AS (
+          SELECT doc_id AS id,
+                 lower(trim(text) || ' engines such as '
+                   || chr((97 + doc_id % 20)::INT)
+                   || chr((97 + (doc_id // 20) % 20)::INT)
+                   || 'base and other platforms including '
+                   || chr((97 + doc_id % 7)::INT) || 'store.') AS low
+          FROM documents
+        )
+        {hearst_branches}
+    """
+    # shared synthesized mention stream for relation_patterns/fact_support
+    mention_cte = r"""
+        docs0 AS (SELECT doc_id, trim(text) AS sent FROM documents),
+        mm AS (
+          SELECT 'https://d' || (doc_id % 30) || '.example/p' || doc_id AS s,
+                 sent,
+                 unnest(regexp_extract_all(sent,
+                   '\b(window|stream|table scan)\b', 1)) AS kw
+          FROM docs0
+        ),
+        m AS (SELECT DISTINCT s, sent, kw FROM mm)
+    """
+    d["relation_patterns"] = f"""
+        WITH {mention_cte},
+        p AS (
+          SELECT a.s, a.sent, a.kw AS kw_a, b.kw AS kw_b,
+                 strpos(lower(a.sent), lower(a.kw)) AS pa,
+                 strpos(lower(a.sent), lower(b.kw)) AS pb
+          FROM m a JOIN m b ON a.s = b.s AND a.kw < b.kw
+        ),
+        c AS (
+          SELECT kw_a, kw_b,
+                 regexp_replace(trim(substr(lower(sent),
+                   CASE WHEN pa <= pb THEN pa + length(kw_a)
+                        ELSE pb + length(kw_b) END,
+                   greatest(greatest(pa, pb)
+                     - CASE WHEN pa <= pb THEN pa + length(kw_a)
+                            ELSE pb + length(kw_b) END, 0))),
+                   '\\s+', ' ', 'g') AS connector
+          FROM p WHERE pa > 0 AND pb > 0
+        )
+        SELECT connector, count(*)::BIGINT AS n_mentions,
+               count(DISTINCT (kw_a, kw_b))::BIGINT AS n_pairs
+        FROM c
+        WHERE connector != '' AND length(connector) <= 60
+        GROUP BY connector HAVING count(*) >= 2
+    """
+    d["fact_support"] = f"""
+        WITH {mention_cte},
+        md AS (SELECT s, kw,
+                      regexp_extract(lower(s),
+                        '^[a-z][a-z0-9+.-]*://([^/:?#@]*@)?([^/:?#]+)', 2)
+                        AS dom
+               FROM m)
+        SELECT a.kw AS obj_a, b.kw AS obj_b,
+               count(*)::BIGINT AS n_mentions,
+               count(DISTINCT a.s)::BIGINT AS n_docs,
+               count(DISTINCT a.dom)::BIGINT AS n_domains,
+               (count(DISTINCT a.dom) * 1000000) // count(DISTINCT a.s)
+                 AS diversity_ppm
+        FROM md a JOIN md b ON a.s = b.s AND a.kw < b.kw
+        GROUP BY 1, 2
     """
     # sitemap parsing: islands first, fields per island (an entry with a
     # missing optional lastmod cannot desynchronize)

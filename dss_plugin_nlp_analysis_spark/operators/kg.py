@@ -38,6 +38,9 @@ __all__ = [
     "current_facts",
     "attribute_schema",
     "normalize_literals",
+    "hearst_patterns",
+    "relation_patterns",
+    "fact_support",
     "TRIPLE_COLUMNS",
 ]
 
@@ -950,4 +953,217 @@ def ntriples_lines(
         F.col(pred).alias("pred"),
         F.col(obj).alias("obj"),
         F.concat_ws(" ", s_iri, p_iri, o_term, F.lit(".")).alias("line"),
+    )
+
+
+# Hearst (1992) lexico-syntactic hyponymy patterns, single-token terms
+# (dependency-free simplification: NP chunking would need a parser; the
+# single-word harvest is the high-precision core — downstream type
+# filters prune the rest). Each entry: (pattern_name, regex,
+# hypo_group, hyper_group). Regexes live in the Java-regex ∩ RE2 common
+# subset so the DuckDB oracle extracts byte-identically.
+HEARST_PATTERNS: list[tuple[str, str, int, int]] = [
+    ("such_X_as", r"\bsuch ([a-z]+) as ([a-z]+)", 2, 1),
+    ("X_such_as", r"\b([a-z]+) such as ([a-z]+)", 2, 1),
+    ("X_including", r"\b([a-z]+) including ([a-z]+)", 2, 1),
+    ("and_other", r"\b([a-z]+) and other ([a-z]+)", 1, 2),
+    ("or_other", r"\b([a-z]+) or other ([a-z]+)", 1, 2),
+]
+
+
+def hearst_patterns(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Mine is-a (hyponymy) candidate edges from free text with the
+    classic Hearst patterns — the bootstrap source for the taxonomy that
+    ``graph.transitive_closure`` later reasons over, and the standard
+    ontology-expansion move when the seed ontology doesn't cover a
+    domain. Returns (id, hypo, hyper, pattern) per non-overlapping match
+    over the lowercased text, in document order per pattern.
+
+    Scale shape: per pattern two positionally-aligned regexp_extract_all
+    passes (group parity with the oracle — see structured.py), arrays
+    concatenated and exploded once. Pure per-row projection: zero
+    shuffle; the (hypo, hyper) support aggregation a caller adds is one
+    combinable groupBy. Pattern windows may cross sentence boundaries
+    (raw-text scan — deliberate: sentence splitting costs a second pass
+    and Hearst windows are ~5 tokens).
+    """
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+
+    # single-arg lambda via a closure factory: F.transform treats a
+    # two-parameter lambda as (element, index), so the idiomatic
+    # `lambda s, _n=name:` default-arg capture would silently bind the
+    # element INDEX over the pattern name
+    def _tag(name):
+        return lambda s: F.struct(
+            s["hypo"].alias("hypo"),
+            s["hyper"].alias("hyper"),
+            F.lit(name).alias("pattern"),
+        )
+
+    arrays = []
+    for name, rex, hypo_g, hyper_g in HEARST_PATTERNS:
+        pairs = F.arrays_zip(
+            F.regexp_extract_all(low, F.lit(rex), hypo_g).alias("hypo"),
+            F.regexp_extract_all(low, F.lit(rex), hyper_g).alias("hyper"),
+        )
+        arrays.append(F.transform(pairs, _tag(name)))
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.concat(*arrays)).alias("m")
+    ).select(
+        "id",
+        F.col("m.hypo").alias("hypo"),
+        F.col("m.hyper").alias("hyper"),
+        F.col("m.pattern").alias("pattern"),
+    )
+
+
+def relation_patterns(
+    triples: DataFrame,
+    *,
+    max_connector_chars: int = 40,
+    min_count: int = 2,
+) -> DataFrame:
+    """Distant-supervision connector mining over the mention stream: for
+    every pair of DISTINCT entities co-mentioned in one sentence, the
+    normalized text BETWEEN their surface forms is a relation-pattern
+    candidate ("X **was founded by** Y"); patterns recurring across many
+    entity pairs are the seeds for relation extraction (Hearst's move,
+    generalized). Input is the ``build_triples`` stream (subj, sentence,
+    sent_idx, keyword, obj).
+
+    Returns (connector, n_mentions, n_pairs) with n_pairs = distinct
+    (obj_a, obj_b) entity pairs, filtered to ``min_count`` mentions.
+    Contract: positions are the FIRST case-insensitive occurrence of
+    each keyword in the sentence; pairs where either surface form is not
+    literally findable (cross-form diacritic matches) are skipped;
+    connectors longer than ``max_connector_chars`` are discarded
+    (those are clause boundaries, not relations). The connector is
+    lowercased, trimmed, whitespace-collapsed; empty connectors
+    (adjacent mentions) are dropped.
+
+    Scale shape: one distinct over (doc, sentence, entity, keyword),
+    one self-equi-join on the (subj, sent_idx) sentence key — pair
+    blowup bounded by mentions-per-sentence, the same contract as
+    ``tag_cooccurrence`` — then one combinable groupBy(connector) with
+    a distinct-pair count. No windows, no cartesians.
+    """
+    if max_connector_chars < 1:
+        raise ValueError(
+            f"max_connector_chars must be >= 1, got {max_connector_chars}"
+        )
+    m = (
+        triples.select("subj", "sent_idx", "sentence", "obj", "keyword")
+        .where(F.col("obj").isNotNull() & F.col("sent_idx").isNotNull())
+        .distinct()
+    )
+    a = m.select(
+        F.col("subj").alias("s"), F.col("sent_idx").alias("si"),
+        F.col("sentence").alias("sent"),
+        F.col("obj").alias("obj_a"), F.col("keyword").alias("kw_a"),
+    )
+    b = m.select(
+        F.col("subj").alias("s"), F.col("sent_idx").alias("si"),
+        F.col("obj").alias("obj_b"), F.col("keyword").alias("kw_b"),
+    )
+    low = F.lower(F.col("sent"))
+    pos_a = F.instr(low, F.lower(F.col("kw_a")))
+    pos_b = F.instr(low, F.lower(F.col("kw_b")))
+    # direction-normalized: first surface occurrence speaks first
+    first_end = F.when(pos_a <= pos_b, pos_a + F.length("kw_a")).otherwise(
+        pos_b + F.length("kw_b")
+    )
+    second_start = F.greatest(pos_a, pos_b)
+    # greatest(…, 0): overlapping surface forms would make the gap
+    # negative — '' in Spark but an error in ANSI substr, so clamp in both
+    connector = F.regexp_replace(
+        F.trim(
+            F.substring(
+                low, first_end, F.greatest(second_start - first_end, F.lit(0))
+            )
+        ),
+        r"\s+",
+        " ",
+    )
+    pairs = (
+        a.join(b, ["s", "si"])
+        .where(F.col("obj_a") < F.col("obj_b"))
+        .where((pos_a > 0) & (pos_b > 0))
+        .select(
+            connector.alias("connector"),
+            F.col("obj_a"), F.col("obj_b"),
+        )
+        .where(
+            (F.col("connector") != "")
+            & (F.length("connector") <= max_connector_chars)
+        )
+    )
+    return (
+        pairs.groupBy("connector")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.count_distinct(F.col("obj_a"), F.col("obj_b")).alias("n_pairs"),
+        )
+        .where(F.col("n_mentions") >= F.lit(min_count))
+    )
+
+
+def fact_support(
+    triples: DataFrame,
+    domain_col: str | None = None,
+) -> DataFrame:
+    """Source-diversity support scoring for co-mention facts: a fact
+    asserted by one page repeated a million times is weaker than one
+    asserted once each by a thousand independent sites — the standard
+    KG-confidence signal (and the spam-resistance counterpart of
+    ``domain_policy``). Input is the ``build_triples`` mention stream;
+    ``domain_col`` names a source-domain column, or (default) the domain
+    is derived from the url in ``subj`` via the url_table rule.
+
+    Returns per undirected co-mentioned entity pair (obj_a < obj_b):
+    n_mentions (co-mention sentences), n_docs, n_domains, and
+    ``diversity_ppm`` = n_domains * 1e6 div n_docs — 1e6 means every
+    supporting doc came from a distinct site; low values flag
+    single-site (potentially spammed) facts.
+
+    Scale shape: distinct mention projection → one sentence-keyed
+    self-equi-join (tag_cooccurrence contract) → ONE groupBy with two
+    count-distincts (Spark expands these map-side; the pair key count is
+    ontology²-bounded). No windows.
+    """
+    if domain_col is None:
+        dom = F.regexp_extract(
+            F.lower(F.col("subj")),
+            r"^[a-z][a-z0-9+.-]*://([^/:?#@]*@)?([^/:?#]+)",
+            2,
+        )
+        # bare doc-id subj (no scheme): the id itself is the source key
+        dom = F.when(dom != "", dom).otherwise(F.lower(F.col("subj")))
+    else:
+        dom = F.col(domain_col)
+    m = (
+        triples.select(
+            F.col("subj").alias("s"),
+            F.col("sent_idx").alias("si"),
+            F.col("obj"),
+            dom.alias("dom"),
+        )
+        .where(F.col("obj").isNotNull() & F.col("sent_idx").isNotNull())
+        .distinct()
+    )
+    a = m.select("s", "si", "dom", F.col("obj").alias("obj_a"))
+    b = m.select("s", "si", F.col("obj").alias("obj_b"))
+    pairs = a.join(b, ["s", "si"]).where(F.col("obj_a") < F.col("obj_b"))
+    return (
+        pairs.groupBy("obj_a", "obj_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.count_distinct(F.col("s")).alias("n_docs"),
+            F.count_distinct(F.col("dom")).alias("n_domains"),
+        )
+        .withColumn(
+            "diversity_ppm",
+            F.expr("n_domains * cast(1000000 as bigint) div n_docs"),
+        )
     )

@@ -307,3 +307,117 @@ class TestDomainPolicy:
         plan = plan_of(domain_policy(df, "domain", "score", "keep"))
         assert "Window" not in plan
         assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+class TestHearstPatterns:
+    def test_all_pattern_shapes(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.kg import hearst_patterns
+
+        df = spark.createDataFrame(
+            [
+                (1, "Languages such as Python are nice."),
+                (2, "such metals as copper conduct."),
+                (3, "fruits including mango are sweet."),
+                (4, "pandas and other libraries help."),
+                (5, "buses or other vehicles pass."),
+                (6, "no pattern here."),
+                (7, None),
+            ],
+            ["id", "text"],
+        )
+        rows = {
+            (r.id, r.hypo, r.hyper, r.pattern)
+            for r in hearst_patterns(df, "id", "text").collect()
+        }
+        assert (1, "python", "languages", "X_such_as") in rows
+        assert (2, "copper", "metals", "such_X_as") in rows
+        assert (3, "mango", "fruits", "X_including") in rows
+        assert (4, "pandas", "libraries", "and_other") in rows
+        assert (5, "buses", "vehicles", "or_other") in rows
+        assert all(r[0] not in (6, 7) for r in rows)
+
+    def test_zero_shuffle(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.kg import hearst_patterns
+
+        df = spark.createDataFrame([(1, "x such as y")], ["id", "text"])
+        assert "Exchange" not in plan_of(hearst_patterns(df, "id", "text"))
+
+
+def _mentions(spark, rows):
+    return spark.createDataFrame(
+        rows, ["subj", "sent_idx", "sentence", "obj", "keyword"]
+    )
+
+
+class TestRelationPatterns:
+    def test_connector_mined_and_normalized(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.kg import relation_patterns
+
+        m = _mentions(
+            spark,
+            [
+                ("d1", 0, "Acme was founded by  Bob.", "acme", "Acme"),
+                ("d1", 0, "Acme was founded by  Bob.", "bob", "Bob"),
+                ("d2", 0, "Zeta was founded by Ann.", "zeta", "Zeta"),
+                ("d2", 0, "Zeta was founded by Ann.", "ann", "Ann"),
+                # surface form not findable in the sentence -> skipped
+                ("d3", 0, "totally unrelated.", "ghost", "Ghost"),
+                ("d3", 0, "totally unrelated.", "spook", "Spook"),
+            ],
+        )
+        out = {
+            r.connector: (r.n_mentions, r.n_pairs)
+            for r in relation_patterns(m, min_count=2).collect()
+        }
+        # double space collapsed; direction follows surface order
+        assert out == {"was founded by": (2, 2)}
+
+    def test_adjacent_mentions_empty_connector_dropped(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.kg import relation_patterns
+
+        m = _mentions(
+            spark,
+            [
+                ("d1", 0, "alpha beta", "alpha", "alpha"),
+                ("d1", 0, "alpha beta", "beta", "beta"),
+            ],
+        )
+        assert relation_patterns(m, min_count=1).count() == 0
+
+    def test_validation(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.kg import relation_patterns
+
+        m = _mentions(spark, [("d", 0, "s", "o", "k")])
+        with pytest.raises(ValueError, match="max_connector_chars"):
+            relation_patterns(m, max_connector_chars=0)
+
+
+class TestFactSupport:
+    def test_domain_diversity(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.kg import fact_support
+
+        rows = [
+            # a-b supported by 3 docs on 2 domains
+            ("https://x.com/1", 0, "s", "a", "a"),
+            ("https://x.com/1", 0, "s", "b", "b"),
+            ("https://x.com/2", 0, "s", "a", "a"),
+            ("https://x.com/2", 0, "s", "b", "b"),
+            ("https://y.org/9", 0, "s", "a", "a"),
+            ("https://y.org/9", 0, "s", "b", "b"),
+            # duplicate mention rows in one sentence count once (distinct)
+            ("https://y.org/9", 0, "s", "a", "a"),
+        ]
+        m = _mentions(spark, rows)
+        out = {(r.obj_a, r.obj_b): (r.n_mentions, r.n_docs, r.n_domains, r.diversity_ppm)
+               for r in fact_support(m).collect()}
+        assert out == {("a", "b"): (3, 3, 2, 666_666)}
+
+    def test_bare_id_subjects_fall_back_to_id(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.kg import fact_support
+
+        m = _mentions(
+            spark,
+            [("doc-1", 0, "s", "a", "a"), ("doc-1", 0, "s", "b", "b")],
+        )
+        out = fact_support(m).collect()[0]
+        assert out.n_domains == 1 and out.diversity_ppm == 1_000_000
