@@ -2336,6 +2336,99 @@ def _q_fact_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact_support(_mention_stream(spark, sf_dir))
 
 
+def _q_relation_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed distant-supervision loop: connectors mined by
+    relation_patterns (support >= 3) are applied back over the SAME
+    mention stream to emit typed relation instances (head, relation,
+    tail) in surface order — pair join + broadcast connector dim."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import (
+        relation_extract,
+        relation_patterns,
+    )
+
+    stream = _mention_stream(spark, sf_dir)
+    dim = relation_patterns(
+        stream, max_connector_chars=60, min_count=3
+    ).select("connector")
+    return relation_extract(stream, dim, max_connector_chars=60)
+
+
+def _q_cooc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift-normalized tag co-mention strength over the KG-ontology
+    triples: observed co-mention docs over the independence expectation,
+    exact integer ppm (n_ab * n_corpus * 1e6 div (n_a * n_b)) — the
+    association measure raw counts can't give."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import cooccurrence_lift
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = build_triples(
+        docs,
+        kg_oracle_ontology_df(spark),
+        url_col="doc_id",
+        text_col="text",
+        lang_col="lang",
+        ts_col=None,
+        category_col=None,
+    )
+    return cooccurrence_lift(t, obj="pred")
+
+
+def _q_truth_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knowledge fusion by source-diversity vote: synthesized
+    conflicting attribute assertions (7-domain url space, value cycling
+    per slot, NULL assertions dropped) resolved to one value per
+    (entity, attr) with deterministic tie-breaks — two stacked
+    combinable groupBys, winner via min_by, no window."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import truth_discovery
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    facts = docs.select(
+        F.concat(F.lit("e"), (d % 40).cast("string")).alias("entity"),
+        F.concat(F.lit("a"), (d % 3).cast("string")).alias("attr"),
+        F.when(
+            d % 11 != 0,
+            F.concat(F.lit("v"), (F.expr("doc_id div 120") % 3).cast("string")),
+        ).alias("value"),
+        F.concat(
+            F.lit("https://d"), (d % 7).cast("string"),
+            F.lit(".example/p"), d.cast("string"),
+        ).alias("source"),
+    )
+    return truth_discovery(facts)
+
+
+def _q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier prioritization: synthesized link graph (each
+    crawled page links to its successor page and to an external target
+    grid) anti-joined against the fetched set, scored by inlinks /
+    distinct source pages / distinct source domains."""
+    from dss_plugin_nlp_analysis_spark.operators.url import crawl_frontier
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    page = F.concat(
+        F.lit("https://d"), (d % 30).cast("string"),
+        F.lit(".example/p"), d.cast("string"),
+    )
+    crawled = docs.select(page.alias("url"))
+    succ = F.concat(
+        F.lit("https://d"), ((d + 1) % 30).cast("string"),
+        F.lit(".example/p"), (d + 1).cast("string"),
+    )
+    # ext keys cycle with period lcm(5, 50) = 50, so even the 500-doc
+    # sf0.01 table yields ~10 inlinks per frontier target; the doubled
+    # ext edge exercises n_inlinks (counts it) vs n_src_pages (doesn't)
+    ext = F.concat(
+        F.lit("https://e"), (d % 5).cast("string"),
+        F.lit(".example/t"), (d % 50).cast("string"),
+    )
+    links = docs.select(
+        page.alias("src"), F.explode(F.array(succ, ext, ext)).alias("dst")
+    )
+    return crawl_frontier(links, crawled, min_inlinks=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -2359,6 +2452,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hearst": _q_hearst,
         "relation_patterns": _q_relation_patterns,
         "fact_support": _q_fact_support,
+        "relation_extract": _q_relation_extract,
+        "cooc_lift": _q_cooc_lift,
+        "truth_discovery": _q_truth_discovery,
+        "crawl_frontier": _q_crawl_frontier,
         "linebreak_norm": _q_linebreak_norm,
         "sentence_split": _q_sentence_split,
         "html_extract": _q_html_extract,
@@ -2989,6 +3086,135 @@ def oracle_sql() -> dict[str, str]:
                  AS diversity_ppm
         FROM md a JOIN md b ON a.s = b.s AND a.kw < b.kw
         GROUP BY 1, 2
+    """
+    # distant-supervision loop closed: the connector dim is re-mined in a
+    # CTE (support >= 3) and joined back; head/tail follow surface order
+    d["relation_extract"] = f"""
+        WITH {mention_cte},
+        p AS (
+          SELECT a.s, a.sent, a.kw AS kw_a, b.kw AS kw_b,
+                 strpos(lower(a.sent), lower(a.kw)) AS pa,
+                 strpos(lower(a.sent), lower(b.kw)) AS pb
+          FROM m a JOIN m b ON a.s = b.s AND a.kw < b.kw
+        ),
+        c AS (
+          SELECT s, kw_a, kw_b, pa, pb,
+                 regexp_replace(trim(substr(lower(sent),
+                   CASE WHEN pa <= pb THEN pa + length(kw_a)
+                        ELSE pb + length(kw_b) END,
+                   greatest(greatest(pa, pb)
+                     - CASE WHEN pa <= pb THEN pa + length(kw_a)
+                            ELSE pb + length(kw_b) END, 0))),
+                   '\\s+', ' ', 'g') AS connector
+          FROM p WHERE pa > 0 AND pb > 0
+        ),
+        cf AS (
+          SELECT * FROM c
+          WHERE connector != '' AND length(connector) <= 60
+        ),
+        dim AS (
+          SELECT connector FROM cf GROUP BY connector HAVING count(*) >= 3
+        )
+        SELECT DISTINCT s AS subj, 0::INT AS sent_idx,
+               CASE WHEN pa <= pb THEN kw_a ELSE kw_b END AS head,
+               connector AS relation,
+               CASE WHEN pa <= pb THEN kw_b ELSE kw_a END AS tail
+        FROM cf JOIN dim USING (connector)
+    """
+    # lift in exact integer ppm over the tag_cooc mention model:
+    # same last-wins keyword->tag CASE as the tag_cooc oracle
+    d["cooc_lift"] = r"""
+        WITH mm AS (
+          SELECT doc_id, unnest(regexp_extract_all(trim(text),
+                   '\b(window|stream|table scan)\b')) AS kw
+          FROM documents
+        ),
+        dd AS (SELECT DISTINCT doc_id AS s,
+                 CASE kw WHEN 'window' THEN 'alpha_op'
+                         WHEN 'stream' THEN 'zeta_op'
+                         ELSE 'scan_op' END AS o
+               FROM mm),
+        ent AS (SELECT o, count(*) AS n FROM dd GROUP BY 1),
+        corpus AS (SELECT count(DISTINCT s) AS n_corpus FROM dd),
+        pairs AS (
+          SELECT a.o AS obj_a, b.o AS obj_b, count(*) AS n_ab
+          FROM dd a JOIN dd b ON a.s = b.s AND a.o < b.o
+          GROUP BY 1, 2
+        )
+        SELECT obj_a, obj_b, ea.n AS n_a, eb.n AS n_b, n_ab, n_corpus,
+               (n_ab * n_corpus * 1000000) // (ea.n * eb.n) AS lift_ppm
+        FROM pairs
+        JOIN ent ea ON ea.o = obj_a
+        JOIN ent eb ON eb.o = obj_b
+        CROSS JOIN corpus
+    """
+    # truth discovery: domain-diversity vote with (n_domains desc,
+    # n_docs desc, value asc) ordering — window rank in SQL mirrors the
+    # windowless min_by on the Spark side
+    d["truth_discovery"] = r"""
+        WITH f AS (
+          SELECT 'e' || (doc_id % 40) AS entity,
+                 'a' || (doc_id % 3) AS attr,
+                 CASE WHEN doc_id % 11 != 0
+                      THEN 'v' || ((doc_id // 120) % 3) END AS value,
+                 'https://d' || (doc_id % 7) || '.example/p' || doc_id
+                   AS source
+          FROM documents
+        ),
+        v AS (
+          SELECT entity, attr, value,
+                 count(DISTINCT regexp_extract(lower(source),
+                   '^[a-z][a-z0-9+.-]*://([^/:?#@]*@)?([^/:?#]+)', 2))
+                   AS n_domains,
+                 count(DISTINCT source) AS n_docs
+          FROM f WHERE value IS NOT NULL
+          GROUP BY 1, 2, 3
+        ),
+        ranked AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY entity, attr
+                   ORDER BY n_domains DESC, n_docs DESC, value ASC) AS rn,
+                 sum(n_docs) OVER (PARTITION BY entity, attr)
+                   AS total_docs,
+                 count(*) OVER (PARTITION BY entity, attr) AS n_values
+          FROM v
+        )
+        SELECT entity, attr, value, n_domains, n_docs, total_docs,
+               n_values, (n_docs * 1000000) // total_docs AS support_ppm
+        FROM ranked WHERE rn = 1
+    """
+    # crawl frontier: successor+external synthesized link graph, LEFT
+    # JOIN IS NULL anti-join against the fetched set, indegree scoring
+    d["crawl_frontier"] = r"""
+        WITH pages AS (
+          SELECT doc_id,
+                 'https://d' || (doc_id % 30) || '.example/p' || doc_id
+                   AS url
+          FROM documents
+        ),
+        links AS (
+          SELECT url AS src,
+                 'https://d' || ((doc_id + 1) % 30) || '.example/p'
+                   || (doc_id + 1) AS dst
+          FROM pages
+          UNION ALL
+          SELECT url AS src,
+                 'https://e' || (doc_id % 5) || '.example/t'
+                   || (doc_id % 50) AS dst
+          FROM pages, (VALUES (1), (2)) rep(i)
+        ),
+        frontier AS (
+          SELECT l.src, l.dst
+          FROM links l
+          LEFT JOIN (SELECT DISTINCT url FROM pages) c ON l.dst = c.url
+          WHERE c.url IS NULL
+        )
+        SELECT dst AS url, count(*) AS n_inlinks,
+               count(DISTINCT src) AS n_src_pages,
+               count(DISTINCT regexp_extract(lower(src),
+                 '^[a-z][a-z0-9+.-]*://([^/:?#@]*@)?([^/:?#]+)', 2))
+                 AS n_src_domains
+        FROM frontier GROUP BY 1 HAVING count(*) >= 2
     """
     # sitemap parsing: islands first, fields per island (an entry with a
     # missing optional lastmod cannot desynchronize)

@@ -41,6 +41,9 @@ __all__ = [
     "hearst_patterns",
     "relation_patterns",
     "fact_support",
+    "relation_extract",
+    "cooccurrence_lift",
+    "truth_discovery",
     "TRIPLE_COLUMNS",
 ]
 
@@ -1165,5 +1168,241 @@ def fact_support(
         .withColumn(
             "diversity_ppm",
             F.expr("n_domains * cast(1000000 as bigint) div n_docs"),
+        )
+    )
+
+def relation_extract(
+    triples: DataFrame,
+    connectors: DataFrame,
+    *,
+    max_connector_chars: int = 40,
+) -> DataFrame:
+    """Second half of the distant-supervision loop ``relation_patterns``
+    opens: apply a vetted connector lexicon back over the mention stream
+    and emit typed relation INSTANCES — every sentence where two distinct
+    entities are joined by a known connector becomes a candidate triple
+    (head, relation, tail). ``connectors`` is a small curated dim (one
+    ``connector`` string column, normalized exactly like
+    ``relation_patterns`` output — lowercased, trimmed, ws-collapsed);
+    typically the high-support survivors of a ``relation_patterns`` run
+    after human or LLM review.
+
+    Returns (subj, sent_idx, head, relation, tail) where head is the
+    entity whose surface form occurs FIRST in the sentence (relations
+    read in surface order: "X was founded by Y" → (x, was founded by,
+    y)), deduplicated per sentence.
+
+    Scale shape: the same distinct-projection + sentence-keyed
+    self-equi-join as ``relation_patterns`` (pair blowup bounded by
+    mentions-per-sentence), then a BROADCAST equi-join against the
+    connector dim — the lexicon is human-curated, i.e. thousands of
+    rows, never corpus-sized. One distinct on the ontology²-bounded
+    output. No windows.
+    """
+    if max_connector_chars < 1:
+        raise ValueError(
+            f"max_connector_chars must be >= 1, got {max_connector_chars}"
+        )
+    m = (
+        triples.select("subj", "sent_idx", "sentence", "obj", "keyword")
+        .where(F.col("obj").isNotNull() & F.col("sent_idx").isNotNull())
+        .distinct()
+    )
+    a = m.select(
+        F.col("subj").alias("s"), F.col("sent_idx").alias("si"),
+        F.col("sentence").alias("sent"),
+        F.col("obj").alias("obj_a"), F.col("keyword").alias("kw_a"),
+    )
+    b = m.select(
+        F.col("subj").alias("s"), F.col("sent_idx").alias("si"),
+        F.col("obj").alias("obj_b"), F.col("keyword").alias("kw_b"),
+    )
+    low = F.lower(F.col("sent"))
+    pos_a = F.instr(low, F.lower(F.col("kw_a")))
+    pos_b = F.instr(low, F.lower(F.col("kw_b")))
+    first_end = F.when(pos_a <= pos_b, pos_a + F.length("kw_a")).otherwise(
+        pos_b + F.length("kw_b")
+    )
+    second_start = F.greatest(pos_a, pos_b)
+    connector = F.regexp_replace(
+        F.trim(
+            F.substring(
+                low, first_end, F.greatest(second_start - first_end, F.lit(0))
+            )
+        ),
+        r"\s+",
+        " ",
+    )
+    head = F.when(pos_a <= pos_b, F.col("obj_a")).otherwise(F.col("obj_b"))
+    tail = F.when(pos_a <= pos_b, F.col("obj_b")).otherwise(F.col("obj_a"))
+    pairs = (
+        a.join(b, ["s", "si"])
+        .where(F.col("obj_a") < F.col("obj_b"))
+        .where((pos_a > 0) & (pos_b > 0))
+        .select(
+            F.col("s").alias("subj"),
+            F.col("si").alias("sent_idx"),
+            connector.alias("relation"),
+            head.alias("head"),
+            tail.alias("tail"),
+        )
+        .where(
+            (F.col("relation") != "")
+            & (F.length("relation") <= max_connector_chars)
+        )
+    )
+    dim = F.broadcast(
+        connectors.select(F.col("connector").alias("relation")).distinct()
+    )
+    return pairs.join(dim, "relation").select(
+        "subj", "sent_idx", "head", "relation", "tail"
+    ).distinct()
+
+
+def cooccurrence_lift(
+    triples: DataFrame,
+    subj: str = "subj",
+    obj: str = "obj",
+    *,
+    min_pair_docs: int = 1,
+) -> DataFrame:
+    """Statistically-normalized co-mention strength: raw co-mention
+    counts (``tag_cooccurrence``) rank frequent entities together no
+    matter what; LIFT — observed co-mention rate over the rate expected
+    under independence — is the association measure a KG curation pass
+    actually wants (lift ≈ 1 means "co-occur by chance"). This is PMI
+    without the log, kept in exact integer arithmetic so the DuckDB
+    oracle reproduces values bit-for-bit (log-space NPMI would hash-drift
+    across float libms).
+
+    Returns per unordered pair (obj_a < obj_b): n_a, n_b (distinct docs
+    mentioning each), n_ab (distinct docs co-mentioning), n_corpus
+    (distinct docs mentioning ANY entity — the event universe), and
+    ``lift_ppm`` = n_ab * n_corpus * 1e6 div (n_a * n_b); 1_000_000 =
+    independence, larger = positive association.
+
+    Scale shape: one DISTINCT (doc, entity) projection feeds three
+    combinable aggs — per-entity doc counts (ontology-bounded output),
+    a global distinct-doc count (collapses to one row; broadcast back),
+    and the tag_cooccurrence pair join. The two dims join back onto the
+    pair table by entity key — both broadcastable (|ontology| rows).
+    No windows.
+    """
+    d = (
+        triples.select(F.col(subj).alias("s"), F.col(obj).alias("o"))
+        .where(F.col(obj).isNotNull())
+        .distinct()
+    )
+    ent = d.groupBy("o").agg(F.count(F.lit(1)).alias("n"))
+    corpus = d.select(F.count_distinct("s").alias("n_corpus"))
+    left = d.select("s", F.col("o").alias("obj_a"))
+    right = d.select("s", F.col("o").alias("obj_b"))
+    pairs = (
+        left.join(right, "s")
+        .where(F.col("obj_a") < F.col("obj_b"))
+        .groupBy("obj_a", "obj_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_pair_docs)
+    )
+    na = F.broadcast(ent.select(F.col("o").alias("obj_a"), F.col("n").alias("n_a")))
+    nb = F.broadcast(ent.select(F.col("o").alias("obj_b"), F.col("n").alias("n_b")))
+    return (
+        pairs.join(na, "obj_a")
+        .join(nb, "obj_b")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "obj_a", "obj_b", "n_a", "n_b", "n_ab", "n_corpus",
+            F.expr(
+                "n_ab * n_corpus * cast(1000000 as bigint)"
+                " div (n_a * n_b)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+def truth_discovery(
+    facts: DataFrame,
+    *,
+    entity_col: str = "entity",
+    attr_col: str = "attr",
+    value_col: str = "value",
+    source_col: str = "source",
+    domain_col: str | None = None,
+) -> DataFrame:
+    """Knowledge fusion: conflicting attribute assertions from many
+    pages are resolved to ONE value per (entity, attribute) by
+    source-diversity majority vote — the first-order truth-discovery
+    baseline (domain-count voting; iterative source-reliability schemes
+    refine exactly this scaffold). A value asserted by 40 distinct sites
+    beats one spammed across 4000 pages of a single site.
+
+    Vote order per candidate value: most distinct domains, then most
+    distinct source pages, then lexicographically SMALLEST value (a
+    deterministic tie-break so reruns and the oracle agree). Returns
+    (entity, attr, value, n_domains, n_docs, total_docs, n_values,
+    support_ppm) where support_ppm = n_docs * 1e6 div total_docs —
+    the winner's share of all assertions for that slot; low share =
+    contested fact.
+
+    ``domain_col`` names the source-domain column; by default the
+    domain is derived from the url in ``source`` (url_table rule,
+    falling back to the bare source id).
+
+    Scale shape: two stacked combinable groupBys — (entity, attr,
+    value) with two count-distincts, then (entity, attr) where the
+    winner is a single ``min_by`` over an ordering struct (negated
+    counts + value — no window, no sort). Output is slot-bounded, far
+    below the assertion count.
+    """
+    if domain_col is None:
+        dom = F.regexp_extract(
+            F.lower(F.col(source_col)),
+            r"^[a-z][a-z0-9+.-]*://([^/:?#@]*@)?([^/:?#]+)",
+            2,
+        )
+        dom = F.when(dom != "", dom).otherwise(F.lower(F.col(source_col)))
+    else:
+        dom = F.col(domain_col)
+    votes = (
+        facts.select(
+            F.col(entity_col).alias("entity"),
+            F.col(attr_col).alias("attr"),
+            F.col(value_col).alias("value"),
+            F.col(source_col).alias("src"),
+            dom.alias("dom"),
+        )
+        .where(F.col("value").isNotNull())
+        .groupBy("entity", "attr", "value")
+        .agg(
+            F.count_distinct("dom").alias("n_domains"),
+            F.count_distinct("src").alias("n_docs"),
+        )
+    )
+    order = F.struct(
+        (-F.col("n_domains")).alias("o1"),
+        (-F.col("n_docs")).alias("o2"),
+        F.col("value").alias("o3"),
+    )
+    winner = F.min_by(
+        F.struct("value", "n_domains", "n_docs"), order
+    ).alias("w")
+    return (
+        votes.groupBy("entity", "attr")
+        .agg(
+            winner,
+            F.sum("n_docs").alias("total_docs"),
+            F.count(F.lit(1)).alias("n_values"),
+        )
+        .select(
+            "entity",
+            "attr",
+            F.col("w.value").alias("value"),
+            F.col("w.n_domains").alias("n_domains"),
+            F.col("w.n_docs").alias("n_docs"),
+            "total_docs",
+            "n_values",
+            F.expr(
+                "w.n_docs * cast(1000000 as bigint) div total_docs"
+            ).alias("support_ppm"),
         )
     )

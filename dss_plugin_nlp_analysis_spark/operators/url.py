@@ -34,6 +34,7 @@ __all__ = [
     "anchor_text_index",
     "snapshot_diff",
     "resolve_canonical",
+    "crawl_frontier",
 ]
 
 _FRAGMENT = r"#.*$"
@@ -256,4 +257,65 @@ def resolve_canonical(
             F.col("cur").alias("resolved"),
             F.col("p_url").isNull().alias("is_terminal"),
         )
+    )
+
+
+def crawl_frontier(
+    links: DataFrame,
+    crawled: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    url_col: str = "url",
+    min_inlinks: int = 1,
+) -> DataFrame:
+    """Crawl-frontier prioritization: the urls a crawl has DISCOVERED
+    (link targets) but not yet FETCHED, scored by inbound evidence — the
+    indegree-priority baseline every production crawler starts from
+    (OPIC/ PageRank refinements reweight exactly these counts). Spam
+    resistance comes from counting distinct REFERRING DOMAINS, not raw
+    inlinks: a link farm is one domain no matter how many pages it emits.
+
+    Inputs: ``links`` (src_col → dst_col edge list, e.g. from
+    ``extract_links`` + ``normalize_url``) and ``crawled`` (one url_col
+    row per already-fetched page). Returns per uncrawled target:
+    (url, n_inlinks, n_src_pages, n_src_domains) filtered to
+    ``min_inlinks`` total inlinks; the caller orders by
+    (n_src_domains, n_src_pages) for the fetch queue.
+
+    Scale shape: one LEFT ANTI equi-join on the target url (both sides
+    crawl-sized — a shuffled sort-merge anti-join; no broadcast, the
+    fetched set is billions of rows at crawl scale) followed by ONE
+    combinable groupBy(dst) with two count-distincts sharing the same
+    exchange. Frontier skew (everyone links to twitter.com) is an
+    AQE-splittable hot key because count/count_distinct combine
+    map-side. No windows, no driver state.
+    """
+    if min_inlinks < 1:
+        raise ValueError(f"min_inlinks must be >= 1, got {min_inlinks}")
+    e = links.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).where(F.col(dst_col).isNotNull() & F.col(src_col).isNotNull())
+    fetched = crawled.select(F.col(url_col).alias("dst")).distinct()
+    frontier = e.join(fetched, "dst", "left_anti")
+    src_dom = F.regexp_extract(
+        F.lower(F.col("src")),
+        r"^[a-z][a-z0-9+.-]*://([^/:?#@]*@)?([^/:?#]+)",
+        2,
+    )
+    return (
+        frontier.select(
+            "dst",
+            F.col("src"),
+            F.when(src_dom != "", src_dom)
+            .otherwise(F.lower(F.col("src")))
+            .alias("src_dom"),
+        )
+        .groupBy(F.col("dst").alias("url"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inlinks"),
+            F.count_distinct("src").alias("n_src_pages"),
+            F.count_distinct("src_dom").alias("n_src_domains"),
+        )
+        .where(F.col("n_inlinks") >= min_inlinks)
     )

@@ -421,3 +421,155 @@ class TestFactSupport:
         )
         out = fact_support(m).collect()[0]
         assert out.n_domains == 1 and out.diversity_ppm == 1_000_000
+
+
+class TestRelationExtract:
+    def test_instances_in_surface_order(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.kg import relation_extract
+
+        m = _mentions(
+            spark,
+            [
+                ("d1", 0, "Acme was founded by Bob.", "acme", "Acme"),
+                ("d1", 0, "Acme was founded by Bob.", "bob", "Bob"),
+                # reversed alphabetical order in surface: head follows surface
+                ("d2", 0, "Zeta was founded by Ann.", "zeta", "Zeta"),
+                ("d2", 0, "Zeta was founded by Ann.", "ann", "Ann"),
+                # unknown connector -> no instance
+                ("d3", 0, "Acme bought Bob.", "acme", "Acme"),
+                ("d3", 0, "Acme bought Bob.", "bob", "Bob"),
+            ],
+        )
+        dim = spark.createDataFrame([("was founded by",)], ["connector"])
+        rows = {
+            (r.subj, r.head, r.relation, r.tail)
+            for r in relation_extract(m, dim).collect()
+        }
+        assert rows == {
+            ("d1", "acme", "was founded by", "bob"),
+            ("d2", "zeta", "was founded by", "ann"),
+        }
+
+    def test_dim_is_broadcast(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.kg import relation_extract
+
+        m = _mentions(spark, [("d", 0, "a x b", "a", "a"), ("d", 0, "a x b", "b", "b")])
+        dim = spark.createDataFrame([("x",)], ["connector"])
+        plan = plan_of(relation_extract(m, dim))
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_validation(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.kg import relation_extract
+
+        m = _mentions(spark, [("d", 0, "s", "o", "k")])
+        dim = spark.createDataFrame([("x",)], ["connector"])
+        with pytest.raises(ValueError, match="max_connector_chars"):
+            relation_extract(m, dim, max_connector_chars=0)
+
+
+class TestCooccurrenceLift:
+    def test_lift_values(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.kg import cooccurrence_lift
+
+        # 4 docs mention entities: d1{a,b} d2{a,b} d3{a} d4{c}
+        t = spark.createDataFrame(
+            [("d1", "a"), ("d1", "b"), ("d2", "a"), ("d2", "b"),
+             ("d3", "a"), ("d4", "c"), ("d1", "a")],  # dup mention collapses
+            ["subj", "obj"],
+        )
+        out = {(r.obj_a, r.obj_b): r for r in cooccurrence_lift(t).collect()}
+        r = out[("a", "b")]
+        # n_a=3, n_b=2, n_ab=2, n_corpus=4 -> 2*4*1e6 div 6 = 1_333_333
+        assert (r.n_a, r.n_b, r.n_ab, r.n_corpus) == (3, 2, 2, 4)
+        assert r.lift_ppm == 1_333_333
+        assert ("a", "c") not in out  # never co-mentioned
+
+    def test_null_obj_dropped(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.kg import cooccurrence_lift
+
+        t = spark.createDataFrame(
+            [("d1", "a"), ("d1", None), ("d1", "b")], ["subj", "obj"]
+        )
+        rows = cooccurrence_lift(t).collect()
+        assert {(r.obj_a, r.obj_b) for r in rows} == {("a", "b")}
+        # corpus universe counts only docs with a non-null entity
+        assert rows[0].n_corpus == 1
+
+
+class TestTruthDiscovery:
+    def test_domain_vote_beats_page_spam(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.kg import truth_discovery
+
+        rows = [
+            # value v1: 3 pages, all one domain (spam)
+            ("e", "hq", "v1", "https://spam.example/1"),
+            ("e", "hq", "v1", "https://spam.example/2"),
+            ("e", "hq", "v1", "https://spam.example/3"),
+            # value v2: 2 pages, 2 domains -> wins on domain diversity
+            ("e", "hq", "v2", "https://a.example/x"),
+            ("e", "hq", "v2", "https://b.example/y"),
+            # NULL values excluded
+            ("e", "hq", None, "https://c.example/z"),
+        ]
+        df = spark.createDataFrame(rows, ["entity", "attr", "value", "source"])
+        out = truth_discovery(df).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.value, r.n_domains, r.n_docs) == ("v2", 2, 2)
+        assert (r.total_docs, r.n_values) == (5, 2)
+        assert r.support_ppm == 400_000
+
+    def test_lexicographic_tiebreak(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.kg import truth_discovery
+
+        rows = [
+            ("e", "a", "zz", "https://x.example/1"),
+            ("e", "a", "aa", "https://y.example/1"),
+        ]
+        df = spark.createDataFrame(rows, ["entity", "attr", "value", "source"])
+        assert truth_discovery(df).collect()[0].value == "aa"
+
+    def test_no_window_in_plan(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.kg import truth_discovery
+
+        df = spark.createDataFrame(
+            [("e", "a", "v", "https://x.example/1")],
+            ["entity", "attr", "value", "source"],
+        )
+        assert "Window" not in plan_of(truth_discovery(df))
+
+
+class TestCrawlFrontier:
+    def test_scores_and_anti_join(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.url import crawl_frontier
+
+        links = spark.createDataFrame(
+            [
+                ("https://a.example/1", "https://new.example/t"),
+                ("https://a.example/2", "https://new.example/t"),
+                ("https://b.example/1", "https://new.example/t"),
+                # duplicate edge: n_inlinks counts it, n_src_pages doesn't
+                ("https://b.example/1", "https://new.example/t"),
+                ("https://a.example/1", "https://seen.example/x"),
+                ("https://a.example/1", None),
+            ],
+            ["src", "dst"],
+        )
+        crawled = spark.createDataFrame(
+            [("https://seen.example/x",), ("https://a.example/1",)], ["url"]
+        )
+        out = {r.url: r for r in crawl_frontier(links, crawled).collect()}
+        assert set(out) == {"https://new.example/t"}
+        r = out["https://new.example/t"]
+        assert (r.n_inlinks, r.n_src_pages, r.n_src_domains) == (4, 3, 2)
+
+    def test_min_inlinks_and_validation(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.url import crawl_frontier
+
+        links = spark.createDataFrame(
+            [("https://a.example/1", "https://t.example/1")], ["src", "dst"]
+        )
+        crawled = spark.createDataFrame([("https://z.example/",)], ["url"])
+        assert crawl_frontier(links, crawled, min_inlinks=2).count() == 0
+        with pytest.raises(ValueError, match="min_inlinks"):
+            crawl_frontier(links, crawled, min_inlinks=0)
