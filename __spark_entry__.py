@@ -2264,14 +2264,10 @@ def _q_domain_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_hearst(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hearst-pattern hyponymy mining: corpus text augmented with a
-    deterministic taxonomy sentence so all three planted patterns fire
-    per doc (such-as / and-other / including) on doc-varying terms, plus
-    whatever the natural text yields — both engines extract identically.
-    Pure map + explode, zero shuffle."""
-    from dss_plugin_nlp_analysis_spark.operators.kg import hearst_patterns
-
+def _hearst_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text augmented with a deterministic taxonomy sentence so
+    all three planted Hearst patterns fire per doc (such-as / and-other /
+    including) on doc-varying terms — shared by hearst/taxonomy_edges."""
     docs = load_table(spark, sf_dir, "documents")
     d = F.col("doc_id")
     derived = F.concat(
@@ -2282,7 +2278,99 @@ def _q_hearst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.char(97 + (d % 7)),
         F.lit("store."),
     )
-    return hearst_patterns(
+    return docs.select("doc_id", derived.alias("text"))
+
+
+def _q_hearst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hearst-pattern hyponymy mining over the planted taxonomy
+    sentences plus whatever the natural text yields — both engines
+    extract identically. Pure map + explode, zero shuffle."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import hearst_patterns
+
+    return hearst_patterns(_hearst_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_taxonomy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hearst matches aggregated into supported taxonomy edges with
+    direction-conflict majority resolution and a 2-doc support floor —
+    one combinable groupBy + one reversed-key self-join."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import (
+        hearst_patterns,
+        taxonomy_edges,
+    )
+
+    pairs = hearst_patterns(_hearst_docs(spark, sf_dir), "doc_id", "text")
+    return taxonomy_edges(pairs, min_docs=2)
+
+
+def _q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebTables harvest: a per-doc synthesized table (header row +
+    lang/mod data rows) wrapped around the corpus text, decomposed to
+    addressable cells with header flags — three nested posexplodes,
+    still a pure projection chain."""
+    from dss_plugin_nlp_analysis_spark.operators.structured import extract_tables
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<p>"), F.col("text"),
+        F.lit('</p><table class="meta"><tr><th>k</th><th>v</th></tr>'),
+        F.lit("<tr><td>lang</td><td>"), F.col("lang"),
+        F.lit("</td></tr><tr><td>mod</td><td>m"), (d % 9).cast("string"),
+        F.lit("</td></tr></table>"),
+    )
+    return extract_tables(
+        docs.select("doc_id", html.alias("html")), "doc_id", "html"
+    )
+
+
+def _q_date_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-mention normalization: four planted date shapes per doc
+    (ISO / US slash / day-month-year / month-day-year, digits varying
+    by doc) extracted and normalized to ISO-8601 — aligned
+    regexp_extract_all passes, one explode, zero shuffle."""
+    from dss_plugin_nlp_analysis_spark.operators.mentions import (
+        MONTHS,
+        extract_dates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    mm = (d % 12 + 1).cast("int")
+    dd = (d % 28 + 1).cast("int")
+    month_name = F.element_at(
+        F.array(*[F.lit(m) for m in MONTHS]), (d % 7 + 1).cast("int")
+    )
+    derived = F.concat(
+        F.trim(F.col("text")),
+        F.lit(" on 2020-"), F.lpad(mm.cast("string"), 2, "0"),
+        F.lit("-"), F.lpad(dd.cast("string"), 2, "0"),
+        F.lit(" and "), mm.cast("string"), F.lit("/"), dd.cast("string"),
+        F.lit("/2019 by "), dd.cast("string"), F.lit(" "), month_name,
+        F.lit(" 2018 since "), month_name, F.lit(" "), dd.cast("string"),
+        F.lit(", 2017."),
+    )
+    return extract_dates(
+        docs.select("doc_id", derived.alias("text")), "doc_id", "text"
+    )
+
+
+def _q_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attributed-quote extraction: both newswire attribution shapes
+    planted per doc with doc-varying speakers and quote bodies —
+    aligned group extraction, one explode, zero shuffle."""
+    from dss_plugin_nlp_analysis_spark.operators.mentions import extract_quotes
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    derived = F.concat(
+        F.trim(F.col("text")),
+        F.lit(" Mar"), F.char(97 + d % 26),
+        F.lit(' said, "fact '), (d % 10).cast("string"),
+        F.lit(' holds". "it scales to '), (d % 7).cast("string"),
+        F.lit(' nodes," wrote Ben'), F.char(97 + d % 5), F.lit("."),
+    )
+    return extract_quotes(
         docs.select("doc_id", derived.alias("text")), "doc_id", "text"
     )
 
@@ -2456,6 +2544,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooc_lift": _q_cooc_lift,
         "truth_discovery": _q_truth_discovery,
         "crawl_frontier": _q_crawl_frontier,
+        "taxonomy_edges": _q_taxonomy_edges,
+        "html_tables": _q_html_tables,
+        "date_mentions": _q_date_mentions,
+        "quotes": _q_quotes,
         "linebreak_norm": _q_linebreak_norm,
         "sentence_split": _q_sentence_split,
         "html_extract": _q_html_extract,
@@ -3215,6 +3307,151 @@ def oracle_sql() -> dict[str, str]:
                  '^[a-z][a-z0-9+.-]*://([^/:?#@]*@)?([^/:?#]+)', 2))
                  AS n_src_domains
         FROM frontier GROUP BY 1 HAVING count(*) >= 2
+    """
+    # taxonomy edges: the hearst branches aggregated with direction-
+    # conflict majority (reversed-key self-join) and a 2-doc floor
+    d["taxonomy_edges"] = f"""
+        WITH t AS (
+          SELECT doc_id AS id,
+                 lower(trim(text) || ' engines such as '
+                   || chr((97 + doc_id % 20)::INT)
+                   || chr((97 + (doc_id // 20) % 20)::INT)
+                   || 'base and other platforms including '
+                   || chr((97 + doc_id % 7)::INT) || 'store.') AS low
+          FROM documents
+        ),
+        h AS ({hearst_branches}
+        ),
+        agg AS (
+          SELECT hypo, hyper, count(DISTINCT id) AS n_docs,
+                 count(*) AS n_mentions,
+                 count(DISTINCT pattern) AS n_patterns
+          FROM h WHERE hypo != hyper GROUP BY 1, 2
+        )
+        SELECT a.hypo, a.hyper, a.n_docs, a.n_mentions, a.n_patterns
+        FROM agg a
+        LEFT JOIN agg r ON a.hypo = r.hyper AND a.hyper = r.hypo
+        WHERE (r.n_docs IS NULL OR a.n_docs > r.n_docs
+               OR (a.n_docs = r.n_docs AND a.hypo < a.hyper))
+          AND a.n_docs >= 2
+    """
+    # web-table cells: three nested unnest levels; parallel unnests in
+    # one SELECT zip positionally (the arrays_zip mirror)
+    d["html_tables"] = r"""
+        WITH t AS (
+          SELECT doc_id AS id,
+                 '<p>' || text
+                   || '</p><table class="meta"><tr><th>k</th><th>v</th></tr>'
+                   || '<tr><td>lang</td><td>' || lang
+                   || '</td></tr><tr><td>mod</td><td>m' || (doc_id % 9)
+                   || '</td></tr></table>' AS html
+          FROM documents
+        ),
+        tb AS (
+          SELECT id,
+                 unnest(regexp_extract_all(html,
+                   '(?s)<table[^>]*>(.*?)</table>', 1)) AS tbl,
+                 generate_subscripts(regexp_extract_all(html,
+                   '(?s)<table[^>]*>(.*?)</table>', 1), 1) - 1 AS table_idx
+          FROM t
+        ),
+        tr AS (
+          SELECT id, table_idx,
+                 unnest(regexp_extract_all(tbl,
+                   '(?s)<tr[^>]*>(.*?)</tr>', 1)) AS trow,
+                 generate_subscripts(regexp_extract_all(tbl,
+                   '(?s)<tr[^>]*>(.*?)</tr>', 1), 1) - 1 AS row_idx
+          FROM tb
+        ),
+        c AS (
+          SELECT id, table_idx, row_idx,
+                 unnest(regexp_extract_all(trow,
+                   '<(t[dh])[^>]*>[^<]*</t[dh]>', 1)) AS tag,
+                 unnest(regexp_extract_all(trow,
+                   '<t[dh][^>]*>([^<]*)</t[dh]>', 1)) AS txt,
+                 generate_subscripts(regexp_extract_all(trow,
+                   '<(t[dh])[^>]*>[^<]*</t[dh]>', 1), 1) - 1 AS col_idx
+          FROM tr
+        )
+        SELECT id, table_idx::INT AS table_idx, row_idx::INT AS row_idx,
+               col_idx::INT AS col_idx, trim(txt) AS cell,
+               (tag = 'th') AS is_header
+        FROM c
+    """
+    # date mentions: branches + month-name CASE generated from the SAME
+    # operator tables (DATE_PATTERNS / MONTHS) so the oracle can't drift
+    from dss_plugin_nlp_analysis_spark.operators.mentions import (
+        DATE_PATTERNS,
+        MONTHS,
+    )
+
+    month_list = "[" + ", ".join(f"'{m}'" for m in MONTHS) + "]"
+    month_case = (
+        "CASE m "
+        + " ".join(f"WHEN '{name}' THEN {i}" for i, name in enumerate(MONTHS, 1))
+        + " ELSE m::INT END"
+    )
+    date_branches = "\n        UNION ALL".join(
+        """
+        SELECT id,
+               unnest(regexp_extract_all(txt, '{rex}', 0)) AS raw,
+               unnest(regexp_extract_all(txt, '{rex}', {yg})) AS y,
+               unnest(regexp_extract_all(txt, '{rex}', {mg})) AS m,
+               unnest(regexp_extract_all(txt, '{rex}', {dg})) AS dd,
+               '{kind}' AS kind
+        FROM t""".format(rex=rex, yg=yg, mg=mg, dg=dg, kind=kind)
+        for kind, rex, yg, mg, dg, _is_name in DATE_PATTERNS
+    )
+    d["date_mentions"] = f"""
+        WITH base AS (
+          SELECT doc_id AS id,
+                 list_extract({month_list}, (doc_id % 7 + 1)::INT) AS mname,
+                 doc_id % 12 + 1 AS mm, doc_id % 28 + 1 AS dd0,
+                 trim(text) AS tx
+          FROM documents
+        ),
+        t AS (
+          SELECT id,
+                 tx || ' on 2020-' || lpad(mm::VARCHAR, 2, '0') || '-'
+                    || lpad(dd0::VARCHAR, 2, '0')
+                    || ' and ' || mm || '/' || dd0 || '/2019 by '
+                    || dd0 || ' ' || mname || ' 2018 since '
+                    || mname || ' ' || dd0 || ', 2017.' AS txt
+          FROM base
+        ),
+        x AS ({date_branches}
+        )
+        SELECT id, raw,
+               y || '-' || lpad(({month_case})::VARCHAR, 2, '0') || '-'
+                 || lpad(dd::INT::VARCHAR, 2, '0') AS iso,
+               kind
+        FROM x
+    """
+    # attributed quotes: branches generated from QUOTE_PATTERNS
+    from dss_plugin_nlp_analysis_spark.operators.mentions import QUOTE_PATTERNS
+
+    quote_branches = "\n        UNION ALL".join(
+        """
+        SELECT id,
+               unnest(regexp_extract_all(txt, '{rex}', {sg})) AS speaker,
+               unnest(regexp_extract_all(txt, '{rex}', {qg})) AS quote,
+               '{name}' AS pattern
+        FROM t""".format(rex=rex, sg=sg, qg=qg, name=name)
+        for name, rex, sg, qg in QUOTE_PATTERNS
+    )
+    d["quotes"] = f"""
+        WITH t AS (
+          SELECT doc_id AS id,
+                 trim(text) || ' Mar' || chr((97 + doc_id % 26)::INT)
+                   || ' said, "fact ' || (doc_id % 10)
+                   || ' holds". "it scales to ' || (doc_id % 7)
+                   || ' nodes," wrote Ben' || chr((97 + doc_id % 5)::INT)
+                   || '.' AS txt
+          FROM documents
+        ),
+        x AS ({quote_branches}
+        )
+        SELECT id, speaker, quote, pattern FROM x
     """
     # sitemap parsing: islands first, fields per island (an entry with a
     # missing optional lastmod cannot desynchronize)

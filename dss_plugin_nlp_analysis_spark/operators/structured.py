@@ -36,7 +36,13 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["extract_jsonld", "extract_og", "extract_hreflang", "jsonld_block"]
+__all__ = [
+    "extract_jsonld",
+    "extract_og",
+    "extract_hreflang",
+    "extract_tables",
+    "jsonld_block",
+]
 
 # non-greedy island body; (?s) so embedded newlines stay inside the block.
 # Attribute order/spacing is frozen to the canonical form emitted by the
@@ -136,4 +142,64 @@ def extract_hreflang(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
         "id",
         F.col("kv.hl").alias("hreflang"),
         F.col("kv.href").alias("href"),
+    )
+
+
+# one table island; (?s) keeps row markup with newlines inside the block
+_TABLE_RE = r"(?s)<table[^>]*>(.*?)</table>"
+_TR_RE = r"(?s)<tr[^>]*>(.*?)</tr>"
+# two positionally-aligned passes over the SAME cell pattern: tag name
+# (td/th -> is_header) and inner text; attribute-bearing cells accepted,
+# nested markup inside a cell is not ([^<]* keeps the regex in the
+# Java∩RE2 subset — WebTables-style extraction treats rich cells as
+# non-relational noise anyway)
+_CELL_TAG_RE = r"<(t[dh])[^>]*>[^<]*</t[dh]>"
+_CELL_TXT_RE = r"<t[dh][^>]*>([^<]*)</t[dh]>"
+
+
+def extract_tables(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """Relational web-table harvest (the WebTables move): every
+    ``<table>`` in the page becomes addressable cells — (id, table_idx,
+    row_idx, col_idx, cell, is_header) — the third deliberate-markup KG
+    source next to JSON-LD and OpenGraph; header rows + aligned columns
+    are what attribute-style fact extraction (``kg.attribute_triples``)
+    consumes downstream.
+
+    Scale shape: three nested posexplodes over per-row regex arrays —
+    still a pure per-row projection chain (each explode multiplies rows
+    but never shuffles); filters/pruning push through to the scan. The
+    blowup factor is the page's cell count, the same order as the
+    token-level ops the corpus already runs. Cells are trimmed;
+    ``is_header`` is true for ``<th>``.
+    """
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    tables = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.regexp_extract_all(html, F.lit(_TABLE_RE), 1)
+        ).alias("table_idx", "tbl"),
+    )
+    rows = tables.select(
+        "id",
+        "table_idx",
+        F.posexplode(
+            F.regexp_extract_all(F.col("tbl"), F.lit(_TR_RE), 1)
+        ).alias("row_idx", "tr"),
+    )
+    cells = F.arrays_zip(
+        F.regexp_extract_all(F.col("tr"), F.lit(_CELL_TAG_RE), 1).alias("tag"),
+        F.regexp_extract_all(F.col("tr"), F.lit(_CELL_TXT_RE), 1).alias("txt"),
+    )
+    return rows.select(
+        "id",
+        "table_idx",
+        "row_idx",
+        F.posexplode(cells).alias("col_idx", "c"),
+    ).select(
+        "id",
+        "table_idx",
+        "row_idx",
+        "col_idx",
+        F.trim(F.col("c.txt")).alias("cell"),
+        (F.col("c.tag") == "th").alias("is_header"),
     )

@@ -573,3 +573,110 @@ class TestCrawlFrontier:
         assert crawl_frontier(links, crawled, min_inlinks=2).count() == 0
         with pytest.raises(ValueError, match="min_inlinks"):
             crawl_frontier(links, crawled, min_inlinks=0)
+
+
+class TestExtractTables:
+    def test_cells_with_header_flag(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.structured import extract_tables
+
+        html = (
+            "<p>x</p><table class=\"t\">"
+            "<tr><th>name</th><th>hq</th></tr>"
+            "<tr><td>Acme</td><td> Berlin </td></tr>"
+            "</table><table><tr><td>solo</td></tr></table>"
+        )
+        df = spark.createDataFrame([(1, html), (2, "<p>no table</p>"), (3, None)], ["id", "html"])
+        rows = {
+            (r.id, r.table_idx, r.row_idx, r.col_idx, r.cell, r.is_header)
+            for r in extract_tables(df, "id", "html").collect()
+        }
+        assert rows == {
+            (1, 0, 0, 0, "name", True),
+            (1, 0, 0, 1, "hq", True),
+            (1, 0, 1, 0, "Acme", False),
+            (1, 0, 1, 1, "Berlin", False),
+            (1, 1, 0, 0, "solo", False),
+        }
+
+    def test_zero_shuffle(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.structured import extract_tables
+
+        df = spark.createDataFrame([(1, "<table><tr><td>a</td></tr></table>")], ["id", "html"])
+        assert "Exchange" not in plan_of(extract_tables(df, "id", "html"))
+
+
+class TestExtractDates:
+    def test_all_four_shapes_normalize(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.mentions import extract_dates
+
+        df = spark.createDataFrame(
+            [
+                (1, "released 2021-03-05 then"),
+                (2, "on 3/5/2021 it"),
+                (3, "by 5 March 2021 the"),
+                (4, "since March 5, 2021 we"),
+                (5, "invalid 2021-13-05 and 13/32/2021 stay out"),
+                (6, None),
+            ],
+            ["id", "text"],
+        )
+        rows = {(r.id, r.raw, r.iso, r.kind) for r in extract_dates(df, "id", "text").collect()}
+        assert rows == {
+            (1, "2021-03-05", "2021-03-05", "iso"),
+            (2, "3/5/2021", "2021-03-05", "us_slash"),
+            (3, "5 March 2021", "2021-03-05", "month_dmy"),
+            (4, "March 5, 2021", "2021-03-05", "month_mdy"),
+        }
+
+    def test_december_and_padding(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.mentions import extract_dates
+
+        df = spark.createDataFrame([(1, "December 31, 1999 party")], ["id", "text"])
+        assert extract_dates(df, "id", "text").collect()[0].iso == "1999-12-31"
+
+
+class TestExtractQuotes:
+    def test_both_attribution_shapes(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.mentions import extract_quotes
+
+        df = spark.createDataFrame(
+            [
+                (1, 'Alice said, "the graph is ready" yesterday.'),
+                (2, '"we shipped it," said Bob.'),
+                (3, 'nobody said anything quotable.'),
+            ],
+            ["id", "text"],
+        )
+        rows = {(r.id, r.speaker, r.quote, r.pattern) for r in extract_quotes(df, "id", "text").collect()}
+        assert rows == {
+            (1, "Alice", "the graph is ready", "speaker_first"),
+            (2, "Bob", "we shipped it", "quote_first"),
+        }
+
+
+class TestTaxonomyEdges:
+    def test_direction_conflict_majority(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.kg import taxonomy_edges
+
+        rows = [
+            # fruit->apple asserted in 2 docs; apple->fruit in 1 -> majority
+            (1, "apple", "fruit", "X_such_as"),
+            (2, "apple", "fruit", "and_other"),
+            (3, "fruit", "apple", "X_such_as"),
+            # tie: kept direction is hypo < hyper
+            (4, "bb", "aa", "X_such_as"),
+            (5, "aa", "bb", "X_such_as"),
+            # self loop dropped
+            (6, "thing", "thing", "X_such_as"),
+        ]
+        df = spark.createDataFrame(rows, ["id", "hypo", "hyper", "pattern"])
+        out = {(r.hypo, r.hyper): (r.n_docs, r.n_mentions, r.n_patterns)
+               for r in taxonomy_edges(df).collect()}
+        assert out == {("apple", "fruit"): (2, 2, 2), ("aa", "bb"): (1, 1, 1)}
+
+    def test_validation(self, spark):
+        from dss_plugin_nlp_analysis_spark.operators.kg import taxonomy_edges
+
+        df = spark.createDataFrame([(1, "a", "b", "p")], ["id", "hypo", "hyper", "pattern"])
+        with pytest.raises(ValueError, match="min_docs"):
+            taxonomy_edges(df, min_docs=0)
