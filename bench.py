@@ -58,6 +58,24 @@ def replicated_docs(spark: SparkSession, sf_dir: str, replicas: int, parts: int 
 LANGS = ["en", "de", "zh", "fr", "es"]
 
 
+def settle_host(threshold: float | None = None, max_wait_s: float = 180.0) -> float:
+    """Wait (bounded) for the shared host's 1-min loadavg to drain below
+    ``threshold`` before measuring. The r5 A/B evidence: the identical
+    binary measured tag_match warm 3.50 s launching at loadavg < 1 vs
+    5.68 s launching into a 15+ load drain from a previous JVM — a
+    1.6× artifact that is pure host contention, not the engine. The
+    gate costs at most ``max_wait_s`` and is OFF for sub-benchmarks
+    that manage their own interleaving (--scaling)."""
+    if threshold is None:
+        threshold = float(os.environ.get("KG_BENCH_SETTLE_LOAD", str(max(2.0, CPUS / 8))))
+    deadline = time.monotonic() + max_wait_s
+    load = os.getloadavg()[0]
+    while load > threshold and time.monotonic() < deadline:
+        time.sleep(5.0)
+        load = os.getloadavg()[0]
+    return round(load, 2)
+
+
 def bench_queries(spark: SparkSession) -> tuple[dict, int]:
     from dss_plugin_nlp_analysis_spark.demo import (
         demo_ontology_df,
@@ -571,6 +589,7 @@ def main() -> None:
     if "--scaling" in sys.argv:
         print(json.dumps({"scaling": run_scaling(), "sf_dir": SF_DIR}))
         return
+    load_start = settle_host()
     spark = make_spark(CPUS)
     try:
         t0 = time.perf_counter()
@@ -596,6 +615,8 @@ def main() -> None:
                     "n_docs_dedup": n_docs_dedup,
                     "sf": float(sf),
                     "cpus": CPUS,
+                    "load_start": load_start,
+                    "load_end": round(os.getloadavg()[0], 2),
                 }
             )
         )
