@@ -441,6 +441,12 @@ def run_scaling() -> dict:
         order = (n, four_n) if rep % 2 == 0 else (four_n, n)
         for cores in order:
             time.sleep(settle)
+            # r5 hardening: the fixed pause is not enough on this host —
+            # external load arrives in multi-minute waves (measured legs
+            # at loadavg 4-6 minutes after a 0.6 reading), so also gate
+            # each leg behind the bounded load-drain wait; per-leg
+            # load_before/after in the JSON remain the evidence
+            settle_host(max_wait_s=float(os.environ.get("KG_SCALING_SETTLE_MAX", "150")))
             res = subprocess.run(
                 [_sys.executable, __file__, "--scaling-leg", str(cores), str(leg_replicas[cores])],
                 capture_output=True, text=True, check=True,

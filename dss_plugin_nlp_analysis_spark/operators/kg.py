@@ -1177,6 +1177,7 @@ def relation_extract(
     connectors: DataFrame,
     *,
     max_connector_chars: int = 40,
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """Second half of the distant-supervision loop ``relation_patterns``
     opens: apply a vetted connector lexicon back over the mention stream
@@ -1197,7 +1198,9 @@ def relation_extract(
     self-equi-join as ``relation_patterns`` (pair blowup bounded by
     mentions-per-sentence), then a BROADCAST equi-join against the
     connector dim — the lexicon is human-curated, i.e. thousands of
-    rows, never corpus-sized. One distinct on the ontology²-bounded
+    rows, never corpus-sized (``broadcast_dim=False`` falls back to a
+    shuffled equi-join when the dim is an unbounded mined aggregate
+    instead). One distinct on the ontology²-bounded
     output. No windows.
     """
     if max_connector_chars < 1:
@@ -1252,9 +1255,13 @@ def relation_extract(
             & (F.length("relation") <= max_connector_chars)
         )
     )
-    dim = F.broadcast(
-        connectors.select(F.col("connector").alias("relation")).distinct()
-    )
+    # broadcast_dim=True fits the documented contract (human-curated
+    # lexicon, thousands of rows); pass False when the dim is itself a
+    # corpus-mined aggregate whose size the caller can't bound — the
+    # join then falls back to a shuffled equi-join on the connector key
+    dim = connectors.select(F.col("connector").alias("relation")).distinct()
+    if broadcast_dim:
+        dim = F.broadcast(dim)
     return pairs.join(dim, "relation").select(
         "subj", "sent_idx", "head", "relation", "tail"
     ).distinct()
