@@ -2517,6 +2517,67 @@ def _q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_frontier(links, crawled, min_inlinks=2)
 
 
+def _q_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2vec skip-gram pair generation (window=2) over the first 12
+    normalized tokens of each document — token array materialized once,
+    one flatten+explode, zero shuffle."""
+    from dss_plugin_nlp_analysis_spark.operators.trainprep import skipgram_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(normalized_text(F.col("text")), " ")
+    head = F.array_join(F.slice(words, 1, 12), " ")
+    return skipgram_pairs(
+        docs.select("doc_id", head.alias("text")), "doc_id", "text", window=2
+    )
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: id-ordered token stream cut into
+    50-token context windows across 8 independent shards — one window
+    scan per shard, no global sort."""
+    from dss_plugin_nlp_analysis_spark.operators.trainprep import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "text", budget=50, shards=8)
+
+
+def _q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights: hashed-unigram frequency-ratio
+    scores (integer-ppm surrogate) of every document against the
+    English-subset target distribution — two bounded-dim groupBys, one
+    broadcast join back to the gram stream."""
+    from dss_plugin_nlp_analysis_spark.operators.trainprep import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs,
+        docs.where(F.col("lang") == "en"),
+        "doc_id",
+        "text",
+        n=1,
+        buckets=512,
+    )
+
+
+def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment join over the mutated duplicate
+    corpus: truncated copies are shingle-subsets of their originals, so
+    containment flags them at ~1e6 ppm where Jaccard dilutes — df-capped
+    inverted index, exact integer score."""
+    from dss_plugin_nlp_analysis_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    return ngram_containment_pairs(
+        _dup_corpus(spark, sf_dir, mutate=True),
+        "id",
+        "t",
+        n=3,
+        threshold_ppm=600_000,
+        max_doc_freq=10_000,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -2544,6 +2605,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooc_lift": _q_cooc_lift,
         "truth_discovery": _q_truth_discovery,
         "crawl_frontier": _q_crawl_frontier,
+        "skipgram_pairs": _q_skipgram,
+        "pack_sequences": _q_pack_sequences,
+        "dsir_weights": _q_dsir,
+        "ngram_containment": _q_ngram_containment,
         "taxonomy_edges": _q_taxonomy_edges,
         "html_tables": _q_html_tables,
         "date_mentions": _q_date_mentions,
@@ -3452,6 +3517,110 @@ def oracle_sql() -> dict[str, str]:
         x AS ({quote_branches}
         )
         SELECT id, speaker, quote, pattern FROM x
+    """
+    # skip-gram pairs: positions via generate_subscripts, contexts via a
+    # bounded position self-join — docs with < 2 tokens (incl. empty)
+    # find no partner and emit nothing, matching the operator
+    d["skipgram_pairs"] = f"""
+        WITH t AS (
+          SELECT doc_id AS id,
+                 list_slice(string_split({_NORM}, ' '), 1, 12) AS w
+          FROM documents
+        ),
+        pos AS (SELECT id, unnest(w) AS tok,
+                       generate_subscripts(w, 1) AS p
+                FROM t)
+        SELECT a.id, a.p::INT AS pos, a.tok AS center, b.tok AS context,
+               (b.p - a.p)::INT AS "offset"
+        FROM pos a
+        JOIN pos b ON b.id = a.id AND b.p != a.p
+                   AND b.p BETWEEN a.p - 2 AND a.p + 2
+    """
+    # sequence packing: per-shard running token offset (empty docs count
+    # 0 tokens and land zero-width at their stream offset)
+    d["pack_sequences"] = f"""
+        WITH b AS (
+          SELECT doc_id AS id, (doc_id % 8)::INT AS shard,
+                 (CASE WHEN {_NORM} = '' THEN 0
+                       ELSE len(string_split({_NORM}, ' ')) END)::INT
+                   AS n_tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT *, coalesce(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0)::BIGINT AS start_off
+          FROM b
+        )
+        SELECT id, shard, n_tokens, start_off,
+               (start_off // 50)::BIGINT AS first_bin,
+               (CASE WHEN n_tokens > 0
+                     THEN (start_off + n_tokens - 1) // 50
+                     ELSE start_off // 50 END)::BIGINT AS last_bin,
+               (last_bin - first_bin + 1)::BIGINT AS n_bins
+        FROM c
+    """
+    # DSIR importance weights: hashed-unigram bucket dim (512 rows) with
+    # the exact integer frequency-ratio surrogate; string_split('') = ['']
+    # reproduces the whole-text shingle of empty docs on both engines
+    d["dsir_weights"] = f"""
+        WITH rawg AS (
+          SELECT id,
+                 ((('0x' || substr(md5(g), 1, 15))::BIGINT) % 512)::INT AS b
+          FROM (SELECT doc_id AS id,
+                       unnest(string_split({_NORM}, ' ')) AS g
+                FROM documents)
+        ),
+        tgtg AS (
+          SELECT ((('0x' || substr(md5(g), 1, 15))::BIGINT) % 512)::INT AS b
+          FROM (SELECT unnest(string_split({_NORM}, ' ')) AS g
+                FROM documents WHERE lang = 'en')
+        ),
+        rc AS (SELECT b, count(*)::BIGINT AS rc FROM rawg GROUP BY 1),
+        tc AS (SELECT b, count(*)::BIGINT AS tc FROM tgtg GROUP BY 1),
+        tot AS (SELECT (SELECT sum(rc) FROM rc)::BIGINT AS rtot,
+                       (SELECT sum(tc) FROM tc)::BIGINT AS ttot),
+        dim AS (
+          SELECT rc.b,
+                 ((1000000 * ((1000000 * coalesce(tc.tc, 0)) // tot.ttot + 1))
+                   // ((1000000 * rc.rc) // tot.rtot + 1))::BIGINT
+                   AS score_micro
+          FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot
+        )
+        SELECT id, count(*)::BIGINT AS n_grams,
+               sum(score_micro)::BIGINT AS weight_sum,
+               (sum(score_micro) // count(*))::BIGINT AS weight_avg_micro
+        FROM rawg JOIN dim USING (b)
+        GROUP BY id
+    """
+    # asymmetric containment: same df-capped candidate scheme as
+    # ngram_jaccard, integer-ppm score over least(|A|,|B|)
+    d["ngram_containment"] = f"""
+        WITH {_CORPUS_MUT},
+        {_SHINGLES},
+        inv AS (SELECT DISTINCT id, g FROM sh3),
+        rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 10000),
+        idx AS (SELECT inv.id, inv.g FROM inv JOIN rare USING (g)),
+        cand AS (
+          SELECT DISTINCT x.id AS id_a, y.id AS id_b
+          FROM idx x JOIN idx y ON x.g = y.g AND x.id < y.id
+        ),
+        sz AS (SELECT id, count(*)::BIGINT AS s FROM inv GROUP BY 1),
+        it AS (
+          SELECT c.id_a, c.id_b, count(*)::BIGINT AS i
+          FROM cand c
+          JOIN inv a ON a.id = c.id_a
+          JOIN inv b ON b.id = c.id_b AND b.g = a.g
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, i AS inter, sa.s AS sz_a, sb.s AS sz_b,
+               ((1000000 * i) // least(sa.s, sb.s))::BIGINT
+                 AS containment_ppm
+        FROM it
+        JOIN sz sa ON sa.id = it.id_a
+        JOIN sz sb ON sb.id = it.id_b
+        WHERE (1000000 * i) // least(sa.s, sb.s) >= 600000
     """
     # sitemap parsing: islands first, fields per island (an entry with a
     # missing optional lastmod cannot desynchronize)

@@ -32,6 +32,7 @@ __all__ = [
     "minhash_candidate_pairs",
     "cluster_dedup",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "simhash_buckets",
     "duplicated_spans",
     "remove_duplicated_spans",
@@ -409,6 +410,75 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_ppm: int = 500_000,
+    max_doc_freq: int = 10_000,
+) -> DataFrame:
+    """n-gram CONTAINMENT similarity join — the asymmetric companion to
+    ``ngram_jaccard_pairs`` for subset/quotation detection: a short
+    document wholly quoted inside a long one has low Jaccard (the union
+    is dominated by the long doc) but containment 1.0. Score is the
+    max-containment ``|A∩B| / min(|A|,|B|)`` in integer parts per
+    million (``(1e6 * inter) div least(sz_a, sz_b)`` — int64 floor
+    division both engines evaluate identically; doubles would tie-break
+    differently across libm builds). Returns (id_a, id_b, inter, sz_a,
+    sz_b, containment_ppm) with id_a < id_b and containment_ppm >=
+    ``threshold_ppm``.
+
+    Candidate generation and the ``max_doc_freq`` posting-list cap are
+    exactly ``ngram_jaccard_pairs``'s (df-capped inverted shingle
+    index, never all-pairs); the containment VALUE is exact over the
+    full shingle sets of every surviving pair.
+    """
+    inv = exploded_shingles(df, id_col, text_col, n).distinct()
+    sizes = inv.groupBy("id").agg(F.count("*").alias("sz"))
+    rare = (
+        inv.groupBy("g")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") <= max_doc_freq)
+        .select("g")
+    )
+    idx = inv.join(rare, "g")
+    cand = (
+        idx.alias("x")
+        .join(
+            idx.alias("y"),
+            (F.col("x.g") == F.col("y.g")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    inter = (
+        cand.join(inv.alias("a"), F.col("id_a") == F.col("a.id"))
+        .join(
+            inv.alias("b"),
+            (F.col("id_b") == F.col("b.id")) & (F.col("a.g") == F.col("b.g")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .withColumn(
+            "containment_ppm",
+            F.expr("(1000000 * inter) div least(sz_a, sz_b)"),
+        )
+        .where(F.col("containment_ppm") >= threshold_ppm)
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b", "containment_ppm")
     )
 
 

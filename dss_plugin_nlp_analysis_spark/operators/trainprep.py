@@ -1,0 +1,240 @@
+"""LLM training-data preparation operators: skip-gram pair generation,
+context-window sequence packing, and DSIR-style importance weighting.
+
+These are the last-mile ops between a cleaned corpus and a training run:
+word2vec/GloVe-style (center, context) pairs, GPT-style document packing
+into fixed token budgets, and data-selection weights that up-sample raw
+documents resembling a target distribution (Xie et al., "Data Selection
+for Language Models via Importance Resampling", NeurIPS 2023 — the
+hashed-n-gram importance-weight construction; implemented here in exact
+integer arithmetic so the DuckDB oracle value-hashes identically, see
+the libm note on operators/kg.py cooccurrence_lift).
+
+Scale notes (100 TB):
+- skipgram_pairs is a pure map + one explode: the token array is
+  materialized as a projected column BEFORE the position/offset HOFs
+  run (HOF lambdas re-evaluate referenced subtrees per element — the
+  O(n²) trap documented in TODO.md round 4 — so the split runs once per
+  document, and per-element work is O(1) ``element_at`` indexing).
+- pack_sequences does ONE window scan per shard. Packing is inherently
+  sequential (each document's bin depends on every predecessor), so the
+  parallel unit is an explicit shard column: shards pack independently,
+  cluster-wide parallelism = number of shards. No global sort, no
+  single-partition window.
+- dsir_weights reduces both corpora to a ≤``buckets``-row hashed dim
+  (two map-side-combinable groupBys), broadcasts the score dim, and
+  re-joins it to the raw gram stream — the corpus-sized side never
+  shuffles on a skewed key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import exploded_shingles, normalized_text
+
+__all__ = ["skipgram_pairs", "pack_sequences", "dsir_weights"]
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 2,
+) -> DataFrame:
+    """Word2vec-style skip-gram training pairs: for every token position
+    ``pos`` (1-based) and every offset ``o`` in ``[-window, window] \\ {0}``
+    that stays inside the document, one (id, pos, center, context,
+    offset) row. Tokens are single-space splits of the dedup
+    normalization (lowercase, collapsed whitespace — operators/dedup.py
+    ``normalized_text``). Documents with fewer than two tokens (including
+    empty/NULL text) emit nothing — every offset falls outside the
+    document.
+
+    Scale shape: token array projected once per document, then one
+    flatten(transform(positions, transform(offsets, struct))) and ONE
+    explode — zero shuffle, and the per-element lambda work is O(1)
+    ``element_at`` lookups against the materialized array (never a
+    re-split; see module docstring).
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalized_text(F.col(text_col)), " ").alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+    arr = F.col("_toks")
+    n = F.col("_n")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.transform(
+                F.filter(
+                    F.sequence(F.lit(-window), F.lit(window)),
+                    lambda o: (o != 0) & (i + o >= 1) & (i + o <= n),
+                ),
+                lambda o: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.element_at(arr, i.cast("int")).alias("center"),
+                    F.element_at(arr, (i + o).cast("int")).alias("context"),
+                    o.cast("int").alias("offset"),
+                ),
+            ),
+        )
+    )
+    return toks.select("id", F.explode(pairs).alias("p")).select(
+        "id",
+        F.col("p.pos").alias("pos"),
+        F.col("p.center").alias("center"),
+        F.col("p.context").alias("context"),
+        F.col("p.offset").alias("offset"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    budget: int = 2048,
+    shards: int = 64,
+) -> DataFrame:
+    """GPT-style document packing: concatenate documents in id order and
+    split the token stream into fixed windows of ``budget`` tokens,
+    reporting where each document lands — (id, shard, n_tokens,
+    start_off, first_bin, last_bin, n_bins). A document MAY straddle a
+    bin boundary (that is the packing used for decoder pre-training:
+    documents are concatenated with no padding and the context window
+    cuts wherever it cuts); ``n_bins = last_bin - first_bin + 1`` is how
+    many windows carry a piece of the document. Token count is the
+    single-space split of the dedup normalization; empty/NULL documents
+    count 0 tokens and land (zero-width) at their stream offset.
+
+    Packing is sequential by construction — each document's offset
+    depends on the total length of every predecessor — so the parallel
+    unit is an explicit shard: ``shard = id mod shards`` (non-negative
+    ``pmod``), documents pack independently per shard in id order, and
+    bin ids are per-shard. Choose ``shards`` >= cluster parallelism; at
+    100 TB each shard's window scan is a single linear pass over its
+    partition (one shuffle on the shard key, never a global sort).
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
+    from pyspark.sql import Window
+
+    norm = normalized_text(F.col(text_col))
+    n_tok = (
+        F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
+    ).cast("int")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.pmod(F.col(id_col), F.lit(shards)).cast("int").alias("shard"),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    out = base.withColumn("start_off", start)
+    first_bin = F.expr(f"start_off div {budget}")
+    last_bin = F.when(
+        F.col("n_tokens") > 0,
+        F.expr(f"(start_off + n_tokens - 1) div {budget}"),
+    ).otherwise(first_bin)
+    return out.select(
+        "id",
+        "shard",
+        "n_tokens",
+        "start_off",
+        first_bin.alias("first_bin"),
+        last_bin.alias("last_bin"),
+        (last_bin - first_bin + F.lit(1)).alias("n_bins"),
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 1,
+    buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style data-selection weights: score each RAW document by how
+    much its hashed-n-gram distribution resembles the TARGET corpus.
+    Per hashed bucket ``b = md5int(gram) mod buckets``, both corpora
+    contribute occurrence counts; the bucket score is an integer
+    surrogate of DSIR's log-frequency-ratio —
+
+        score_micro(b) = (1e6 * (tgt_ppm(b) + 1)) div (raw_ppm(b) + 1)
+
+    where ``*_ppm`` are per-corpus gram frequencies in integer parts per
+    million and the +1 is add-one smoothing (buckets unseen in the
+    target score ~0, not -inf). The surrogate is monotone in the true
+    frequency ratio, so importance-RESAMPLING order is preserved; exact
+    integer arithmetic keeps the DuckDB oracle value-hash-identical
+    (no log/libm drift — same rationale as cooccurrence_lift,
+    operators/kg.py). Per document: ``weight_sum`` over its gram stream
+    (duplicates count, as in DSIR) and ``weight_avg_micro = weight_sum
+    div n_grams``. Returns (id, n_grams, weight_sum, weight_avg_micro);
+    documents whose text is empty still carry their single whole-text
+    shingle (exploded_shingles contract), so every raw id appears.
+
+    Scale shape: two map-side-combinable groupBys reduce both corpora to
+    a ≤``buckets``-row score dim; the dim is broadcast and joined back
+    to the raw gram stream; one final groupBy(id). The corpus-sized side
+    never sees a skewed shuffle key.
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+
+    def _bucketed(d: DataFrame) -> DataFrame:
+        grams = exploded_shingles(d, id_col, text_col, n)
+        return grams.withColumn(
+            "b",
+            F.pmod(
+                F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long"),
+                F.lit(buckets),
+            ).cast("int"),
+        )
+
+    raw_grams = _bucketed(raw)
+    raw_counts = raw_grams.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tgt_counts = _bucketed(target).groupBy("b").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    raw_tot = raw_counts.agg(F.sum("rc").alias("rtot"))
+    tgt_tot = tgt_counts.agg(F.sum("tc").alias("ttot"))
+    dim = (
+        raw_counts.join(tgt_counts, "b", "left")
+        .crossJoin(raw_tot)
+        .crossJoin(tgt_tot)
+        .select(
+            "b",
+            F.expr(
+                "(1000000 * ((1000000 * coalesce(tc, 0)) div ttot + 1))"
+                " div ((1000000 * rc) div rtot + 1)"
+            ).alias("score_micro"),
+        )
+    )
+    return (
+        raw_grams.join(F.broadcast(dim), "b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("score_micro").alias("weight_sum"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "weight_sum",
+            F.expr("weight_sum div n_grams").alias("weight_avg_micro"),
+        )
+    )

@@ -486,3 +486,44 @@ def test_triples_salt_repartition_exchange_present(spark, docs):
     assert "Exchange hashpartitioning(xxhash64" in plan, plan
     # still exactly one non-broadcast exchange: the salt itself
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_skipgram_zero_shuffle(spark, docs):
+    """Skip-gram generation is a pure map + explode: the token array is
+    materialized once and both HOF lambdas index into it — no exchange
+    may appear at any corpus size."""
+    from dss_plugin_nlp_analysis_spark.operators.trainprep import (
+        skipgram_pairs,
+    )
+
+    plan = plan_of(skipgram_pairs(docs, "doc_id", "text", window=2))
+    assert "Exchange" not in plan, plan
+
+
+def test_pack_sequences_single_shard_shuffle(spark, docs):
+    """Sequence packing shuffles exactly once (the shard key) and runs
+    exactly one window — per-shard linear scans, never a global sort."""
+    from dss_plugin_nlp_analysis_spark.operators.trainprep import (
+        pack_sequences,
+    )
+
+    plan = plan_of(pack_sequences(docs, "doc_id", "text", budget=50, shards=8))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_dsir_broadcast_only_joins(spark, docs):
+    """The DSIR score dim (<= buckets rows) must broadcast: the
+    corpus-sized gram stream never sort-merge-joins on a hashed-bucket
+    key (512 distinct values = guaranteed skew)."""
+    from dss_plugin_nlp_analysis_spark.operators.trainprep import dsir_weights
+
+    plan = plan_of(
+        dsir_weights(
+            docs, docs.where(F.col("lang") == "en"), "doc_id", "text",
+            n=1, buckets=512,
+        )
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
