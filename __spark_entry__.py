@@ -2578,6 +2578,113 @@ def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein VERIFICATION of MinHash candidates over the mutated
+    duplicate corpus (the precision stage after LSH recall): truncated
+    copies differ from their originals by a ~4-word suffix, so they
+    verify at high sim_ppm; distance runs over the documented ASCII
+    projection that makes Spark's code-point and DuckDB's byte
+    Levenshtein coincide."""
+    from dss_plugin_nlp_analysis_spark.operators.dedup import (
+        edit_verified_pairs,
+    )
+
+    return edit_verified_pairs(
+        _dup_corpus(spark, sf_dir, mutate=True),
+        "id",
+        "t",
+        max_chars=400,
+        min_sim_ppm=500_000,
+    )
+
+
+def _q_ict_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-Cloze-Task retriever pairs: md5-argmin sentence held out
+    as the query, remaining sentences re-joined as the positive context
+    — zero-shuffle pure map with the argmin struct materialized before
+    the context filter (HOF re-eval trap)."""
+    from dss_plugin_nlp_analysis_spark.operators.trainprep import ict_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    derived = F.replace(F.col("text"), F.lit(" merge "), F.lit(". "))
+    return ict_pairs(
+        docs.select("doc_id", derived.alias("text")), "doc_id", "text"
+    )
+
+
+# planted mojibake: caf + (Ã©) + " said " + (â€™) / " quote " + (â€œ) +
+# "fin 12" + (Â°) — explicit escapes so the query and the oracle SQL
+# interpolate byte-identical strings
+_MOJI_PREFIX = "cafÃ© said â€™ "
+_MOJI_SUFFIX = " quote â€œfin 12Â°"
+
+
+def _moji_fixed_sql(col: str) -> str:
+    """The MOJIBAKE_TABLE replace chain as nested DuckDB ``replace`` calls
+    — generated from the ONE table definition (operators/webclean.py), so
+    the oracle can never drift from the operator."""
+    from dss_plugin_nlp_analysis_spark.operators.webclean import MOJIBAKE_TABLE
+
+    out = col
+    for bad, good in MOJIBAKE_TABLE:
+        out = f"replace({out}, '{bad}', '{good}')"
+    return out
+
+
+def _moji_count_sql(col: str) -> str:
+    """Σ per-marker occurrence counts, each via the portable
+    ``(len(t) - len(replace(t, m, ''))) / len(m)`` identity."""
+    from dss_plugin_nlp_analysis_spark.operators.webclean import MOJIBAKE_TABLE
+
+    terms = [
+        f"(length({col}) - length(replace({col}, '{bad}', ''))) / {len(bad)}"
+        for bad, _ in MOJIBAKE_TABLE
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _q_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake diagnosis/repair: documents contaminated with the classic
+    UTF-8-read-as-cp1252 sequences (planted deterministically per doc_id
+    residue) are counted and repaired via the fixed replace-chain table
+    — pure map, zero shuffle."""
+    from dss_plugin_nlp_analysis_spark.operators.webclean import (
+        mojibake_profile,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    # plant garbled sequences on 2 of every 5 docs: explicit escapes (the
+    # exact MOJIBAKE_TABLE forms — caf+Ã© and â€™, then â€œ and Â°); the
+    # oracle interpolates the same Python literals
+    dirty = F.when(
+        d % 5 == 0,
+        F.concat(F.lit(_MOJI_PREFIX), F.col("text")),
+    ).when(
+        d % 5 == 3,
+        F.concat(F.col("text"), F.lit(_MOJI_SUFFIX)),
+    ).otherwise(F.col("text"))
+    return mojibake_profile(
+        docs.select("doc_id", dirty.alias("text")), "doc_id", "text"
+    )
+
+
+def _q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual mixture allocation over the documents table's lang
+    groups: sqrt-temperature weights + UniMax integer water-filling at a
+    budget below the corpus size — one bounded-dim groupBy, windows only
+    over the language dim."""
+    from dss_plugin_nlp_analysis_spark.operators.sampling import (
+        corpus_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # budget = 60% of the corpus so the big strata hit the water level
+    # and the small strata fit whole (both branches exercised)
+    n = docs.count()
+    return corpus_mixture(docs, "lang", budget=(n * 3) // 5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -2609,6 +2716,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "dsir_weights": _q_dsir,
         "ngram_containment": _q_ngram_containment,
+        "edit_verify": _q_edit_verify,
+        "ict_pairs": _q_ict_pairs,
+        "mojibake": _q_mojibake,
+        "corpus_mixture": _q_corpus_mixture,
         "taxonomy_edges": _q_taxonomy_edges,
         "html_tables": _q_html_tables,
         "date_mentions": _q_date_mentions,
@@ -3621,6 +3732,128 @@ def oracle_sql() -> dict[str, str]:
         JOIN sz sa ON sa.id = it.id_a
         JOIN sz sb ON sb.id = it.id_b
         WHERE (1000000 * i) // least(sa.s, sb.s) >= 600000
+    """
+    # edit-distance verification of the minhash candidates: the identical
+    # band chain as dedup_minhash, then byte-Levenshtein over the ASCII
+    # projection (op contract: every non-ASCII code point -> one '?', where
+    # DuckDB's byte and Spark's code-point distances coincide)
+    d["edit_verify"] = f"""
+        WITH {_CORPUS_MUT},
+        {_SHINGLES},
+        hx AS (SELECT id, md5(g) AS h FROM sh3),
+        sig AS (
+          SELECT id,
+                 min(substr(h,  1, 4)) AS s0, min(substr(h,  5, 4)) AS s1,
+                 min(substr(h,  9, 4)) AS s2, min(substr(h, 13, 4)) AS s3,
+                 min(substr(h, 17, 4)) AS s4, min(substr(h, 21, 4)) AS s5,
+                 min(substr(h, 25, 4)) AS s6, min(substr(h, 29, 4)) AS s7
+          FROM hx GROUP BY id
+        ),
+        bk AS (
+          SELECT id, unnest([
+            md5(0 || '|' || s0 || '|' || s1),
+            md5(1 || '|' || s2 || '|' || s3),
+            md5(2 || '|' || s4 || '|' || s5),
+            md5(3 || '|' || s6 || '|' || s7)]) AS band_key
+          FROM sig
+        ),
+        small AS (SELECT band_key FROM bk GROUP BY band_key
+                  HAVING count(*) <= 1000),
+        bks AS (SELECT bk.id, bk.band_key FROM bk JOIN small USING (band_key)),
+        pairs AS (
+          SELECT DISTINCT x.id AS id_a, y.id AS id_b
+          FROM bks x JOIN bks y ON x.band_key = y.band_key AND x.id < y.id
+        ),
+        txt AS (
+          SELECT id,
+                 substr(regexp_replace(t, '[^\\x00-\\x7F]', '?', 'g'), 1, 400) AS a
+          FROM corpus
+        ),
+        dd AS (
+          SELECT id_a, id_b, levenshtein(ta.a, tb.a)::INT AS dist,
+                 length(ta.a)::INT AS len_a, length(tb.a)::INT AS len_b
+          FROM pairs
+          JOIN txt ta ON ta.id = pairs.id_a
+          JOIN txt tb ON tb.id = pairs.id_b
+        ),
+        sc AS (
+          SELECT id_a, id_b, dist, len_a, len_b,
+                 CASE WHEN greatest(len_a, len_b) = 0 THEN 1000000
+                      ELSE (1000000 * (greatest(len_a, len_b) - dist))
+                           // greatest(len_a, len_b) END AS sim_ppm
+          FROM dd
+        )
+        SELECT * FROM sc WHERE sim_ppm >= 500000
+    """
+    # inverse-cloze-task pairs: md5-argmin held-out sentence (DuckDB's
+    # indexed lambdas are 1-based, Spark's 0-based -> i-1), struct-min
+    # comparing (h, i, s) field-by-field exactly as Spark's array_min
+    d["ict_pairs"] = r"""
+        WITH s AS (
+          SELECT doc_id AS id,
+                 string_split(
+                   trim(regexp_replace(lower(coalesce(
+                     replace(text, ' merge ', '. '), '')), '\s+', ' ', 'g')),
+                   '. ') AS sents
+          FROM documents
+        ),
+        b AS (
+          SELECT id, sents, len(sents)::INT AS n_sentences,
+                 list_aggregate(
+                   list_transform(sents, (x, i) ->
+                     {'h': md5(id || '|' || (i - 1) || '|' || x),
+                      'i': i - 1, 's': x}), 'min') AS best
+          FROM s WHERE len(sents) >= 2
+        )
+        SELECT id, n_sentences, best.i AS query_idx, best.s AS "query",
+               array_to_string(
+                 list_filter(sents, (x, j) -> (j - 1) != best.i), '. ')
+                 AS context
+        FROM b
+    """
+    d["mojibake"] = f"""
+        WITH dirty AS (
+          SELECT doc_id AS id,
+                 CASE WHEN doc_id % 5 = 0 THEN '{_MOJI_PREFIX}' || coalesce(text, '')
+                      WHEN doc_id % 5 = 3 THEN coalesce(text, '') || '{_MOJI_SUFFIX}'
+                      ELSE coalesce(text, '') END AS t
+          FROM documents
+        )
+        SELECT id, CAST({_moji_count_sql("t")} AS INT) AS n_mojibake,
+               {_moji_fixed_sql("t")} AS fixed,
+               {_moji_fixed_sql("t")} != t AS changed
+        FROM dirty
+    """
+    # UniMax water-filling + sqrt-temperature weights over the lang dim;
+    # budget = 60% of the corpus, same integer rule as the Spark query
+    d["corpus_mixture"] = """
+        WITH bud AS (SELECT (count(*) * 3) // 5 AS b FROM documents),
+        c AS (
+          SELECT lang AS "group", count(*)::BIGINT AS n_docs,
+                 CAST(floor(sqrt(count(*))) AS BIGINT) AS sq
+          FROM documents WHERE lang IS NOT NULL GROUP BY lang
+        ),
+        r AS (
+          SELECT *, row_number() OVER (ORDER BY n_docs, "group") AS rk,
+                 sum(n_docs) OVER (ORDER BY n_docs, "group"
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM c
+        ),
+        t AS (SELECT count(*) AS g, sum(sq) AS sqsum FROM r),
+        st AS (
+          SELECT r.*, t.g, t.sqsum, bud.b,
+                 (cum + (g - rk) * n_docs) <= bud.b AS fits
+          FROM r, t, bud
+        ),
+        l AS (SELECT coalesce(max(CASE WHEN fits THEN rk END), 0) AS k,
+                     coalesce(max(CASE WHEN fits THEN cum END), 0) AS ck
+              FROM st)
+        SELECT "group", n_docs,
+               (1000000 * sq) // sqsum AS temp_weight_ppm,
+               CAST(CASE WHEN rk <= l.k THEN n_docs
+                         ELSE least(n_docs, (b - l.ck) // (g - l.k))
+                    END AS BIGINT) AS unimax_budget
+        FROM st, l
     """
     # sitemap parsing: islands first, fields per island (an entry with a
     # missing optional lastmod cannot desynchronize)

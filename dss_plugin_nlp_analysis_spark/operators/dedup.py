@@ -33,6 +33,7 @@ __all__ = [
     "cluster_dedup",
     "ngram_jaccard_pairs",
     "ngram_containment_pairs",
+    "edit_verified_pairs",
     "simhash_buckets",
     "duplicated_spans",
     "remove_duplicated_spans",
@@ -479,6 +480,88 @@ def ngram_containment_pairs(
         )
         .where(F.col("containment_ppm") >= threshold_ppm)
         .select("id_a", "id_b", "inter", "sz_a", "sz_b", "containment_ppm")
+    )
+
+
+def edit_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    candidates: DataFrame | None = None,
+    max_chars: int = 1000,
+    min_sim_ppm: int = 800_000,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Edit-distance VERIFICATION of near-duplicate candidates — the
+    precision stage after MinHash/LSH recall: shingle similarity admits
+    reordered or bag-of-words-similar texts; Levenshtein certifies
+    character-level edit closeness (the criterion exact-substring dedup
+    papers verify against). ``candidates`` defaults to
+    ``minhash_candidate_pairs`` over the same input; pass any
+    (id_a, id_b) DataFrame (simhash buckets, containment pairs) to
+    verify a different recall stage.
+
+    Returns (id_a, id_b, dist, len_a, len_b, sim_ppm) with sim_ppm =
+    ``1e6 * (greatest(len_a,len_b) - dist) div greatest(len_a,len_b)``
+    (two empty texts define sim_ppm = 1e6), filtered to
+    ``sim_ppm >= min_sim_ppm``. All integer arithmetic — value-hashes
+    across engines.
+
+    Portability contract: the distance runs over the dedup
+    normalization PROJECTED TO ASCII — every non-ASCII code point
+    becomes one ``?`` — because Spark's ``levenshtein`` counts code
+    points while DuckDB's counts bytes; on ASCII-only strings the two
+    semantics coincide. The projection keeps lengths and edit positions
+    (a non-ASCII substitution still costs 1) but maps distinct
+    non-ASCII characters to the same placeholder, so the reported
+    distance is a LOWER bound (sim_ppm an upper bound) on the true
+    code-point distance — conservative in the right direction for a
+    verification stage that must not false-reject.
+
+    Scale shape: candidates come from banded LSH (never all-pairs);
+    ``max_chars`` truncates both sides before the O(len_a·len_b)
+    distance kernel, bounding per-pair cost at max_chars² — the
+    documented precision/cost knob (1000 chars ≈ the span exact-dedup
+    operates at). Texts join back to the pair list via two id
+    equi-joins; the distance itself is a JVM built-in (no Python).
+    """
+    if candidates is None:
+        candidates = minhash_candidate_pairs(
+            df, id_col, text_col, num_hashes=num_hashes, bands=bands, n=n
+        )
+    ascii_txt = F.substring(
+        F.regexp_replace(
+            normalized_text(F.col(text_col)), r"[^\x00-\x7F]", "?"
+        ),
+        1,
+        max_chars,
+    )
+    texts = df.select(F.col(id_col).alias("id"), ascii_txt.alias("t"))
+    return (
+        candidates.select("id_a", "id_b")
+        .join(texts.select(F.col("id").alias("id_a"), F.col("t").alias("t_a")), "id_a")
+        .join(texts.select(F.col("id").alias("id_b"), F.col("t").alias("t_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("t_a", "t_b").alias("dist"),
+            F.length("t_a").alias("len_a"),
+            F.length("t_b").alias("len_b"),
+        )
+        .withColumn(
+            "sim_ppm",
+            F.when(F.greatest("len_a", "len_b") == 0, F.lit(1_000_000)).otherwise(
+                F.expr(
+                    "(1000000 * (greatest(len_a, len_b) - dist))"
+                    " div greatest(len_a, len_b)"
+                )
+            ),
+        )
+        .where(F.col("sim_ppm") >= min_sim_ppm)
+        .select("id_a", "id_b", "dist", "len_a", "len_b", "sim_ppm")
     )
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sample_hash", "deterministic_sample", "stratified_sample", "group_capped_sample"]
+__all__ = ["sample_hash", "deterministic_sample", "stratified_sample", "group_capped_sample", "corpus_mixture"]
 
 _SPACE = 1 << 60
 
@@ -140,4 +140,93 @@ def group_capped_sample(
     p2 = p1.repartition("g").mapInPandas(keep_cap, schema=schema)
     return p2.select(
         F.col("g").alias(group_col), F.col("id").alias(id_col), "h"
+    )
+
+
+def corpus_mixture(
+    df: DataFrame,
+    group_col: str,
+    *,
+    budget: int,
+) -> DataFrame:
+    """Multilingual mixture allocation over a grouped corpus — the two
+    published corpus-balancing rules computed side by side, in exact
+    integer arithmetic:
+
+    - ``temp_weight_ppm``: temperature sampling at alpha = 0.5
+      (mT5/mC4-family ``p_g ∝ n_g^alpha``) — ``1e6 * isqrt(n_g) div
+      Σ isqrt(n_k)``. ``isqrt = floor(sqrt())`` is engine-portable: IEEE
+      double sqrt is correctly rounded, so the floor is exact for any
+      int64 count below 2^52. Alpha is fixed at 1/2 because that is the
+      exponent integer arithmetic can express exactly; arbitrary alpha
+      needs ``pow`` and would hash-drift across libm builds (same
+      rationale as cooccurrence_lift, operators/kg.py).
+    - ``unimax_budget``: UniMax allocation (Chung et al., "UniMax:
+      Fairer and More Effective Language Sampling", ICLR 2023) — spread
+      a total document ``budget`` equally across groups, capping each
+      group at its available ``n_g`` and re-distributing its unused
+      share (integer water-filling). Exact rule: with groups ascending
+      by ``(n, group)``, every group that fits whole (``cum_i +
+      (G - i) * n_i <= budget``) gets ``n_g``; the rest get ``L =
+      (budget - cum_k) div (G - k)`` docs each (k = last whole-fit
+      rank). The ``div`` remainder (< G-k docs) is deliberately left
+      unallocated — deterministic, documented.
+
+    Returns (group, n_docs, temp_weight_ppm, unimax_budget). NULL group
+    keys are excluded (the module's NULL-key contract).
+
+    Scale shape: one map-side-combinable groupBy reduces the corpus to a
+    group-cardinality dim (languages/domains: ~1e2-1e7 rows ≪ corpus);
+    the window + 1-row scalar crossJoins below run on THAT dim only —
+    the corpus-sized side never sees a window or a sort.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from pyspark.sql import Window
+
+    counts = (
+        df.where(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("_sq", F.floor(F.sqrt(F.col("n_docs"))).cast("long"))
+    )
+    w = Window.orderBy("n_docs", "group")
+    ranked = counts.select(
+        "group",
+        "n_docs",
+        "_sq",
+        F.row_number().over(w).alias("_rk"),
+        F.sum("n_docs").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_cum"),
+    )
+    totals = ranked.agg(
+        F.count(F.lit(1)).alias("_g"), F.sum("_sq").alias("_sqsum")
+    )
+    staged = ranked.crossJoin(F.broadcast(totals)).withColumn(
+        "_fits",
+        (F.col("_cum") + (F.col("_g") - F.col("_rk")) * F.col("n_docs"))
+        <= F.lit(budget),
+    )
+    lvl = staged.agg(
+        F.coalesce(F.max(F.when(F.col("_fits"), F.col("_rk"))), F.lit(0)).alias("_k"),
+        F.coalesce(F.max(F.when(F.col("_fits"), F.col("_cum"))), F.lit(0)).alias("_ck"),
+    )
+    return (
+        staged.crossJoin(F.broadcast(lvl))
+        .withColumn(
+            "_alloc",
+            F.when(F.col("_rk") <= F.col("_k"), F.col("n_docs")).otherwise(
+                F.least(
+                    F.col("n_docs"),
+                    F.expr(f"({budget} - _ck) div (_g - _k)"),
+                )
+            ),
+        )
+        .select(
+            "group",
+            "n_docs",
+            F.expr("(1000000 * _sq) div _sqsum").alias("temp_weight_ppm"),
+            F.col("_alloc").cast("long").alias("unimax_budget"),
+        )
     )

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from .dedup import exploded_shingles, normalized_text
 
-__all__ = ["skipgram_pairs", "pack_sequences", "dsir_weights"]
+__all__ = ["skipgram_pairs", "pack_sequences", "dsir_weights", "ict_pairs"]
 
 
 def skipgram_pairs(
@@ -237,4 +237,68 @@ def dsir_weights(
             "weight_sum",
             F.expr("weight_sum div n_grams").alias("weight_avg_micro"),
         )
+    )
+
+
+def ict_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_sentences: int = 2,
+) -> DataFrame:
+    """Inverse-Cloze-Task training pairs for retriever pre-training (Lee
+    et al., "Latent Retrieval for Weakly Supervised Open Domain Question
+    Answering", ACL 2019): one sentence of a passage becomes the QUERY,
+    the remaining sentences (in order) become the positive CONTEXT.
+
+    The held-out sentence is chosen by md5-argmin over
+    ``(id, sentence_idx, sentence)`` — deterministic and uniform-ish,
+    never a Math.random the oracle could not replay. Sentences are
+    ``". "``-splits of the dedup normalization (the portable boundary
+    contract the gated corpus uses; the full multilingual sentencizer in
+    functions/sentencizer.py is the fidelity path — this op is the
+    training-prep fast path). Documents with fewer than
+    ``min_sentences`` sentences emit nothing (no context would remain).
+
+    Returns (id, n_sentences, query_idx, query, context) — query_idx is
+    0-based stream order; context preserves sentence order and re-joins
+    with ``". "``.
+
+    Scale shape: zero shuffle — one split per document (materialized as
+    a projected column BEFORE any HOF references it, then the argmin
+    struct is ITSELF materialized before the context filter runs: HOF
+    lambdas re-evaluate referenced subtrees per element, the O(n²) trap
+    documented in TODO.md round 4; bound attributes are O(1)).
+    """
+    if min_sentences < 2:
+        raise ValueError("min_sentences must be >= 2 (a pair needs both sides)")
+    sents = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalized_text(F.col(text_col)), r"\. ").alias("sents"),
+    ).where(F.size("sents") >= min_sentences)
+    picked = sents.select(
+        "id",
+        "sents",
+        F.size("sents").alias("n_sentences"),
+        F.array_min(
+            F.transform(
+                "sents",
+                lambda x, i: F.struct(
+                    F.md5(F.concat_ws("|", F.col("id"), i, x)).alias("h"),
+                    i.cast("int").alias("i"),
+                    x.alias("s"),
+                ),
+            )
+        ).alias("best"),
+    )
+    return picked.select(
+        "id",
+        "n_sentences",
+        F.col("best.i").alias("query_idx"),
+        F.col("best.s").alias("query"),
+        F.concat_ws(
+            ". ",
+            F.filter("sents", lambda x, j: j != F.col("best.i")),
+        ).alias("context"),
     )

@@ -35,6 +35,9 @@ __all__ = [
     "dedup_lines_in_doc",
     "boilerplate_lines",
     "domain_policy",
+    "fix_mojibake",
+    "mojibake_profile",
+    "MOJIBAKE_TABLE",
     "TERMINAL_PUNCT",
 ]
 
@@ -297,4 +300,85 @@ def domain_policy(
         )
         .otherwise(F.lit("drop"))
         .alias("verdict"),
+    )
+
+
+# UTF-8-bytes-read-as-cp1252 repair table: the classic web-crawl mojibake
+# (a page emitted as UTF-8 but transcoded through Latin-1/cp1252 somewhere
+# in its pipeline). Each entry maps the 2-3 character garbled form back to
+# the intended code point. ORDER MATTERS and is part of the contract:
+# 3-char punctuation forms first (their first char Ã¢/â prefixes some
+# 2-char forms), then the 2-char accents. Entries whose cp1252 image
+# contains an unmapped C1 control byte (e.g. the right-double-quote 0x9D)
+# cannot round-trip through text and are deliberately absent. The table is
+# pure public knowledge (the UTF-8/cp1252 code charts); it repairs the
+# high-frequency Western-European + smart-punctuation cases, not every
+# possible double-encoding.
+MOJIBAKE_TABLE: tuple[tuple[str, str], ...] = (
+    ("â€™", "’"),  # â€™ -> ’
+    ("â€œ", "“"),  # â€œ -> “
+    ("â€“", "–"),  # â€“ -> –
+    ("â€”", "—"),  # â€” -> —
+    ("â€¦", "…"),  # â€¦ -> …
+    ("Ã©", "é"),  # Ã© -> é
+    ("Ã¨", "è"),  # Ã¨ -> è
+    ("Ã¡", "á"),  # Ã¡ -> á
+    ("Ã³", "ó"),  # Ã³ -> ó
+    ("Ãº", "ú"),  # Ãº -> ú
+    ("Ã±", "ñ"),  # Ã± -> ñ
+    ("Ã¼", "ü"),  # Ã¼ -> ü
+    ("Ã¶", "ö"),  # Ã¶ -> ö
+    ("Ã¤", "ä"),  # Ã¤ -> ä
+    ("Ã§", "ç"),  # Ã§ -> ç
+    ("Ã ", "à"),  # Ã +NBSP -> à
+    ("Â«", "«"),  # Â« -> «
+    ("Â»", "»"),  # Â» -> »
+    ("Â°", "°"),  # Â° -> °
+    ("Â ", " "),  # Â+NBSP -> NBSP
+)
+
+
+def fix_mojibake(col: Column) -> Column:
+    """Repair classic UTF-8-read-as-cp1252 mojibake via the fixed
+    ``MOJIBAKE_TABLE`` replace chain — literal ``replace``s only (no
+    regex, no UDF), so the DuckDB oracle applies the identical chain and
+    value-hashes. NULL-safe (NULL passes through as NULL)."""
+    out = col
+    for bad, good in MOJIBAKE_TABLE:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
+def mojibake_profile(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document mojibake diagnosis + repair: (id, n_mojibake, fixed,
+    changed). ``n_mojibake`` counts occurrences of every
+    ``MOJIBAKE_TABLE`` garbled form in the ORIGINAL text — each marker
+    counted independently BEFORE any replacement via the portable
+    ``(len(t) - len(replace(t, m, ''))) div len(m)`` identity (markers
+    start at distinct positions, so independent counts are exact; all
+    char-based lengths, identical across engines). NULL text profiles as
+    (0, '', false), matching the corpus NULL→'' fill contract (P4).
+
+    A curation pipeline thresholds on ``n_mojibake`` (a page whose text
+    is saturated with unrepairable double-encoding should drop, not
+    repair) and keeps ``fixed`` otherwise.
+
+    Scale shape: pure map — one projection, zero shuffle, zero Python.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        (F.length(t) - F.length(F.replace(t, F.lit(bad), F.lit("")))) / len(bad)
+        for bad, _ in MOJIBAKE_TABLE
+    ]
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    fixed = fix_mojibake(t)
+    return df.select(
+        F.col(id_col).alias("id"),
+        total.cast("int").alias("n_mojibake"),
+        fixed.alias("fixed"),
+        (fixed != t).alias("changed"),
     )

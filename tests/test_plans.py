@@ -527,3 +527,56 @@ def test_dsir_broadcast_only_joins(spark, docs):
     )
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_mojibake_profile_zero_shuffle(spark, docs):
+    """Mojibake diagnosis/repair is one projection — literal replaces and
+    length arithmetic, no exchange, no Python."""
+    from dss_plugin_nlp_analysis_spark.operators.webclean import (
+        mojibake_profile,
+    )
+
+    plan = plan_of(mojibake_profile(docs, "doc_id", "text"))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_ict_pairs_zero_shuffle(spark, docs):
+    """ICT pair mining is a pure map: sentence array and argmin struct
+    are materialized projections, the context filter binds attributes —
+    no exchange at any corpus size."""
+    from dss_plugin_nlp_analysis_spark.operators.trainprep import ict_pairs
+
+    plan = plan_of(ict_pairs(docs, "doc_id", "text"))
+    assert "Exchange" not in plan, plan
+
+
+def test_edit_verify_no_cartesian_no_python(spark, docs):
+    """Levenshtein verification joins candidates to texts by id equi-joins
+    only; the distance is a JVM built-in (no Python), and nothing may
+    plan as a cartesian/nested-loop product."""
+    from dss_plugin_nlp_analysis_spark.operators.dedup import (
+        edit_verified_pairs,
+    )
+
+    small = docs.select(F.col("doc_id").alias("id"), "text")
+    plan = plan_of(edit_verified_pairs(small, "id", "text"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_corpus_mixture_windows_only_on_group_dim(spark, docs):
+    """The corpus-sized side sees exactly one hash aggregate; the window
+    and the scalar crossJoins run on the group-cardinality dim (the plan
+    may single-partition THAT dim, never the corpus): the corpus scan
+    feeds an aggregate before any window appears."""
+    from dss_plugin_nlp_analysis_spark.operators.sampling import (
+        corpus_mixture,
+    )
+
+    plan = plan_of(corpus_mixture(docs, "lang", budget=100))
+    # the window's required single-partition exchange consumes the
+    # aggregated dim: assert the aggregate happens below the window
+    assert plan.index("HashAggregate") > plan.index("Window"), plan
+    assert "CartesianProduct" not in plan, plan

@@ -1,0 +1,255 @@
+"""Unit tests for the round-5 session-3 operators: Levenshtein
+verification of near-dup candidates (operators/dedup.py), ICT retriever
+pairs (operators/trainprep.py), mojibake repair (operators/webclean.py),
+and corpus mixture allocation (operators/sampling.py).
+
+The driver-mirror oracle gate (test_entry.py) value-hashes the gated
+queries against DuckDB; these tests pin the EDGE semantics: exact
+distance values, the ASCII-projection contract, argmin determinism,
+held-out context order, cp1252 round-trip repairs, and the UniMax
+water-filling rule against a brute-force reference.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dss_plugin_nlp_analysis_spark.operators.dedup import edit_verified_pairs
+from dss_plugin_nlp_analysis_spark.operators.sampling import corpus_mixture
+from dss_plugin_nlp_analysis_spark.operators.trainprep import ict_pairs
+from dss_plugin_nlp_analysis_spark.operators.webclean import (
+    MOJIBAKE_TABLE,
+    fix_mojibake,
+    mojibake_profile,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, text string")
+
+
+# ---------------------------------------------------------- edit_verify
+
+
+def test_edit_verify_exact_distance_on_given_candidates(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the quick brown fox"),
+            (2, "the quick brown fax"),  # 1 substitution
+            (3, "totally different words here"),
+        ],
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a bigint, id_b bigint"
+    )
+    out = {
+        (r.id_a, r.id_b): r
+        for r in edit_verified_pairs(
+            df, "id", "text", candidates=cand, min_sim_ppm=0
+        ).collect()
+    }
+    r12 = out[(1, 2)]
+    assert r12.dist == 1
+    assert r12.len_a == 19 and r12.len_b == 19
+    assert r12.sim_ppm == (1_000_000 * 18) // 19
+    assert out[(1, 3)].dist > 10
+
+
+def test_edit_verify_threshold_filters(spark):
+    df = _docs(spark, [(1, "aaaa bbbb"), (2, "aaaa bbbb"), (3, "zz")])
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a bigint, id_b bigint"
+    )
+    out = edit_verified_pairs(
+        df, "id", "text", candidates=cand, min_sim_ppm=900_000
+    ).collect()
+    assert [(r.id_a, r.id_b, r.dist, r.sim_ppm) for r in out] == [
+        (1, 2, 0, 1_000_000)
+    ]
+
+
+def test_edit_verify_ascii_projection_and_normalization(spark):
+    # café vs cafe: the é projects to '?', so dist = 1 on both engines'
+    # semantics; uppercase/whitespace differences vanish in normalization
+    df = _docs(spark, [(1, "Café  X"), (2, "cafe x")])
+    cand = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    r = edit_verified_pairs(
+        df, "id", "text", candidates=cand, min_sim_ppm=0
+    ).collect()[0]
+    assert (r.dist, r.len_a, r.len_b) == (1, 6, 6)
+
+
+def test_edit_verify_both_empty_define_full_similarity(spark):
+    df = _docs(spark, [(1, ""), (2, None)])
+    cand = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    r = edit_verified_pairs(
+        df, "id", "text", candidates=cand, min_sim_ppm=0
+    ).collect()[0]
+    assert (r.dist, r.len_a, r.len_b, r.sim_ppm) == (0, 0, 0, 1_000_000)
+
+
+def test_edit_verify_max_chars_truncates_before_distance(spark):
+    df = _docs(spark, [(1, "abcd" * 10), (2, "abcd" * 10 + "zzzz")])
+    cand = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    r = edit_verified_pairs(
+        df, "id", "text", candidates=cand, max_chars=8, min_sim_ppm=0
+    ).collect()[0]
+    assert (r.dist, r.len_a, r.len_b, r.sim_ppm) == (0, 8, 8, 1_000_000)
+
+
+def test_edit_verify_default_candidates_from_minhash(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = _docs(spark, [(1, base), (2, base + " tail"), (3, "unrelated")])
+    out = edit_verified_pairs(df, "id", "text", min_sim_ppm=500_000).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+
+
+# ------------------------------------------------------------- ict_pairs
+
+
+def test_ict_pairs_holds_out_one_sentence_in_order(spark):
+    df = _docs(spark, [(7, "Alpha one. Beta two. Gamma three")])
+    r = ict_pairs(df, "id", "text").collect()[0]
+    sents = ["alpha one", "beta two", "gamma three"]
+    assert r.n_sentences == 3
+    assert r.query == sents[r.query_idx]
+    rest = [s for i, s in enumerate(sents) if i != r.query_idx]
+    assert r.context == ". ".join(rest)
+
+
+def test_ict_pairs_deterministic_and_id_dependent(spark):
+    df = _docs(
+        spark,
+        [(1, "A b. C d. E f"), (2, "A b. C d. E f")],
+    )
+    one = {r.id: r.query_idx for r in ict_pairs(df, "id", "text").collect()}
+    two = {r.id: r.query_idx for r in ict_pairs(df, "id", "text").collect()}
+    assert one == two  # deterministic across runs
+    # md5-argmin keys on (id, idx, sentence): same text, different id may
+    # pick differently — just assert both picked a valid index
+    assert all(0 <= v < 3 for v in one.values())
+
+
+def test_ict_pairs_short_docs_emit_nothing(spark):
+    df = _docs(spark, [(1, "only one sentence"), (2, ""), (3, None)])
+    assert ict_pairs(df, "id", "text").count() == 0
+
+
+def test_ict_pairs_min_sentences_validation(spark):
+    df = _docs(spark, [(1, "a. b")])
+    with pytest.raises(ValueError, match="min_sentences"):
+        ict_pairs(df, "id", "text", min_sentences=1)
+
+
+# -------------------------------------------------------------- mojibake
+
+
+def test_mojibake_table_is_cp1252_roundtrip():
+    for bad, good in MOJIBAKE_TABLE:
+        assert good.encode("utf-8").decode("cp1252") == bad
+
+
+def test_mojibake_profile_counts_and_repairs(spark):
+    bad_quote = "â€™"  # â€™ -> ’
+    bad_e = "Ã©"  # Ã© -> é
+    df = _docs(
+        spark,
+        [
+            (1, f"caf{bad_e} says{bad_quote}s twice caf{bad_e}"),
+            (2, "clean ascii text"),
+            (3, None),
+        ],
+    )
+    out = {r.id: r for r in mojibake_profile(df, "id", "text").collect()}
+    assert out[1].n_mojibake == 3
+    assert out[1].fixed == "café says’s twice café"
+    assert out[1].changed is True
+    assert (out[2].n_mojibake, out[2].changed) == (0, False)
+    assert (out[3].n_mojibake, out[3].fixed, out[3].changed) == (0, "", False)
+
+
+def test_fix_mojibake_applies_long_forms_before_short(spark):
+    # â€“ must repair as the 3-char en dash, not leave a dangling â after
+    # some 2-char rule; the full chain handles a mixed line
+    s = "â€“xÃ¼yÂ°"
+    df = _docs(spark, [(1, s)])
+    r = df.select(fix_mojibake(F.col("text")).alias("f")).collect()[0]
+    assert r.f == "–xüy°"
+
+
+# -------------------------------------------------------- corpus_mixture
+
+
+def _brute_unimax(counts, budget):
+    """Independent reference for the operator's documented rule: with
+    groups ascending by (n, group), every group i with
+    cum_i + (G - i) * n_i <= budget fits whole; the rest each get
+    L = (budget - cum_k) div (G - k) — the div remainder stays
+    unallocated (the documented contract)."""
+    items = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))
+    G = len(items)
+    cum, k, ck = 0, 0, 0
+    for i, (_, n) in enumerate(items, start=1):
+        cum += n
+        if cum + (G - i) * n <= budget:
+            k, ck = i, cum
+    level = (budget - ck) // (G - k) if G > k else 0
+    return {
+        g: (n if i <= k else min(n, level))
+        for i, (g, n) in enumerate(items, start=1)
+    }
+
+
+def test_corpus_mixture_matches_bruteforce_waterfill(spark):
+    counts = {"en": 50, "de": 20, "fr": 10, "zh": 4}
+    rows = [(i, g) for g, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "id bigint, lang string")
+    budget = 40
+    out = {
+        r.group: r.unimax_budget
+        for r in corpus_mixture(df, "lang", budget=budget).collect()
+    }
+    expect = _brute_unimax(counts, budget)
+    assert out == expect
+    assert sum(out.values()) <= budget
+    # remainder contract: an indivisible budget leaves < G-k docs unused
+    rows = [(i, g) for g, n in {"a": 10, "b": 10, "c": 10}.items() for i in range(n)]
+    df2 = spark.createDataFrame(rows, "id bigint, lang string")
+    out2 = {
+        r.group: r.unimax_budget
+        for r in corpus_mixture(df2, "lang", budget=8).collect()
+    }
+    assert out2 == {"a": 2, "b": 2, "c": 2}  # 8 div 3, 2 left unallocated
+
+
+def test_corpus_mixture_budget_covers_all(spark):
+    counts = {"en": 5, "de": 3}
+    rows = [(i, g) for g, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "id bigint, lang string")
+    out = {
+        r.group: (r.n_docs, r.unimax_budget)
+        for r in corpus_mixture(df, "lang", budget=100).collect()
+    }
+    assert out == {"en": (5, 5), "de": (3, 3)}
+
+
+def test_corpus_mixture_temperature_weights_are_sqrt_ppm(spark):
+    counts = {"en": 100, "de": 25}
+    rows = [(i, g) for g, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "id bigint, lang string")
+    out = {
+        r.group: r.temp_weight_ppm
+        for r in corpus_mixture(df, "lang", budget=10).collect()
+    }
+    # isqrt: 10 and 5 -> 15 total
+    assert out == {"en": (1_000_000 * 10) // 15, "de": (1_000_000 * 5) // 15}
+
+
+def test_corpus_mixture_excludes_null_groups_and_validates(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, None)], "id bigint, lang string"
+    )
+    rows = corpus_mixture(df, "lang", budget=10).collect()
+    assert [r.group for r in rows] == ["en"]
+    with pytest.raises(ValueError, match="budget"):
+        corpus_mixture(df, "lang", budget=-1)
