@@ -2685,6 +2685,132 @@ def _q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_mixture(docs, "lang", budget=(n * 3) // 5)
 
 
+def _synth_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KG for rule mining: born_in(person, city),
+    located_in(city, country), works_in(person, city), and nationality
+    head facts asserted for half the persons — so born_in ∘ located_in
+    ⇒ nationality mines at measurable sub-1.0 confidence."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    person = F.concat(F.lit("person"), (d % 50).cast("string"))
+    city = F.concat(F.lit("city"), (d % 10).cast("string"))
+    country = F.concat(F.lit("country"), ((d % 10) % 3).cast("string"))
+    work_city = F.concat(F.lit("city"), ((d + 5) % 10).cast("string"))
+    born = docs.select(
+        person.alias("subj"), F.lit("born_in").alias("pred"), city.alias("obj")
+    )
+    loc = docs.select(
+        city.alias("subj"), F.lit("located_in").alias("pred"), country.alias("obj")
+    )
+    nat = docs.where(d % 2 == 0).select(
+        person.alias("subj"), F.lit("nationality").alias("pred"), country.alias("obj")
+    )
+    work = docs.select(
+        person.alias("subj"), F.lit("works_in").alias("pred"), work_city.alias("obj")
+    )
+    return born.union(loc).union(nat).union(work)
+
+
+def _q_relation_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop relation composition over the synthesized KG: one mid-entity
+    self-equi-join + combinable groupBy, reflexive compositions dropped,
+    n_mids = distinct witnesses."""
+    from dss_plugin_nlp_analysis_spark.operators.rules import compose_relations
+
+    return compose_relations(_synth_triples(spark, sf_dir))
+
+
+def _q_amie_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-style horn-rule mining (p1 ∧ p2 ⇒ p3): body bindings from the
+    composition join, std-confidence in exact integer ppm; the planted
+    nationality facts make born_in ∘ located_in ⇒ nationality surface at
+    ~50% confidence."""
+    from dss_plugin_nlp_analysis_spark.operators.rules import amie_rules
+
+    return amie_rules(
+        _synth_triples(spark, sf_dir), min_support=2, min_conf_ppm=50_000
+    )
+
+
+def _q_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org microdata extraction (the third syntax next to JSON-LD
+    and OpenGraph): itemscope types + meta/content + inline-text
+    itemprops from synthesized product/person pages — zipped
+    regexp_extract_all passes, pure map."""
+    from dss_plugin_nlp_analysis_spark.operators.structured import (
+        extract_microdata,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<div itemscope itemtype="https://schema.org/'),
+        F.when(d % 2 == 0, F.lit("Product")).otherwise(F.lit("Person")),
+        F.lit('"><meta itemprop="sku" content="S'),
+        (d % 30).cast("string"),
+        F.lit('">'),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit('<span itemprop="name">Item '),
+                (d % 20).cast("string"),
+                F.lit("</span>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<time itemprop="datePublished">2025-0'),
+        (d % 9 + 1).cast("string"),
+        F.lit("</time></div>"),
+    )
+    return extract_microdata(
+        docs.select("doc_id", html.alias("html")), "doc_id", "html"
+    )
+
+
+def _q_pronoun_coref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-antecedent pronoun resolution: entity lexicon tokens
+    planted before and after the document body; short documents resolve
+    the trailing 'he' to the lead entity inside the 200-token window,
+    long documents exercise the NULL (out-of-window) path."""
+    from dss_plugin_nlp_analysis_spark.operators.mentions import (
+        resolve_pronouns,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    derived = F.concat(
+        F.lit("alpha arrived . "),
+        F.col("text"),
+        F.lit(" later he met beta and she left with them"),
+    )
+    return resolve_pronouns(
+        docs.select("doc_id", derived.alias("text")),
+        "doc_id",
+        "text",
+        ["alpha", "beta", "gamma"],
+        max_distance=200,
+    )
+
+
+def _q_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-In-the-Middle transform: md5-derived double cut into
+    (prefix, middle, suffix) + the PSM training string — pure map,
+    reproducible on any engine."""
+    from dss_plugin_nlp_analysis_spark.operators.trainprep import fim_transform
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fim_transform(docs, "doc_id", "text")
+
+
+def _q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption: one md5-placed 3-token mask per 10-token
+    block, numbered sentinels, (input, target) pair — zero shuffle."""
+    from dss_plugin_nlp_analysis_spark.operators.trainprep import (
+        span_corruption,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_corruption(docs, "doc_id", "text", block=10, span=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -2720,6 +2846,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ict_pairs": _q_ict_pairs,
         "mojibake": _q_mojibake,
         "corpus_mixture": _q_corpus_mixture,
+        "relation_compose": _q_relation_compose,
+        "amie_rules": _q_amie_rules,
+        "microdata": _q_microdata,
+        "pronoun_coref": _q_pronoun_coref,
+        "fim": _q_fim,
+        "span_corruption": _q_span_corruption,
         "taxonomy_edges": _q_taxonomy_edges,
         "html_tables": _q_html_tables,
         "date_mentions": _q_date_mentions,
@@ -3854,6 +3986,181 @@ def oracle_sql() -> dict[str, str]:
                          ELSE least(n_docs, (b - l.ck) // (g - l.k))
                     END AS BIGINT) AS unimax_budget
         FROM st, l
+    """
+    # the synthesized rule-mining KG, shared by relation_compose /
+    # amie_rules — mirrors _synth_triples exactly
+    synth_triples = """
+        tr AS (
+          SELECT 'person' || (doc_id % 50) AS s, 'born_in' AS p,
+                 'city' || (doc_id % 10) AS o FROM documents
+          UNION ALL
+          SELECT 'city' || (doc_id % 10), 'located_in',
+                 'country' || ((doc_id % 10) % 3) FROM documents
+          UNION ALL
+          SELECT 'person' || (doc_id % 50), 'nationality',
+                 'country' || ((doc_id % 10) % 3) FROM documents
+          WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT 'person' || (doc_id % 50), 'works_in',
+                 'city' || ((doc_id + 5) % 10) FROM documents
+        ),
+        t AS (SELECT DISTINCT s, p, o FROM tr
+              WHERE s IS NOT NULL AND p IS NOT NULL AND o IS NOT NULL),
+        body AS (
+          SELECT a.s AS x, a.p AS p1, b.p AS p2, b.o AS z,
+                 count(DISTINCT a.o) AS n_mids
+          FROM t a JOIN t b ON a.o = b.s
+          WHERE a.s != b.o
+          GROUP BY 1, 2, 3, 4
+        )
+    """
+    d["relation_compose"] = f"""
+        WITH {synth_triples}
+        SELECT x, p1, p2, z, n_mids FROM body
+    """
+    d["amie_rules"] = f"""
+        WITH {synth_triples},
+        bs AS (SELECT p1, p2, count(*) AS body_size FROM body GROUP BY 1, 2),
+        sup AS (
+          SELECT body.p1, body.p2, t.p AS p3, count(*) AS support
+          FROM body JOIN t ON t.s = body.x AND t.o = body.z
+          GROUP BY 1, 2, 3
+        )
+        SELECT sup.p1, sup.p2, p3, body_size, support,
+               (1000000 * support) // body_size AS conf_ppm
+        FROM sup JOIN bs USING (p1, p2)
+        WHERE support >= 2
+          AND (1000000 * support) // body_size >= 50000
+    """
+    # microdata: same per-form zipped extraction; multiset compare makes
+    # the three UNION ALL branches order-free
+    d["microdata"] = r"""
+        WITH h AS (
+          SELECT doc_id AS id,
+                 '<div itemscope itemtype="https://schema.org/'
+                 || CASE WHEN doc_id % 2 = 0 THEN 'Product' ELSE 'Person' END
+                 || '"><meta itemprop="sku" content="S' || (doc_id % 30) || '">'
+                 || CASE WHEN doc_id % 4 = 0
+                    THEN '<span itemprop="name">Item ' || (doc_id % 20) || '</span>'
+                    ELSE '' END
+                 || '<time itemprop="datePublished">2025-0' || (doc_id % 9 + 1)
+                 || '</time></div>' AS html
+          FROM documents
+        )
+        SELECT id, '@type' AS itemprop,
+               unnest(regexp_extract_all(html,
+                 'itemtype="https?://schema\.org/([A-Za-z]+)"', 1)) AS value,
+               'type' AS src
+        FROM h
+        UNION ALL
+        SELECT id, unnest(regexp_extract_all(html,
+                 '<meta itemprop="([A-Za-z]+)" content="([^"]*)"', 1)),
+               unnest(regexp_extract_all(html,
+                 '<meta itemprop="([A-Za-z]+)" content="([^"]*)"', 2)),
+               'attr'
+        FROM h
+        UNION ALL
+        SELECT id, unnest(regexp_extract_all(html,
+                 '<(?:span|div|h1|time) itemprop="([A-Za-z]+)"[^>]*>([^<]*)<', 1)),
+               unnest(regexp_extract_all(html,
+                 '<(?:span|div|h1|time) itemprop="([A-Za-z]+)"[^>]*>([^<]*)<', 2)),
+               'text'
+        FROM h
+    """
+    # pronoun coreference: nearest preceding lexicon token within the
+    # window; DuckDB's 1-based list indexing matches the operator's
+    # 1-based token positions directly
+    d["pronoun_coref"] = r"""
+        WITH t AS (
+          SELECT doc_id AS id,
+                 string_split(trim(regexp_replace(lower(coalesce(
+                   'alpha arrived . ' || text ||
+                   ' later he met beta and she left with them', '')),
+                   '\s+', ' ', 'g')), ' ') AS toks
+          FROM documents
+        ),
+        e AS (
+          SELECT id, toks,
+                 list_filter(generate_series(1, len(toks)),
+                   i -> list_contains(['alpha', 'beta', 'gamma'], toks[i]))
+                   AS ents
+          FROM t
+        ),
+        p AS (
+          SELECT id, toks,
+                 unnest(list_transform(
+                   list_filter(generate_series(1, len(toks)),
+                     i -> list_contains(['he', 'she', 'it', 'they',
+                                         'him', 'her', 'them'], toks[i])),
+                   i -> {'pi': i, 'pr': toks[i],
+                         'ai': list_max(list_filter(ents,
+                                 x -> x < i AND i - x <= 200))})) AS r
+          FROM e
+        )
+        SELECT id, r.pi AS pronoun_idx, r.pr AS pronoun,
+               r.ai AS antecedent_idx, toks[r.ai] AS antecedent
+        FROM p
+    """
+    # FIM: the '0x'||hex-prefix cast is the verified bit-exact mirror of
+    # Spark's conv(substr(md5,1,15),16,10); DuckDB list slices are 1-based
+    # INCLUSIVE, matching slice(arr, start, length) re-expressed as [a:b]
+    d["fim"] = rf"""
+        WITH t AS (
+          SELECT doc_id AS id, string_split({_NORM}, ' ') AS toks
+          FROM documents
+        ),
+        f AS (SELECT id, toks, len(toks) AS n FROM t WHERE len(toks) >= 4),
+        c AS (
+          SELECT id, toks, n,
+            (('0x' || substr(md5(id || '|fim1'), 1, 15))::BIGINT % (n - 1)) + 1 AS u,
+            (('0x' || substr(md5(id || '|fim2'), 1, 15))::BIGINT % (n - 1)) + 1 AS v
+          FROM f
+        ),
+        s AS (SELECT id, toks, n, least(u, v)::INT AS split_a,
+                     greatest(u, v)::INT AS split_b FROM c),
+        parts AS (
+          SELECT id, n, split_a, split_b,
+                 array_to_string(toks[1:split_a], ' ') AS prefix,
+                 -- u = v makes the middle slice empty; DuckDB's
+                 -- array_to_string([]) is NULL where Spark's array_join
+                 -- is '' — coalesce to the Spark contract
+                 coalesce(array_to_string(toks[split_a+1:split_b], ' '), '')
+                   AS middle,
+                 array_to_string(toks[split_b+1:n], ' ') AS suffix
+          FROM s
+        )
+        SELECT id, n AS n_tokens, split_a, split_b, prefix, middle, suffix,
+               '<PRE> ' || prefix || ' <SUF> ' || suffix || ' <MID> ' || middle
+                 AS psm
+        FROM parts
+    """
+    d["span_corruption"] = rf"""
+        WITH t AS (
+          SELECT doc_id AS id, string_split({_NORM}, ' ') AS toks
+          FROM documents
+        ),
+        f AS (SELECT id, toks, len(toks) AS n FROM t WHERE len(toks) >= 10),
+        b AS (
+          SELECT id, toks, n, (n // 10)::INT AS nb,
+                 list_transform(generate_series(0, (n // 10)::INT - 1),
+                   k -> {{'k': k,
+                         'start': (k * 10 + (('0x' || substr(
+                             md5(id || '|' || k), 1, 15))::BIGINT % 8) + 1)::INT}})
+                   AS blocks
+          FROM f
+        )
+        SELECT id, n AS n_tokens, nb AS n_spans,
+               array_to_string(
+                 flatten(list_transform(blocks, s ->
+                   toks[s.k * 10 + 1 : s.start - 1]
+                   || ['<extra_id_' || s.k || '>']
+                   || toks[s.start + 3 : (s.k + 1) * 10]))
+                 || toks[nb * 10 + 1 : n], ' ') AS input,
+               array_to_string(list_transform(blocks, s ->
+                 '<extra_id_' || s.k || '> '
+                 || array_to_string(toks[s.start : s.start + 2], ' ')), ' ')
+                 AS target
+        FROM b
     """
     # sitemap parsing: islands first, fields per island (an entry with a
     # missing optional lastmod cannot desynchronize)

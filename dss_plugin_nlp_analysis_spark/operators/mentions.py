@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["extract_dates", "extract_quotes", "MONTHS", "DATE_PATTERNS"]
+__all__ = ["extract_dates", "extract_quotes", "resolve_pronouns", "MONTHS", "DATE_PATTERNS", "PRONOUNS"]
 
 MONTHS = [
     "January", "February", "March", "April", "May", "June",
@@ -150,4 +150,88 @@ def extract_quotes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col("m.speaker").alias("speaker"),
         F.col("m.quote").alias("quote"),
         F.col("m.pattern").alias("pattern"),
+    )
+
+
+# third-person English pronouns the nearest-antecedent heuristic resolves;
+# token match runs over the lowercased dedup normalization
+PRONOUNS = ("he", "she", "it", "they", "him", "her", "them")
+
+
+def resolve_pronouns(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    entities: list[str],
+    *,
+    max_distance: int = 20,
+) -> DataFrame:
+    """Heuristic pronoun resolution for KG triple recall: each pronoun
+    token resolves to the NEAREST PRECEDING entity token within
+    ``max_distance`` tokens — the classic recency baseline (Hobbs-style
+    search order collapsed to linear distance; no syntax, no agreement).
+    A coreference pass before relation extraction recovers the triples
+    whose subject is "he/she/it" rather than the entity surface form.
+
+    ``entities`` is a driver-side lexicon (ontology-object-scale by
+    contract, like the tagger's ontology and the stopword table — NOT a
+    corpus-derived set); matching is whole-token over the lowercased
+    dedup normalization. Returns (id, pronoun_idx, pronoun,
+    antecedent_idx, antecedent) — 1-based token indices, one row per
+    pronoun occurrence, antecedent NULL when no entity precedes within
+    the window (kept for recall accounting).
+
+    Scale shape: pure map, zero shuffle. The token array and the entity-
+    index array are BOTH materialized projections before any lambda
+    references them (HOF re-eval trap, TODO.md round 4); per-pronoun
+    work is O(|entity positions in doc|).
+    """
+    if not entities:
+        raise ValueError("entities lexicon must be non-empty")
+    if max_distance < 1:
+        raise ValueError(f"max_distance must be >= 1, got {max_distance}")
+    from dss_plugin_nlp_analysis_spark.operators.dedup import normalized_text
+
+    ent_arr = F.array(*[F.lit(e.lower()) for e in sorted(set(entities))])
+    pron_arr = F.array(*[F.lit(p) for p in PRONOUNS])
+    toks_df = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalized_text(F.col(text_col)), " ").alias("_toks"),
+    )
+    idx_df = toks_df.select(
+        "id",
+        "_toks",
+        F.filter(
+            F.sequence(F.lit(1), F.size("_toks")),
+            lambda i: F.array_contains(ent_arr, F.element_at(F.col("_toks"), i.cast("int"))),
+        ).alias("_ents"),
+    )
+    pron_rows = F.transform(
+        F.filter(
+            F.sequence(F.lit(1), F.size("_toks")),
+            lambda i: F.array_contains(pron_arr, F.element_at(F.col("_toks"), i.cast("int"))),
+        ),
+        lambda i: F.struct(
+            i.cast("int").alias("pronoun_idx"),
+            F.element_at(F.col("_toks"), i.cast("int")).alias("pronoun"),
+            F.array_max(
+                F.filter(
+                    F.col("_ents"),
+                    lambda e: (e < i) & (i - e <= max_distance),
+                )
+            ).cast("int").alias("antecedent_idx"),
+        ),
+    )
+    return idx_df.select(
+        "id", "_toks", F.explode(pron_rows).alias("r")
+    ).select(
+        "id",
+        F.col("r.pronoun_idx").alias("pronoun_idx"),
+        F.col("r.pronoun").alias("pronoun"),
+        F.col("r.antecedent_idx").alias("antecedent_idx"),
+        # F.get (0-based), NOT element_at: Spark 4.1.2's element_at with a
+        # NULL-evaluating computed index returns the LAST element instead
+        # of NULL (reproduced in tests/test_round5_ops3.py's probe note);
+        # get() handles NULL and out-of-bounds as NULL
+        F.get(F.col("_toks"), F.col("r.antecedent_idx") - 1).alias("antecedent"),
     )

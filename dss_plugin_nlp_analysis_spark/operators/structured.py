@@ -41,6 +41,7 @@ __all__ = [
     "extract_og",
     "extract_hreflang",
     "extract_tables",
+    "extract_microdata",
     "jsonld_block",
 ]
 
@@ -202,4 +203,69 @@ def extract_tables(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
         "col_idx",
         F.trim(F.col("c.txt")).alias("cell"),
         (F.col("c.tag") == "th").alias("is_header"),
+    )
+
+
+# schema.org MICRODATA (the third embedding syntax next to JSON-LD and
+# OpenGraph): itemscope types plus the two canonical itemprop carriers —
+# <meta itemprop content=...> (attribute form) and simple
+# <span/div/h1/time itemprop>text</> (text form). Attribute order frozen
+# to the canonical emission; nested markup inside a text-form value is
+# not crossed ([^<]* keeps the patterns in the Java∩RE2 subset), same
+# contract as extract_tables cells.
+_MICRO_TYPE_RE = r'itemtype="https?://schema\.org/([A-Za-z]+)"'
+_MICRO_META_RE = r'<meta itemprop="([A-Za-z]+)" content="([^"]*)"'
+_MICRO_TEXT_RE = r'<(?:span|div|h1|time) itemprop="([A-Za-z]+)"[^>]*>([^<]*)<'
+
+
+def extract_microdata(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """schema.org microdata as (id, itemprop, value, src) rows — src is
+    'type' (itemscope itemtype, itemprop literal '@type'), 'attr'
+    (meta/content form), or 'text' (inline-element form), in document
+    order within each form. Pages without microdata emit no row.
+
+    Same structural-parity formulation as ``extract_og``: one
+    regexp_extract_all per capture group, zipped and exploded — the
+    DuckDB oracle runs the identical patterns, so the gate checks the
+    EXTRACTION, not a reimplementation. Pure map, zero shuffle.
+    """
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    types = F.transform(
+        F.regexp_extract_all(html, F.lit(_MICRO_TYPE_RE), 1),
+        lambda t: F.struct(
+            F.lit("@type").alias("itemprop"),
+            t.alias("value"),
+            F.lit("type").alias("src"),
+        ),
+    )
+    metas = F.transform(
+        F.arrays_zip(
+            F.regexp_extract_all(html, F.lit(_MICRO_META_RE), 1).alias("k"),
+            F.regexp_extract_all(html, F.lit(_MICRO_META_RE), 2).alias("v"),
+        ),
+        lambda kv: F.struct(
+            kv["k"].alias("itemprop"),
+            kv["v"].alias("value"),
+            F.lit("attr").alias("src"),
+        ),
+    )
+    texts = F.transform(
+        F.arrays_zip(
+            F.regexp_extract_all(html, F.lit(_MICRO_TEXT_RE), 1).alias("k"),
+            F.regexp_extract_all(html, F.lit(_MICRO_TEXT_RE), 2).alias("v"),
+        ),
+        lambda kv: F.struct(
+            kv["k"].alias("itemprop"),
+            kv["v"].alias("value"),
+            F.lit("text").alias("src"),
+        ),
+    )
+    rows = F.concat(types, metas, texts)
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(rows).alias("r")
+    ).select(
+        "id",
+        F.col("r.itemprop").alias("itemprop"),
+        F.col("r.value").alias("value"),
+        F.col("r.src").alias("src"),
     )

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from .dedup import exploded_shingles, normalized_text
 
-__all__ = ["skipgram_pairs", "pack_sequences", "dsir_weights", "ict_pairs"]
+__all__ = ["skipgram_pairs", "pack_sequences", "dsir_weights", "ict_pairs", "fim_transform", "span_corruption"]
 
 
 def skipgram_pairs(
@@ -301,4 +301,181 @@ def ict_pairs(
             ". ",
             F.filter("sents", lambda x, j: j != F.col("best.i")),
         ).alias("context"),
+    )
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_tokens: int = 4,
+) -> DataFrame:
+    """Fill-In-the-Middle training transform (Bavarian et al., "Efficient
+    Training of Language Models to Fill in the Middle", 2022): split each
+    document at two deterministic token cuts into (prefix, middle,
+    suffix) and emit the PSM re-ordering the paper trains on.
+
+    Cut points are md5-derived — ``u = md5int(id|fim1) mod (n-1) + 1``
+    and likewise ``v`` with salt fim2, then ``s1 = least(u, v)``,
+    ``s2 = greatest(u, v)`` — so the transform is reproducible on any
+    engine and stable under repartitioning (never a Math.random). Tokens
+    are single-space splits of the dedup normalization; prefix =
+    tokens[1..s1], middle = tokens[s1+1..s2] (empty when u = v), suffix
+    = tokens[s2+1..n]. Documents with fewer than ``min_tokens`` tokens
+    emit nothing.
+
+    Returns (id, n_tokens, split_a, split_b, prefix, middle, suffix,
+    psm) where psm = ``<PRE> prefix <SUF> suffix <MID> middle``.
+
+    Scale shape: pure map, zero shuffle; the token array is a
+    materialized projection before any slice references it.
+    """
+    if min_tokens < 2:
+        raise ValueError("min_tokens must be >= 2 (need two cut positions)")
+
+    def _cut(salt: str) -> "F.Column":
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.col("id"), F.lit(salt))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        return (F.pmod(h, F.size("_toks") - 1) + 1).cast("int")
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalized_text(F.col(text_col)), " ").alias("_toks"),
+    ).where(F.size("_toks") >= min_tokens)
+    cuts = toks.select(
+        "id", "_toks", _cut("fim1").alias("_u"), _cut("fim2").alias("_v")
+    ).select(
+        "id",
+        "_toks",
+        F.least("_u", "_v").alias("split_a"),
+        F.greatest("_u", "_v").alias("split_b"),
+    )
+    prefix = F.array_join(F.slice("_toks", 1, F.col("split_a")), " ")
+    middle = F.array_join(
+        F.slice(
+            "_toks", F.col("split_a") + 1, F.col("split_b") - F.col("split_a")
+        ),
+        " ",
+    )
+    suffix = F.array_join(
+        F.slice(
+            "_toks", F.col("split_b") + 1, F.size("_toks") - F.col("split_b")
+        ),
+        " ",
+    )
+    return cuts.select(
+        "id",
+        F.size("_toks").alias("n_tokens"),
+        "split_a",
+        "split_b",
+        prefix.alias("prefix"),
+        middle.alias("middle"),
+        suffix.alias("suffix"),
+        F.concat(
+            F.lit("<PRE> "), prefix, F.lit(" <SUF> "), suffix,
+            F.lit(" <MID> "), middle,
+        ).alias("psm"),
+    )
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    block: int = 10,
+    span: int = 3,
+) -> DataFrame:
+    """T5-style span-corruption pairs (Raffel et al., JMLR 2020): mask one
+    ``span``-token run per ``block``-token block, replacing it with a
+    numbered sentinel, and emit the (input, target) pair — target =
+    sentinel-prefixed masked spans in order.
+
+    T5 samples span starts; a cross-engine-reproducible pipeline cannot
+    (RNG state differs), so the start offset WITHIN each block is
+    md5-derived: ``off = md5int(id|block_idx) mod (block - span + 1)``.
+    Corruption rate is exactly span/block (default 30%, the T5 paper's
+    15% doubled default is reachable via span/block); a trailing partial
+    block shorter than ``span`` tokens is left uncorrupted. Documents
+    with fewer than ``block`` tokens emit nothing (no full block to
+    corrupt). Sentinels are ``<extra_id_K>``, K = block index (0-based).
+
+    Returns (id, n_tokens, n_spans, input, target).
+
+    Scale shape: pure map, zero shuffle — block index sequence +
+    per-block md5 offsets computed over a materialized token array; the
+    input re-assembles via one flatten/transform pass (per-element work
+    is O(1) element_at against bound attributes).
+    """
+    if span < 1 or block < 2 or span >= block:
+        raise ValueError(f"need 1 <= span < block (got span={span}, block={block})")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalized_text(F.col(text_col)), " ").alias("_toks"),
+    ).where(F.size("_toks") >= block)
+    n = F.size("_toks")
+    arr = F.col("_toks")
+    n_full = toks.select("id", "_toks", (n / block).cast("int").alias("_nb"))
+    # per-block struct: start position (1-based) of the masked span
+    blocks = F.transform(
+        F.sequence(F.lit(0), F.col("_nb") - 1),
+        lambda b: F.struct(
+            b.cast("int").alias("k"),
+            (
+                b * block
+                + F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("|", F.col("id"), b.cast("string"))),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(block - span + 1),
+                )
+                + 1
+            ).cast("int").alias("start"),
+        ),
+    )
+    staged = n_full.select("id", "_toks", "_nb", blocks.alias("_blocks"))
+    # input: walk the blocks; per block emit [kept-before, sentinel,
+    # kept-after]; then the trailing partial block verbatim
+    per_block = F.transform(
+        F.col("_blocks"),
+        lambda s: F.concat(
+            F.slice(arr, s["k"] * block + 1, s["start"] - (s["k"] * block + 1)),
+            F.array(
+                F.concat(F.lit("<extra_id_"), s["k"].cast("string"), F.lit(">"))
+            ),
+            F.slice(
+                arr,
+                s["start"] + span,
+                (s["k"] + 1) * block - (s["start"] + span) + 1,
+            ),
+        ),
+    )
+    tail = F.slice(
+        arr, F.col("_nb") * block + 1, F.size(arr) - F.col("_nb") * block
+    )
+    inp = F.array_join(F.concat(F.flatten(per_block), tail), " ")
+    target_parts = F.transform(
+        F.col("_blocks"),
+        lambda s: F.concat_ws(
+            " ",
+            F.concat(F.lit("<extra_id_"), s["k"].cast("string"), F.lit(">")),
+            F.array_join(F.slice(arr, s["start"], span), " "),
+        ),
+    )
+    return staged.select(
+        "id",
+        F.size("_toks").alias("n_tokens"),
+        F.col("_nb").alias("n_spans"),
+        inp.alias("input"),
+        F.array_join(target_parts, " ").alias("target"),
     )

@@ -580,3 +580,64 @@ def test_corpus_mixture_windows_only_on_group_dim(spark, docs):
     # aggregated dim: assert the aggregate happens below the window
     assert plan.index("HashAggregate") > plan.index("Window"), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_microdata_zero_shuffle_no_python(spark, docs):
+    """Microdata extraction is zipped regexp passes + one explode — no
+    exchange, no Python, at any corpus size."""
+    from dss_plugin_nlp_analysis_spark.operators.structured import (
+        extract_microdata,
+    )
+
+    pages = docs.select("doc_id", F.col("text").alias("html"))
+    plan = plan_of(extract_microdata(pages, "doc_id", "html"))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_resolve_pronouns_zero_shuffle(spark, docs):
+    """Pronoun resolution is a pure map: lexicon ships as an array
+    literal (never a join), token + entity-index arrays are materialized
+    projections — no exchange."""
+    from dss_plugin_nlp_analysis_spark.operators.mentions import (
+        resolve_pronouns,
+    )
+
+    plan = plan_of(resolve_pronouns(docs, "doc_id", "text", ["alpha"]))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_amie_rules_equi_joins_only(spark, docs):
+    """Rule mining must plan as equi-joins (mid composition, head match,
+    body-size re-join) — no cartesian/nested-loop product anywhere."""
+    from dss_plugin_nlp_analysis_spark.operators.rules import amie_rules
+
+    # predicates must VARY: a literal pred constant-folds the (p1, p2)
+    # equi-join keys and the body_size re-join legitimately degenerates
+    # to a cartesian — real triple tables have predicate columns
+    t = docs.select(
+        F.concat(F.lit("e"), (F.col("doc_id") % 50).cast("string")).alias("subj"),
+        F.concat(F.lit("p"), (F.col("doc_id") % 3).cast("string")).alias("pred"),
+        F.concat(F.lit("e"), (F.col("doc_id") % 10).cast("string")).alias("obj"),
+    )
+    plan = plan_of(amie_rules(t))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_fim_and_span_corruption_zero_shuffle(spark, docs):
+    """Both training transforms are pure maps over materialized token
+    arrays — no exchange, no Python."""
+    from dss_plugin_nlp_analysis_spark.operators.trainprep import (
+        fim_transform,
+        span_corruption,
+    )
+
+    for out in (
+        fim_transform(docs, "doc_id", "text"),
+        span_corruption(docs, "doc_id", "text"),
+    ):
+        plan = plan_of(out)
+        assert "Exchange" not in plan, plan
+        assert "EvalPython" not in plan, plan

@@ -253,3 +253,70 @@ def test_corpus_mixture_excludes_null_groups_and_validates(spark):
     assert [r.group for r in rows] == ["en"]
     with pytest.raises(ValueError, match="budget"):
         corpus_mixture(df, "lang", budget=-1)
+
+
+# --------------------------------------------------- fim / span_corruption
+
+
+def test_fim_reassembles_to_original(spark):
+    from dss_plugin_nlp_analysis_spark.operators.trainprep import fim_transform
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    df = _docs(spark, [(1, text), (2, text)])
+    for r in fim_transform(df, "id", "text").collect():
+        rebuilt = " ".join(x for x in (r.prefix, r.middle, r.suffix) if x)
+        assert rebuilt == text
+        assert 1 <= r.split_a <= r.split_b <= r.n_tokens - 1
+        assert r.psm == f"<PRE> {r.prefix} <SUF> {r.suffix} <MID> {r.middle}"
+    # md5-derived cuts: same text, different ids -> independent cuts, and
+    # reruns are identical
+    one = {r.id: (r.split_a, r.split_b) for r in fim_transform(df, "id", "text").collect()}
+    two = {r.id: (r.split_a, r.split_b) for r in fim_transform(df, "id", "text").collect()}
+    assert one == two
+
+
+def test_fim_short_docs_dropped_and_validation(spark):
+    from dss_plugin_nlp_analysis_spark.operators.trainprep import fim_transform
+
+    df = _docs(spark, [(1, "one two three"), (2, ""), (3, None)])
+    assert fim_transform(df, "id", "text", min_tokens=4).count() == 0
+    with pytest.raises(ValueError, match="min_tokens"):
+        fim_transform(df, "id", "text", min_tokens=1)
+
+
+def test_span_corruption_structure(spark):
+    from dss_plugin_nlp_analysis_spark.operators.trainprep import (
+        span_corruption,
+    )
+
+    toks = [f"w{i}" for i in range(23)]  # 2 full blocks + 3-token tail
+    df = _docs(spark, [(1, " ".join(toks))])
+    r = span_corruption(df, "id", "text", block=10, span=3).collect()[0]
+    assert (r.n_tokens, r.n_spans) == (23, 2)
+    inp = r.input.split(" ")
+    # each full block lost 3 tokens and gained 1 sentinel; tail intact
+    assert len(inp) == 23 - 2 * 3 + 2
+    assert "<extra_id_0>" in inp and "<extra_id_1>" in inp
+    assert inp[-3:] == toks[20:]
+    # target carries exactly the masked tokens, in block order
+    tgt = r.target.split(" ")
+    assert tgt[0] == "<extra_id_0>" and tgt[4] == "<extra_id_1>"
+    masked = [t for t in tgt if not t.startswith("<extra_id_")]
+    assert len(masked) == 6
+    # input + target tokens = original multiset
+    kept = [t for t in inp if not t.startswith("<extra_id_")]
+    assert sorted(kept + masked) == sorted(toks)
+    # masked run is contiguous and inside its block
+    i0 = toks.index(masked[0])
+    assert masked[:3] == toks[i0:i0 + 3] and i0 + 3 <= 10
+
+
+def test_span_corruption_short_docs_and_validation(spark):
+    from dss_plugin_nlp_analysis_spark.operators.trainprep import (
+        span_corruption,
+    )
+
+    df = _docs(spark, [(1, "a b c"), (2, None)])
+    assert span_corruption(df, "id", "text", block=10, span=3).count() == 0
+    with pytest.raises(ValueError, match="span"):
+        span_corruption(df, "id", "text", block=5, span=5)
