@@ -2811,6 +2811,52 @@ def _q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_corruption(docs, "doc_id", "text", block=10, span=3)
 
 
+def _q_mirror_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site detection over a synthesized multi-domain corpus: every
+    even doc is mirrored on a sibling m-domain, and a 'template page'
+    served by ALL domains exercises the fingerprint-fanout cap (dropped
+    before pairing AND excluded from the per-domain sizes)."""
+    from dss_plugin_nlp_analysis_spark.operators.url import mirror_domains
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    dom_d = F.concat(F.lit("d"), (d % 20).cast("string"))
+    dom_m = F.concat(F.lit("m"), (d % 20).cast("string"))
+    base = docs.select(dom_d.alias("domain"), F.col("text"))
+    mirror = docs.where(d % 2 == 0).select(dom_m.alias("domain"), F.col("text"))
+    template = docs.select(dom_d.alias("domain"), F.lit("template page").alias("text"))
+    corpus = base.union(mirror).union(template)
+    return mirror_domains(
+        corpus, "domain", "text", min_shared=5, max_fp_domains=3
+    )
+
+
+def _q_translation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext candidates from declared alternates: every third page
+    declares its successor as a translation (some same-language — dropped;
+    some length-asymmetric — dropped by the ratio filter); reverse
+    declarations on every sixth page collapse via the least/greatest
+    pair key."""
+    from dss_plugin_nlp_analysis_spark.operators.url import translation_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://ex.org/p"), d.cast("string"))
+    succ = F.concat(F.lit("https://ex.org/p"), (d + 1).cast("string"))
+    pages = docs.select(
+        url.alias("url"),
+        F.col("lang"),
+        F.size(F.split(normalized_text(F.col("text")), " ")).alias("n_tokens"),
+    )
+    fwd = docs.where(d % 3 == 0).select(
+        url.alias("id"), F.lit("x").alias("hreflang"), succ.alias("href")
+    )
+    rev = docs.where(d % 6 == 0).select(
+        succ.alias("id"), F.lit("x").alias("hreflang"), url.alias("href")
+    )
+    return translation_pairs(pages, fwd.union(rev))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -2852,6 +2898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pronoun_coref": _q_pronoun_coref,
         "fim": _q_fim,
         "span_corruption": _q_span_corruption,
+        "mirror_domains": _q_mirror_domains,
+        "translation_pairs": _q_translation_pairs,
         "taxonomy_edges": _q_taxonomy_edges,
         "html_tables": _q_html_tables,
         "date_mentions": _q_date_mentions,
@@ -4161,6 +4209,67 @@ def oracle_sql() -> dict[str, str]:
                  || array_to_string(toks[s.start : s.start + 2], ' ')), ' ')
                  AS target
         FROM b
+    """
+    d["mirror_domains"] = rf"""
+        WITH corpus AS (
+          SELECT 'd' || (doc_id % 20) AS domain, text FROM documents
+          UNION ALL
+          SELECT 'm' || (doc_id % 20), text FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT 'd' || (doc_id % 20), 'template page' FROM documents
+        ),
+        pages AS (
+          SELECT DISTINCT domain, md5({_NORM}) AS fp
+          FROM corpus WHERE domain IS NOT NULL
+        ),
+        rare AS (SELECT fp FROM pages GROUP BY fp HAVING count(*) <= 3),
+        kept AS (SELECT pages.domain, pages.fp FROM pages JOIN rare USING (fp)),
+        sizes AS (SELECT domain, count(*)::BIGINT AS n FROM kept GROUP BY 1),
+        prs AS (
+          SELECT a.domain AS domain_a, b.domain AS domain_b,
+                 count(*)::BIGINT AS shared
+          FROM kept a JOIN kept b
+            ON a.fp = b.fp AND a.domain < b.domain
+          GROUP BY 1, 2 HAVING count(*) >= 5
+        )
+        SELECT domain_a, domain_b, shared, sa.n AS n_a, sb.n AS n_b,
+               (1000000 * shared) // least(sa.n, sb.n) AS overlap_ppm
+        FROM prs
+        JOIN sizes sa ON sa.domain = prs.domain_a
+        JOIN sizes sb ON sb.domain = prs.domain_b
+    """
+    d["translation_pairs"] = rf"""
+        WITH pages AS (
+          SELECT 'https://ex.org/p' || doc_id AS u, lang AS l,
+                 len(string_split({_NORM}, ' '))::BIGINT AS n
+          FROM documents
+        ),
+        alt AS (
+          SELECT 'https://ex.org/p' || doc_id AS src,
+                 'https://ex.org/p' || (doc_id + 1) AS dst
+          FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT 'https://ex.org/p' || (doc_id + 1),
+                 'https://ex.org/p' || doc_id
+          FROM documents WHERE doc_id % 6 = 0
+        ),
+        edges AS (
+          SELECT DISTINCT least(src, dst) AS url_a, greatest(src, dst) AS url_b
+          FROM alt WHERE src != dst
+        ),
+        j AS (
+          SELECT url_a, url_b, pa.l AS lang_a, pb.l AS lang_b,
+                 pa.n AS len_a, pb.n AS len_b
+          FROM edges
+          JOIN pages pa ON pa.u = url_a AND pa.n > 0
+          JOIN pages pb ON pb.u = url_b AND pb.n > 0
+          WHERE pa.l != pb.l
+        )
+        SELECT url_a, url_b, lang_a, lang_b, len_a, len_b,
+               (100 * greatest(len_a, len_b)) // least(len_a, len_b)
+                 AS len_ratio_pct
+        FROM j
+        WHERE (100 * greatest(len_a, len_b)) // least(len_a, len_b) <= 300
     """
     # sitemap parsing: islands first, fields per island (an entry with a
     # missing optional lastmod cannot desynchronize)

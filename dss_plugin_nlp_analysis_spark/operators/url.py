@@ -35,6 +35,8 @@ __all__ = [
     "snapshot_diff",
     "resolve_canonical",
     "crawl_frontier",
+    "mirror_domains",
+    "translation_pairs",
 ]
 
 _FRAGMENT = r"#.*$"
@@ -318,4 +320,157 @@ def crawl_frontier(
             F.count_distinct("src_dom").alias("n_src_domains"),
         )
         .where(F.col("n_inlinks") >= min_inlinks)
+    )
+
+
+def mirror_domains(
+    df: DataFrame,
+    domain_col: str,
+    text_col: str,
+    *,
+    min_shared: int = 2,
+    max_fp_domains: int = 100,
+) -> DataFrame:
+    """Mirror-site detection: domain pairs serving >= ``min_shared``
+    byte-identical pages (after dedup normalization) — the crawl-curation
+    signal behind www/m/amp/CDN mirrors and wholesale site scrapes, which
+    exact per-URL dedup misses (different urls, same corpus-inflating
+    content).
+
+    Returns (domain_a, domain_b, shared, n_a, n_b, overlap_ppm) with
+    domain_a < domain_b; n_a/n_b are each domain's DISTINCT fingerprint
+    counts and overlap_ppm = 1e6·shared div least(n_a, n_b) (containment
+    form — a small mirror fully contained in a big site scores 1e6).
+
+    ``max_fp_domains`` drops fingerprints served by more than that many
+    domains BEFORE the pair join (empty pages, parked-domain templates,
+    shared boilerplate: a fingerprint on 10^5 domains contributes 10^10
+    pairs and says "template", not "mirror") — the posting-list cap every
+    pair-generation op in this repo applies; capped fingerprints are
+    excluded from ``shared`` AND from n_a/n_b, so overlap_ppm stays an
+    honest ratio over the discriminative fingerprint set.
+
+    Scale shape: distinct (domain, fp) projection, a combinable
+    per-fingerprint domain count for the cap, one fp-keyed self-equi-join
+    (bounded by max_fp_domains² per fingerprint), one pair groupBy.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    from .dedup import fingerprint
+
+    pages = (
+        df.select(
+            F.col(domain_col).alias("domain"),
+            fingerprint(F.col(text_col)).alias("fp"),
+        )
+        .where(F.col("domain").isNotNull())
+        .distinct()
+    )
+    rare = (
+        pages.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") <= max_fp_domains)
+        .select("fp")
+    )
+    kept = pages.join(rare, "fp")
+    sizes = kept.groupBy("domain").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.domain") < F.col("b.domain")),
+        )
+        .groupBy(
+            F.col("a.domain").alias("domain_a"),
+            F.col("b.domain").alias("domain_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("domain").alias("domain_a"), F.col("n").alias("n_a")),
+            "domain_a",
+        )
+        .join(
+            sizes.select(F.col("domain").alias("domain_b"), F.col("n").alias("n_b")),
+            "domain_b",
+        )
+        .select(
+            "domain_a",
+            "domain_b",
+            "shared",
+            "n_a",
+            "n_b",
+            F.expr("(1000000 * shared) div least(n_a, n_b)").alias("overlap_ppm"),
+        )
+    )
+
+
+def translation_pairs(
+    pages: DataFrame,
+    alternates: DataFrame,
+    *,
+    url_col: str = "url",
+    lang_col: str = "lang",
+    len_col: str = "n_tokens",
+    max_len_ratio_pct: int = 300,
+) -> DataFrame:
+    """Bitext candidate mining from publisher-declared hreflang
+    alternates: join each page's declared translation target back to the
+    crawled corpus and keep cross-language pairs whose token lengths are
+    within ``max_len_ratio_pct`` (longer·100 div shorter — translations
+    run 1-2×, scrapes and redirects don't). The standard first stage of
+    parallel-corpus construction (WikiMatrix/CCAligned harvest shape:
+    publisher metadata for recall, a cheap symmetry filter for
+    precision).
+
+    ``pages``: one row per crawled url with its language and token count
+    (url_col/lang_col/len_col). ``alternates``: (id, hreflang, href) as
+    produced by ``structured.extract_hreflang`` with the source page's
+    URL passed as its id_col. Returns (url_a,
+    url_b, lang_a, lang_b, len_a, len_b, len_ratio_pct) with url_a <
+    url_b (each bidirectional declaration collapses to one row),
+    same-language alternates dropped (regional variants en-US/en-GB of
+    one language are dedup fodder, not bitext), zero-length sides
+    dropped.
+
+    Scale shape: two url equi-joins + one distinct — no windows, no
+    Python; both join keys are urls (uniform by construction).
+    """
+    if max_len_ratio_pct < 100:
+        raise ValueError("max_len_ratio_pct must be >= 100")
+    p = pages.select(
+        F.col(url_col).alias("u"),
+        F.col(lang_col).alias("l"),
+        F.col(len_col).cast("long").alias("n"),
+    ).where(F.col("u").isNotNull() & (F.col("n") > 0))
+    edges = (
+        alternates.select(
+            F.col("id").alias("src"), F.col("href").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("url_a"),
+            F.greatest("src", "dst").alias("url_b"),
+        )
+        .distinct()
+    )
+    return (
+        edges.join(
+            p.select(F.col("u").alias("url_a"), F.col("l").alias("lang_a"), F.col("n").alias("len_a")),
+            "url_a",
+        )
+        .join(
+            p.select(F.col("u").alias("url_b"), F.col("l").alias("lang_b"), F.col("n").alias("len_b")),
+            "url_b",
+        )
+        .where(F.col("lang_a") != F.col("lang_b"))
+        .withColumn(
+            "len_ratio_pct",
+            F.expr("(100 * greatest(len_a, len_b)) div least(len_a, len_b)"),
+        )
+        .where(F.col("len_ratio_pct") <= max_len_ratio_pct)
+        .select("url_a", "url_b", "lang_a", "lang_b", "len_a", "len_b", "len_ratio_pct")
     )

@@ -641,3 +641,33 @@ def test_fim_and_span_corruption_zero_shuffle(spark, docs):
         plan = plan_of(out)
         assert "Exchange" not in plan, plan
         assert "EvalPython" not in plan, plan
+
+
+def test_mirror_domains_capped_equi_join_only(spark, docs):
+    """Mirror detection must pair via the fp equi-join (no cartesian),
+    with the fanout cap applied BEFORE the self-join."""
+    from dss_plugin_nlp_analysis_spark.operators.url import mirror_domains
+
+    corpus = docs.select(
+        (F.col("doc_id") % 20).cast("string").alias("domain"), "text"
+    )
+    plan = plan_of(mirror_domains(corpus, "domain", "text"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_translation_pairs_equi_joins_no_python(spark, docs):
+    from dss_plugin_nlp_analysis_spark.operators.url import translation_pairs
+
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"), "lang",
+        F.lit(10).alias("n_tokens"),
+    )
+    alts = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.lit("x").alias("hreflang"),
+        (F.col("doc_id") + 1).cast("string").alias("href"),
+    )
+    plan = plan_of(translation_pairs(pages, alts))
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -178,3 +178,74 @@ def test_pronouns_validation(spark):
 def test_pronouns_docs_without_pronouns_emit_nothing(spark):
     df = _docs(spark, [(1, "alpha met beta"), (2, ""), (3, None)])
     assert resolve_pronouns(df, "id", "text", ["alpha"]).count() == 0
+
+
+# ---------------------------------------------------------- mirror_domains
+
+
+def test_mirror_domains_detects_and_caps(spark):
+    from dss_plugin_nlp_analysis_spark.operators.url import mirror_domains
+
+    rows = []
+    for i in range(6):
+        rows.append(("a.com", f"page {i}"))
+        rows.append(("b.com", f"page {i}"))  # full mirror of a.com
+    rows.append(("b.com", "b only"))
+    rows.append(("c.com", "unrelated"))
+    # a template every domain serves: must not create pairs at cap 2
+    for dom in ("a.com", "b.com", "c.com", "d.com"):
+        rows.append((dom, "shared template"))
+    df = spark.createDataFrame(rows, "domain string, text string")
+    out = mirror_domains(df, "domain", "text", min_shared=2, max_fp_domains=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.domain_a, r.domain_b, r.shared) == ("a.com", "b.com", 6)
+    # template fp excluded from sizes too: a=6 not 7, b=7 not 8
+    assert (r.n_a, r.n_b) == (6, 7)
+    assert r.overlap_ppm == 1_000_000  # a.com fully contained
+
+
+def test_mirror_domains_normalization_and_validation(spark):
+    from dss_plugin_nlp_analysis_spark.operators.url import mirror_domains
+
+    df = spark.createDataFrame(
+        [("x.com", "Hello  World"), ("y.com", "hello world"), (None, "hello world")],
+        "domain string, text string",
+    )
+    out = mirror_domains(df, "domain", "text", min_shared=1).collect()
+    assert [(r.domain_a, r.domain_b) for r in out] == [("x.com", "y.com")]
+    with pytest.raises(ValueError, match="min_shared"):
+        mirror_domains(df, "domain", "text", min_shared=0)
+
+
+# ------------------------------------------------------- translation_pairs
+
+
+def test_translation_pairs_filters_and_collapses(spark):
+    from dss_plugin_nlp_analysis_spark.operators.url import translation_pairs
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", "en", 100), ("u2", "de", 120),   # good pair
+            ("u3", "en", 100), ("u4", "en", 100),   # same lang -> dropped
+            ("u5", "en", 100), ("u6", "fr", 500),   # ratio 500 -> dropped
+            ("u7", "en", 0),   ("u8", "es", 50),    # zero length -> dropped
+        ],
+        "url string, lang string, n_tokens int",
+    )
+    alts = spark.createDataFrame(
+        [
+            ("u1", "x", "u2"), ("u2", "x", "u1"),  # bidirectional -> one row
+            ("u3", "x", "u4"),
+            ("u5", "x", "u6"),
+            ("u7", "x", "u8"),
+        ],
+        "id string, hreflang string, href string",
+    )
+    out = translation_pairs(pages, alts)
+    rows = out.collect()
+    assert [(r.url_a, r.url_b, r.lang_a, r.lang_b, r.len_ratio_pct) for r in rows] == [
+        ("u1", "u2", "en", "de", 120)
+    ]
+    with pytest.raises(ValueError, match="max_len_ratio_pct"):
+        translation_pairs(pages, alts, max_len_ratio_pct=50)
