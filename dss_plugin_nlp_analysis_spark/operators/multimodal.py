@@ -11,8 +11,10 @@ the sandbox (functions/imagecodec.py, dependency-free):
   REAL decode + nearest-neighbor resample for the uncompressed formats
   (BMP 24/32-bit BI_RGB, PPM/PGM binary and ASCII).
 
-The remaining ``NotImplementedError`` seam is compressed pixel data
-(PNG inflate, JPEG entropy decode, GIF LZW) — plug Pillow/torchvision
+The remaining ``NotImplementedError`` seam is JPEG entropy decode only
+(round 5 made PNG real via stdlib-zlib inflate + spec un-filtering and
+GIF real via pure-Python LZW — functions/imagecodec.py); for JPEG plug
+Pillow/torchvision
 there; everything else, including the formats' metadata, works without
 any library.
 
@@ -95,7 +97,7 @@ def _resize_one(buf: bytes, w: int, h: int) -> bytes:
     payload scaling (area ratio, min 1 byte for non-empty payloads).
     Real decodable formats (BMP/PPM/PGM): actual nearest-neighbor pixel
     resample, re-encoded in the same container. Compressed formats raise
-    at imagecodec.decode_rgb (the library seam)."""
+    at imagecodec.decode_rgb (JPEG is the one remaining library seam)."""
     b = bytes(buf)
     if b.startswith(b"IMG|"):
         ow, oh, fmt, _n = _decode_header(b)

@@ -109,9 +109,18 @@ def test_pgm_decodes_as_replicated_gray():
 
 
 def test_compressed_pixels_raise_with_format_named():
+    # JPEG is the one remaining entropy-decode seam (PNG/GIF are real now)
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 480, 640, 3) + b"\x00" * 6
+        + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        decode_rgb(jpeg)
+    # a PNG with no pixel data names the gap too
     ihdr = struct.pack(">II", 8, 8) + b"\x08\x02\x00\x00\x00"
     png = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4
-    with pytest.raises(NotImplementedError, match="png"):
+    with pytest.raises(NotImplementedError, match="IDAT"):
         decode_rgb(png)
 
 
@@ -193,3 +202,201 @@ def test_decode_channel_sums_matches_numpy(spark):
         assert rows[i]["width"] == 5 and rows[i]["height"] == 6
         for c, name in enumerate(["sum_r", "sum_g", "sum_b"]):
             assert rows[i][name] == int(a[:, :, c].astype(np.int64).sum())
+
+
+# --- PNG: real pixel decode (round 5) --------------------------------------
+
+from dss_plugin_nlp_analysis_spark.functions.imagecodec import encode_png
+
+
+def _png(w, h, ctype, raw_scanlines, plte=None):
+    """Assemble a PNG from pre-filtered scanline bytes (reference bytes
+    built in the test, compressed here with stdlib zlib)."""
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    )
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(raw_scanlines)) + chunk(b"IEND", b"")
+
+
+def test_png_roundtrip_filter0():
+    a = _arr(9, 7)
+    out = decode_rgb(encode_png(a))
+    assert np.array_equal(out, a)
+
+
+def _forward_filter(img, ftypes):
+    """Reference FORWARD filtering (PNG spec §6): produce the raw stream
+    a conformant encoder would emit for the given per-row filter types."""
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row = flat[y]
+        f = ftypes[y % len(ftypes)]
+        enc = np.zeros(stride, dtype=np.int32)
+        for i in range(stride):
+            a = int(row[i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if i >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[i] = (int(row[i]) - pred) & 0xFF
+        raw.append(f)
+        raw += bytes(int(v) for v in enc)
+        prev = row
+    return bytes(raw)
+
+
+@pytest.mark.parametrize("ftypes", [[1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_all_filters_reconstruct(ftypes):
+    a = _arr(6, 5, seed=ftypes[0] + 11)
+    png = _png(5, 6, 2, _forward_filter(a, ftypes))
+    assert np.array_equal(decode_rgb(png), a)
+
+
+def test_png_gray_palette_alpha_color_types():
+    # gray (ctype 0): replicated channels
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    png = _png(4, 3, 0, _forward_filter(g, [0]))
+    out = decode_rgb(png)
+    assert np.array_equal(out, np.repeat(g, 3, axis=2))
+    # palette (ctype 3)
+    pal = bytes(range(30))  # 10 palette entries
+    idx = (np.arange(12, dtype=np.uint8) % 10).reshape(3, 4, 1)
+    png = _png(4, 3, 3, _forward_filter(idx, [0]), plte=pal)
+    expect = np.frombuffer(pal, np.uint8).reshape(-1, 3)[idx[:, :, 0]]
+    assert np.array_equal(decode_rgb(png), expect)
+    # RGBA (ctype 6): alpha dropped
+    a = _arr(3, 4)
+    rgba = np.concatenate([a, np.full((3, 4, 1), 200, np.uint8)], axis=2)
+    png = _png(4, 3, 6, _forward_filter(rgba, [0, 4]))
+    assert np.array_equal(decode_rgb(png), a)
+    # gray+alpha (ctype 4)
+    ga = np.concatenate([g, np.full((3, 4, 1), 9, np.uint8)], axis=2)
+    png = _png(4, 3, 4, _forward_filter(ga, [2]))
+    assert np.array_equal(decode_rgb(png), np.repeat(g, 3, axis=2))
+
+
+def test_png_interlaced_and_16bit_raise():
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 16, 2, 0, 0, 0)
+    import zlib
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        + struct.pack(">I", 0) + b"IDAT" + struct.pack(">I", zlib.crc32(b"IDAT") & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError, match="depth"):
+        decode_rgb(png)
+
+
+# --- GIF: real pixel decode (round 5) --------------------------------------
+
+
+def _gif_lzw_encode(indices, min_code):
+    """Reference 'uncompressed' LZW: every pixel as a literal code, with
+    a CLEAR emitted whenever the table would force a width increase —
+    the classic trick that keeps the encoder trivial and the stream
+    conformant."""
+    clear = 1 << min_code
+    end = clear + 1
+    code_size = min_code + 1
+    out = bytearray()
+    buf = nbits = 0
+
+    def emit(code):
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    emit(clear)
+    budget = (1 << code_size) - len(range(clear)) - 2 - 1
+    for px in indices:
+        if budget == 0:
+            emit(clear)
+            budget = (1 << code_size) - clear - 2 - 1
+        emit(px)
+        budget -= 1
+    emit(end)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _gif(indices_2d, palette, interlaced=False, min_code=8):
+    # min_code=8 for a 256-entry palette: literal codes must cover every
+    # index, so CLEAR = 256 (a 7-bit min_code would alias index 128)
+    h, w = indices_2d.shape
+    rows = indices_2d
+    if interlaced:
+        order = [y for s, st in ((0, 8), (4, 8), (2, 4), (1, 2)) for y in range(s, h, st)]
+        rows = indices_2d[np.array(order)]
+    data = _gif_lzw_encode(rows.flatten().tolist(), min_code)
+    gct_bits = 7  # 256-entry table
+    pal = palette + b"\x00" * (3 * 256 - len(palette))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | gct_bits, 0, 0)
+    out += pal
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlaced else 0])
+    out += bytes([min_code])
+    for i in range(0, len(data), 255):
+        blockdata = data[i : i + 255]
+        out += bytes([len(blockdata)]) + blockdata
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_matches_palette_lookup():
+    rng = np.random.RandomState(3)
+    idx = rng.randint(0, 256, size=(5, 7), dtype=np.uint8)
+    palette = bytes(rng.randint(0, 256, size=3 * 256, dtype=np.uint8))
+    out = decode_rgb(_gif(idx, palette))
+    expect = np.frombuffer(palette, np.uint8).reshape(-1, 3)[idx]
+    assert np.array_equal(out, expect)
+
+
+def test_gif_interlaced_rows_reordered():
+    idx = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    palette = bytes(range(256)) * 3
+    plain = decode_rgb(_gif(idx, palette, interlaced=False))
+    inter = decode_rgb(_gif(idx, palette, interlaced=True))
+    assert np.array_equal(plain, inter)
+
+
+def test_gif_extension_blocks_skipped():
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    palette = b"\x10\x20\x30" + b"\x00" * (3 * 256 - 3)
+    g = bytearray(_gif(idx, palette))
+    # splice a graphics-control extension right after the GCT
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    insert_at = 13 + 3 * 256
+    g2 = bytes(g[:insert_at]) + ext + bytes(g[insert_at:])
+    out = decode_rgb(g2)
+    assert np.array_equal(out, np.tile(np.array([16, 32, 48], np.uint8), (2, 2, 1)))
