@@ -2857,6 +2857,47 @@ def _q_translation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return translation_pairs(pages, fwd.union(rev))
 
 
+def _q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG gate (round 5): per document, a deterministic gradient
+    image pixel[y,x,c] = (id·7 + y·31 + x·13 + c·97) mod 256 is encoded
+    to an actual PNG (filter-0 scanlines + stdlib-zlib IDAT) inside a
+    mapInPandas stage, then decoded back by the full PNG decoder
+    (imagecodec._decode_png via decode_channel_sums). The DuckDB oracle
+    needs no zlib: channel sums have a closed form it evaluates over
+    generate_series — any defect in either the encoder or the decoder
+    breaks the value hash."""
+    from dss_plugin_nlp_analysis_spark.operators.multimodal import (
+        decode_channel_sums,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from dss_plugin_nlp_analysis_spark.functions.imagecodec import (
+            encode_png,
+        )
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            imgs = []
+            for d in ids:
+                w, h = int(d % 5 + 2), int(d % 3 + 2)
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                arr = ((int(d) * 7 + y * 31 + x * 13 + c * 97) % 256).astype(
+                    np.uint8
+                )
+                imgs.append(encode_png(arr))
+            yield pd.DataFrame({"doc_id": ids, "img": imgs})
+
+    imgs_df = docs.mapInPandas(gen, "doc_id long, img binary")
+    return decode_channel_sums(imgs_df, "doc_id", "img")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -2900,6 +2941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption": _q_span_corruption,
         "mirror_domains": _q_mirror_domains,
         "translation_pairs": _q_translation_pairs,
+        "multimodal_png_decode": _q_multimodal_png_decode,
         "taxonomy_edges": _q_taxonomy_edges,
         "html_tables": _q_html_tables,
         "date_mentions": _q_date_mentions,
@@ -4209,6 +4251,27 @@ def oracle_sql() -> dict[str, str]:
                  || array_to_string(toks[s.start : s.start + 2], ' ')), ' ')
                  AS target
         FROM b
+    """
+    # PNG decode gate: closed-form channel sums over the deterministic
+    # gradient — no zlib needed oracle-side; the Spark side round-trips
+    # the SAME pixels through a real PNG container
+    d["multimodal_png_decode"] = """
+        WITH dims AS (
+          SELECT doc_id AS id, (doc_id % 5 + 2)::INT AS w,
+                 (doc_id % 3 + 2)::INT AS h
+          FROM documents
+        ),
+        cells AS (
+          SELECT id, w, h, y.v AS y, x.v AS x
+          FROM dims,
+               LATERAL (SELECT unnest(generate_series(0, h - 1)) AS v) y,
+               LATERAL (SELECT unnest(generate_series(0, w - 1)) AS v) x
+        )
+        SELECT id, w AS width, h AS height,
+               sum((id * 7 + y * 31 + x * 13) % 256)::BIGINT AS sum_r,
+               sum((id * 7 + y * 31 + x * 13 + 97) % 256)::BIGINT AS sum_g,
+               sum((id * 7 + y * 31 + x * 13 + 194) % 256)::BIGINT AS sum_b
+        FROM cells GROUP BY 1, 2, 3
     """
     d["mirror_domains"] = rf"""
         WITH corpus AS (
