@@ -2898,6 +2898,54 @@ def _q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_channel_sums(imgs_df, "doc_id", "img")
 
 
+def _q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG gate (round 5): per document, a solid-color image
+    (value doc_id%256) is entropy-encoded through the pure-Python
+    ITU-T.81 baseline encoder — cycling 4:4:4 / 4:2:0 / grayscale by
+    doc_id%3, with non-multiple-of-8 dimensions so MCU padding and
+    cropping are both on the path — then Huffman-decoded back by the
+    full JPEG decoder (imagecodec._decode_jpeg via decode_channel_sums).
+    Solid blocks make the lossy pipeline exact: the only surviving
+    coefficient is DC = 8·(v−128), quantized by Annex K Q00=16 with
+    round-half-away, reconstructed as clip(2·DCq+128) — a closed form
+    the DuckDB oracle evaluates in integer arithmetic. Any defect in
+    marker writing, canonical Huffman codes, byte stuffing, DC
+    prediction, dequantization, IDCT or subsampling breaks the hash."""
+    from dss_plugin_nlp_analysis_spark.operators.multimodal import (
+        decode_channel_sums,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from dss_plugin_nlp_analysis_spark.functions.imagecodec import (
+            encode_jpeg,
+        )
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            imgs = []
+            for d in ids:
+                v = int(d % 256)
+                w, h = int(d % 13 + 4), int(d % 11 + 4)
+                arr = np.full((h, w, 3), v, np.uint8)
+                mode = d % 3
+                if mode == 0:
+                    buf = encode_jpeg(arr, quality=50, subsampling="444")
+                elif mode == 1:
+                    buf = encode_jpeg(arr, quality=50, subsampling="420")
+                else:
+                    buf = encode_jpeg(arr, quality=50, gray=True)
+                imgs.append(buf)
+            yield pd.DataFrame({"doc_id": ids, "img": imgs})
+
+    imgs_df = docs.mapInPandas(gen, "doc_id long, img binary")
+    return decode_channel_sums(imgs_df, "doc_id", "img")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -2942,6 +2990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_domains": _q_mirror_domains,
         "translation_pairs": _q_translation_pairs,
         "multimodal_png_decode": _q_multimodal_png_decode,
+        "multimodal_jpeg_decode": _q_multimodal_jpeg_decode,
         "taxonomy_edges": _q_taxonomy_edges,
         "html_tables": _q_html_tables,
         "date_mentions": _q_date_mentions,
@@ -4272,6 +4321,33 @@ def oracle_sql() -> dict[str, str]:
                sum((id * 7 + y * 31 + x * 13 + 97) % 256)::BIGINT AS sum_g,
                sum((id * 7 + y * 31 + x * 13 + 194) % 256)::BIGINT AS sum_b
         FROM cells GROUP BY 1, 2, 3
+    """
+    # JPEG decode gate: solid-color images survive the lossy pipeline in
+    # closed form — DC = 8·(v−128) quantized by Annex K Q00=16 with
+    # round-half-away-from-zero, reconstructed as clip(2·DCq + 128); the
+    # Spark side round-trips the SAME pixels through a real baseline
+    # JPEG bitstream (Huffman + byte stuffing + subsampling + IDCT)
+    d["multimodal_jpeg_decode"] = """
+        WITH base AS (
+          SELECT doc_id AS id,
+                 (doc_id % 13 + 4)::INT AS w,
+                 (doc_id % 11 + 4)::INT AS h,
+                 (doc_id % 256) - 128 AS s
+          FROM documents
+        ),
+        dec AS (
+          SELECT id, w, h,
+                 least(255, greatest(0,
+                   2 * (CASE WHEN s > 0 THEN (s + 1) // 2
+                             WHEN s < 0 THEN -((-s + 1) // 2)
+                             ELSE 0 END) + 128))::BIGINT AS d
+          FROM base
+        )
+        SELECT id, w AS width, h AS height,
+               (w * h * d)::BIGINT AS sum_r,
+               (w * h * d)::BIGINT AS sum_g,
+               (w * h * d)::BIGINT AS sum_b
+        FROM dec
     """
     d["mirror_domains"] = rf"""
         WITH corpus AS (

@@ -16,11 +16,14 @@ is implementable from format specs alone, in pure Python + numpy:
   nearest-neighbor resampling and re-encode, so ``resize_images`` is a
   real transform for decodable payloads.
 
-JPEG entropy decode is the ONE seam left to a real library (an ITU-T.81
-Huffman+DCT implementation is out of scope) — JPEG sniffs (real
-metadata) but ``decode_rgb`` raises ``NotImplementedError`` naming it.
-PNG needed no external codec after all: zlib is in the standard
-library, and the five scanline filters are spec arithmetic.
+JPEG is now decoded here too: a pure-Python ITU-T.81 baseline /
+extended-sequential implementation (canonical Huffman entropy decode,
+Annex K tables, 4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers) plus
+a matching fixture encoder (``encode_jpeg``). Progressive (SOF2),
+arithmetic coding, 12-bit and CMYK JPEGs raise by name — those are the
+only remaining unsupported shapes in the module. PNG needed no
+external codec after all: zlib is in the standard library, and the
+five scanline filters are spec arithmetic.
 
 All formats per their public specs (PNG RFC 2083, JPEG ITU-T.81, BMP
 BITMAPINFOHEADER, GIF89a, netpbm).
@@ -37,6 +40,7 @@ __all__ = [
     "sniff",
     "decode_rgb",
     "encode_png",
+    "encode_jpeg",
     "resize_nearest",
     "encode_ppm",
     "encode_pgm",
@@ -174,10 +178,7 @@ def decode_rgb(buf: bytes | bytearray | memoryview) -> np.ndarray:
         return _decode_png(b)
     if fmt == "gif":
         return _decode_gif(b)
-    raise NotImplementedError(
-        f"{fmt} pixel data needs an entropy decoder (JPEG ITU-T.81); plug "
-        "a real codec at this seam (header metadata IS available via sniff())"
-    )
+    return _decode_jpeg(b)
 
 
 def resize_nearest(arr: np.ndarray, w: int, h: int) -> np.ndarray:
@@ -452,3 +453,594 @@ def _decode_gif(b: bytes) -> np.ndarray:
         else:
             raise NotImplementedError(f"unexpected GIF block 0x{blk:02x}")
     raise NotImplementedError("GIF contains no image frame")
+
+
+# ---------------------------------------------------------------- JPEG
+#
+# Baseline sequential DCT JPEG (ITU-T.81): a full pure-Python+numpy
+# Huffman entropy decoder and a matching encoder for fixtures. The
+# standard Annex K quantization and Huffman tables are spec constants.
+# Supported: SOF0/SOF1 (8-bit), 1 or 3 components, sampling factors
+# 1-2 per axis (covers 4:4:4, 4:2:2, 4:2:0), restart markers, byte
+# stuffing. Out of scope (raise, by name): progressive (SOF2),
+# arithmetic coding, 12-bit precision, 4-component CMYK.
+
+# Annex K.1 / K.2 quantization tables, natural (row-major) order.
+_JPEG_QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+_JPEG_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# Zigzag scan order (ITU-T.81 fig. 5): _ZIGZAG[k] = natural index of the
+# k-th coefficient in zigzag order.
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.3 typical Huffman tables: (bits[1..16], huffval) per class.
+_HUFF_DC_L = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_C = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_L = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_HUFF_AC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis A with A[u,x] = c(u)/2 *
+    cos((2x+1)u*pi/16); forward S = A @ s @ A.T, inverse s = A.T @ S @ A.
+    For a constant block c the only nonzero forward coefficient is
+    DC = 8c — the identity the solid-color oracle gate relies on."""
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    a = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    a[0, :] /= np.sqrt(2.0)
+    return a
+
+
+_DCT_A = _dct_matrix()
+
+
+def _huff_codes(bits, vals):
+    """Canonical JPEG Huffman code assignment (ITU-T.81 C.2): returns
+    {symbol: (code, length)}."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(bits, vals):
+    """Inverse of _huff_codes: {(length, code): symbol}."""
+    return {(ln, code): sym for sym, (code, ln) in _huff_codes(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self._n -= 8
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (ITU-T.81 F.1.2.3)
+                self.out.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+        self.marker = None  # set when a non-RST marker terminates the scan
+
+    def _fill(self) -> bool:
+        b = self.buf
+        p = self.pos
+        if p >= len(b):
+            return False
+        byte = b[p]
+        if byte == 0xFF:
+            nxt = b[p + 1] if p + 1 < len(b) else 0xD9
+            if nxt == 0x00:
+                self.pos = p + 2
+            else:
+                self.marker = nxt
+                return False  # marker reached — no more entropy bits
+            self._acc = (self._acc << 8) | 0xFF
+        else:
+            self.pos = p + 1
+            self._acc = (self._acc << 8) | byte
+        self._n += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self._n == 0 and not self._fill():
+            raise NotImplementedError("JPEG entropy stream truncated")
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_expect_rst(self) -> None:
+        """Consume padding to the next restart marker (ITU-T.81 F.2.1.3.1)."""
+        self._acc = 0
+        self._n = 0
+        b = self.buf
+        p = self.pos
+        while p + 1 < len(b):
+            if b[p] == 0xFF and 0xD0 <= b[p + 1] <= 0xD7:
+                self.pos = p + 2
+                return
+            p += 1
+        raise NotImplementedError("JPEG restart marker missing")
+
+
+def _extend(v: int, t: int) -> int:
+    """ITU-T.81 F.2.2.1 EXTEND: map the t received bits to a signed
+    coefficient value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _magnitude_category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _decode_huff_symbol(r: _BitReader, table) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise NotImplementedError("invalid JPEG Huffman code")
+
+
+def _jpeg_scaled_tables(quality: int):
+    """libjpeg-compatible linear quality scaling of the Annex K tables
+    (public formula: scale = 5000/q below 50, else 200 - 2q)."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    ql = np.clip((_JPEG_QL * scale + 50) // 100, 1, 255).astype(np.int32)
+    qc = np.clip((_JPEG_QC * scale + 50) // 100, 1, 255).astype(np.int32)
+    return ql, qc
+
+
+def _quantize_block(block: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """Forward DCT + quantize with round-half-away-from-zero. The DCT
+    output is snapped to a 2^-20 grid first so exactly-integer
+    coefficients (constant blocks → DC = 8c) quantize by exact integer
+    arithmetic — the property the closed-form SQL oracle replicates."""
+    coef = _DCT_A @ (block.astype(np.float64) - 128.0) @ _DCT_A.T
+    coef = np.round(coef * (1 << 20)) / (1 << 20)
+    return (np.sign(coef) * np.floor(np.abs(coef) / qtab + 0.5)).astype(np.int32)
+
+
+def _encode_block(w: _BitWriter, q: np.ndarray, pred: int, dc_codes, ac_codes) -> int:
+    zz = q.reshape(64)[_ZIGZAG]
+    diff = int(zz[0]) - pred
+    t = _magnitude_category(diff)
+    code, ln = dc_codes[t]
+    w.write(code, ln)
+    if t:
+        w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            if k > last_nz:
+                code, ln = ac_codes[0x00]  # EOB
+                w.write(code, ln)
+                break
+            run += 1
+            if run == 16:
+                code, ln = ac_codes[0xF0]  # ZRL
+                w.write(code, ln)
+                run = 0
+            continue
+        s = _magnitude_category(v)
+        code, ln = ac_codes[(run << 4) | s]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    return int(zz[0])
+
+
+def _rgb_to_ycbcr(arr: np.ndarray):
+    """JFIF (ITU-T.871) full-range conversion; returns float64 planes."""
+    r = arr[:, :, 0].astype(np.float64)
+    g = arr[:, :, 1].astype(np.float64)
+    b = arr[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return y, cb, cr
+
+
+def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate pad (the pad pixels never surface: the decoder
+    crops back to the frame dimensions)."""
+    h, w = plane.shape
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    gray: bool = False,
+) -> bytes:
+    """Baseline JFIF encoder (SOF0, Annex K tables scaled by ``quality``,
+    typical Huffman tables). ``subsampling`` ∈ {"444", "420"};
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs; ``gray=True`` writes a single-component (luminance-only)
+    frame. Fixture-grade: correct and deterministic, not fast."""
+    if subsampling not in ("444", "420"):
+        raise NotImplementedError(f"subsampling {subsampling}")
+    h, w = arr.shape[:2]
+    if gray:
+        ql, _ = _jpeg_scaled_tables(quality)
+        ql8 = ql.reshape(8, 8)
+        y, _, _ = _rgb_to_ycbcr(arr)
+        ph = -(-h // 8) * 8
+        pw = -(-w // 8) * 8
+        y = _pad_to(y, ph, pw)
+        dc_l = _huff_codes(*_HUFF_DC_L)
+        ac_l = _huff_codes(*_HUFF_AC_L)
+        out = bytearray(b"\xff\xd8")
+        out += (
+            b"\xff\xe0" + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        )
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00"
+        out += ql[_ZIGZAG].astype(np.uint8).tobytes()
+        sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+        out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        for cls_id, (bits, vals) in ((0x00, _HUFF_DC_L), (0x10, _HUFF_AC_L)):
+            seg = bytes([cls_id]) + bytes(bits) + bytes(vals)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+        sos = bytes([1, 1, 0x00, 0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        wtr = _BitWriter()
+        pred = 0
+        for my in range(ph // 8):
+            for mx in range(pw // 8):
+                q = _quantize_block(y[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8], ql8)
+                pred = _encode_block(wtr, q, pred, dc_l, ac_l)
+        wtr.flush()
+        return bytes(out + wtr.out + b"\xff\xd9")
+    ql, qc = _jpeg_scaled_tables(quality)
+    ql8 = ql.reshape(8, 8)
+    qc8 = qc.reshape(8, 8)
+    y, cb, cr = _rgb_to_ycbcr(arr)
+    sub = subsampling == "420"
+    if sub:
+        mcu_h, mcu_w = 16, 16
+        ph = -(-h // 16) * 16
+        pw = -(-w // 16) * 16
+        y = _pad_to(y, ph, pw)
+        cb = _pad_to(cb, ph, pw)
+        cr = _pad_to(cr, ph, pw)
+        # 2x2 box mean, matching the constant-plane identity the oracle uses
+        cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    else:
+        mcu_h = mcu_w = 8
+        ph = -(-h // 8) * 8
+        pw = -(-w // 8) * 8
+        y = _pad_to(y, ph, pw)
+        cb = _pad_to(cb, ph, pw)
+        cr = _pad_to(cr, ph, pw)
+
+    dc_l = _huff_codes(*_HUFF_DC_L)
+    ac_l = _huff_codes(*_HUFF_AC_L)
+    dc_c = _huff_codes(*_HUFF_DC_C)
+    ac_c = _huff_codes(*_HUFF_AC_C)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    zz_ql = ql[_ZIGZAG].astype(np.uint8).tobytes()
+    zz_qc = qc[_ZIGZAG].astype(np.uint8).tobytes()
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + zz_ql
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x01" + zz_qc
+    hv_y = 0x22 if sub else 0x11
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, hv_y, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for cls_id, (bits, vals) in (
+        (0x00, _HUFF_DC_L), (0x10, _HUFF_AC_L), (0x01, _HUFF_DC_C), (0x11, _HUFF_AC_C)
+    ):
+        seg = bytes([cls_id]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    n_mcu_x = pw // mcu_w
+    n_mcu_y = ph // mcu_h
+    mcu_count = 0
+    rst = 0
+    for my in range(n_mcu_y):
+        for mx in range(n_mcu_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                preds = [0, 0, 0]
+            if sub:
+                for by in range(2):
+                    for bx in range(2):
+                        y0 = my * 16 + by * 8
+                        x0 = mx * 16 + bx * 8
+                        q = _quantize_block(y[y0 : y0 + 8, x0 : x0 + 8], ql8)
+                        preds[0] = _encode_block(wtr, q, preds[0], dc_l, ac_l)
+                cy0, cx0 = my * 8, mx * 8
+                for ci, plane in ((1, cb), (2, cr)):
+                    q = _quantize_block(plane[cy0 : cy0 + 8, cx0 : cx0 + 8], qc8)
+                    preds[ci] = _encode_block(wtr, q, preds[ci], dc_c, ac_c)
+            else:
+                y0, x0 = my * 8, mx * 8
+                q = _quantize_block(y[y0 : y0 + 8, x0 : x0 + 8], ql8)
+                preds[0] = _encode_block(wtr, q, preds[0], dc_l, ac_l)
+                for ci, plane in ((1, cb), (2, cr)):
+                    q = _quantize_block(plane[y0 : y0 + 8, x0 : x0 + 8], qc8)
+                    preds[ci] = _encode_block(wtr, q, preds[ci], dc_c, ac_c)
+            mcu_count += 1
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _decode_jpeg(b: bytes) -> np.ndarray:
+    """Baseline/extended-sequential JPEG pixel decode (ITU-T.81 annexes
+    E/F): marker walk (DQT/DHT/SOF/DRI/SOS), canonical Huffman entropy
+    decode with byte un-stuffing and restart handling, dequantize +
+    inverse zigzag + float IDCT per block, replicate-upsample of
+    subsampled chroma, JFIF YCbCr→RGB. Per-plane sample reconstruction
+    is clip(floor(idct + 128.5)) — the rounding rule the closed-form
+    solid-color oracle replicates exactly. Progressive (SOF2),
+    arithmetic coding (SOF9+), 12-bit precision and CMYK raise by name;
+    baseline covers the dominant share of crawled web JPEGs."""
+    if b[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG signature")
+    qtabs: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    p = 2
+    n = len(b)
+    while p + 4 <= n:
+        if b[p] != 0xFF:
+            raise NotImplementedError("JPEG marker stream desynced")
+        marker = b[p + 1]
+        if marker == 0xFF:
+            p += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            p += 2
+            continue
+        seg_len = struct.unpack(">H", b[p + 2 : p + 4])[0]
+        data = b[p + 4 : p + 2 + seg_len]
+        if marker == 0xDB:  # DQT — may hold several tables
+            d = 0
+            while d < len(data):
+                pq, tq = data[d] >> 4, data[d] & 0x0F
+                d += 1
+                if pq:  # 16-bit table
+                    tab = np.frombuffer(data[d : d + 128], ">u2").astype(np.int32)
+                    d += 128
+                else:
+                    tab = np.frombuffer(data[d : d + 64], np.uint8).astype(np.int32)
+                    d += 64
+                nat = np.zeros(64, np.int32)
+                nat[_ZIGZAG] = tab  # stored zigzag → natural order
+                qtabs[tq] = nat.reshape(8, 8)
+        elif marker == 0xC4:  # DHT — may hold several tables
+            d = 0
+            while d < len(data):
+                tc, th = data[d] >> 4, data[d] & 0x0F
+                bits = list(data[d + 1 : d + 17])
+                nv = sum(bits)
+                vals = list(data[d + 17 : d + 17 + nv])
+                (ac_tabs if tc else dc_tabs)[th] = _huff_decode_map(bits, vals)
+                d += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
+            prec, fh, fw, nc = struct.unpack(">BHHB", data[:6])
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} (only 8-bit)")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"JPEG with {nc} components (CMYK?)")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = data[6 + 3 * i : 9 + 3 * i]
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    raise NotImplementedError(f"JPEG sampling factors {hs}x{vs}")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+        elif marker in _JPEG_SOF:
+            raise NotImplementedError(
+                f"JPEG frame type 0x{marker:02x} (arithmetic/lossless) not supported"
+            )
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", data[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = data[1 + 2 * i : 3 + 2 * i]
+                scan.append({"id": cs, "dc": tt >> 4, "ac": tt & 0x0F})
+            p = p + 2 + seg_len
+            break
+        p += 2 + seg_len
+    if frame is None or scan is None:
+        raise NotImplementedError("JPEG missing SOF/SOS")
+
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    for s in scan:
+        if s["id"] not in by_id:
+            raise NotImplementedError("JPEG scan references unknown component")
+        by_id[s["id"]]["dc_t"] = dc_tabs[s["dc"]]
+        by_id[s["id"]]["ac_t"] = ac_tabs[s["ac"]]
+    fh, fw = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    n_mcu_x = -(-fw // (8 * hmax))
+    n_mcu_y = -(-fh // (8 * vmax))
+    planes = []
+    for c in comps:
+        c["bw"] = n_mcu_x * c["h"]  # blocks per row
+        c["bh"] = n_mcu_y * c["v"]
+        planes.append(np.zeros((c["bh"] * 8, c["bw"] * 8), dtype=np.uint8))
+
+    rdr = _BitReader(b, p)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(n_mcu_y):
+        for mx in range(n_mcu_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                rdr.align_and_expect_rst()
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                for bv in range(c["v"]):
+                    for bh_ in range(c["h"]):
+                        zz = np.zeros(64, np.int32)
+                        t = _decode_huff_symbol(rdr, c["dc_t"])
+                        preds[ci] += _extend(rdr.receive(t), t)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff_symbol(rdr, c["ac_t"])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise NotImplementedError("JPEG AC index overflow")
+                            zz[k] = _extend(rdr.receive(s), s)
+                            k += 1
+                        coef = np.zeros(64, np.float64)
+                        coef[_ZIGZAG] = zz * qtabs[c["tq"]].reshape(64)[_ZIGZAG]
+                        spat = _DCT_A.T @ coef.reshape(8, 8) @ _DCT_A
+                        block = np.clip(np.floor(spat + 128.5), 0, 255)
+                        y0 = (my * c["v"] + bv) * 8
+                        x0 = (mx * c["h"] + bh_) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block.astype(np.uint8)
+            mcu_count += 1
+
+    full = []
+    for ci, c in enumerate(comps):
+        pl = planes[ci]
+        if c["h"] < hmax or c["v"] < vmax:
+            pl = np.repeat(np.repeat(pl, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(pl[:fh, :fw].astype(np.float64))
+    if len(full) == 1:
+        g = full[0].astype(np.uint8)
+        return np.ascontiguousarray(np.repeat(g[:, :, None], 3, axis=2))
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, bl], axis=2)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)

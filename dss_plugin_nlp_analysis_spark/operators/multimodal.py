@@ -8,15 +8,18 @@ the sandbox (functions/imagecodec.py, dependency-free):
 - metadata (``decode_image_meta``): REAL header parsing for PNG, GIF,
   JPEG, BMP and PPM/PGM, plus the deterministic fake wire format;
 - pixels (``resize_images``/``extract_features``/``decode_channel_sums``):
-  REAL decode + nearest-neighbor resample for the uncompressed formats
-  (BMP 24/32-bit BI_RGB, PPM/PGM binary and ASCII).
+  REAL decode for every container — BMP 24/32-bit BI_RGB, PPM/PGM
+  (binary and ASCII), PNG (stdlib-zlib inflate + spec un-filtering),
+  GIF (pure-Python LZW) and baseline/extended-sequential JPEG
+  (pure-Python ITU-T.81 Huffman + IDCT, 4:4:4/4:2:2/4:2:0, restart
+  markers) — plus nearest-neighbor resample and same-container
+  re-encode where an encoder exists (BMP/PPM/PGM/PNG).
 
-The remaining ``NotImplementedError`` seam is JPEG entropy decode only
-(round 5 made PNG real via stdlib-zlib inflate + spec un-filtering and
-GIF real via pure-Python LZW — functions/imagecodec.py); for JPEG plug
-Pillow/torchvision
-there; everything else, including the formats' metadata, works without
-any library.
+No library seam remains for the mainstream web-image path. The only
+shapes that still raise by name are genuinely rarer container variants
+(progressive SOF2 / arithmetic-coded / 12-bit / CMYK JPEG, interlaced
+or 16-bit PNG, 16-bit netpbm) — each raises ``NotImplementedError``
+naming itself, and each is a drop-in extension point.
 
 Fake wire format (deterministic, oracle-reproducible):
     b"IMG|<width>|<height>|<fmt>|" + payload-bytes
@@ -95,9 +98,10 @@ def decode_image_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
 def _resize_one(buf: bytes, w: int, h: int) -> bytes:
     """The resize seam. Fake wire format: header rewrite + proportional
     payload scaling (area ratio, min 1 byte for non-empty payloads).
-    Real decodable formats (BMP/PPM/PGM): actual nearest-neighbor pixel
-    resample, re-encoded in the same container. Compressed formats raise
-    at imagecodec.decode_rgb (JPEG is the one remaining library seam)."""
+    Real containers: actual decode (imagecodec.decode_rgb — all six
+    formats) + nearest-neighbor resample, re-encoded in the same
+    container where an encoder exists (BMP/PPM/PGM/PNG; GIF/JPEG
+    re-encode as PNG, lossless and dimension-preserving)."""
     b = bytes(buf)
     if b.startswith(b"IMG|"):
         ow, oh, fmt, _n = _decode_header(b)
@@ -114,6 +118,10 @@ def _resize_one(buf: bytes, w: int, h: int) -> bytes:
         return imagecodec.encode_bmp(arr)
     if fmt == "pgm":
         return imagecodec.encode_pgm(arr)
+    if fmt in ("png", "gif", "jpeg"):
+        # same container for PNG; GIF/JPEG re-encode lossless as PNG (no
+        # palette/entropy encoder here — dimensions and pixels preserved)
+        return imagecodec.encode_png(arr)
     return imagecodec.encode_ppm(arr)
 
 
@@ -122,11 +130,10 @@ def resize_images(
 ) -> DataFrame:
     """mapInPandas resize: binary → binary at the target dimensions.
 
-    Real nearest-neighbor pixel resampling for decodable containers
-    (BMP/PPM/PGM — ``_resize_one``), the deterministic header/payload
-    rewrite for the fake format, NotImplementedError only for
-    compressed pixel data. Returns (id, image) with the same column
-    names so resize stages chain.
+    Real nearest-neighbor pixel resampling for every decodable container
+    (``_resize_one`` — all six formats) and the deterministic
+    header/payload rewrite for the fake format. Returns (id, image)
+    with the same column names so resize stages chain.
     """
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

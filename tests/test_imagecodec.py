@@ -1,7 +1,9 @@
 """Dependency-free image codec tests (functions/imagecodec.py) and the
-real multimodal decode paths wired onto it (VERDICT r4 item 5: the codec
-seam is now real for uncompressed formats; only compressed pixel data
-still raises)."""
+real multimodal decode paths wired onto it (VERDICT r4 item 5: the
+codec is now real for all six containers — BMP/PPM/PGM uncompressed,
+PNG via stdlib zlib, GIF via pure-Python LZW, and baseline JPEG via a
+pure-Python ITU-T.81 Huffman+IDCT implementation; only rarer container
+variants raise, each by name)."""
 
 import struct
 
@@ -108,15 +110,15 @@ def test_pgm_decodes_as_replicated_gray():
     assert np.array_equal(out[:, :, 0], luma)
 
 
-def test_compressed_pixels_raise_with_format_named():
-    # JPEG is the one remaining entropy-decode seam (PNG/GIF are real now)
-    jpeg = (
+def test_unsupported_variants_raise_by_name():
+    # progressive JPEG (SOF2) is an explicit, named extension point
+    prog = (
         b"\xff\xd8"
-        + b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 480, 640, 3) + b"\x00" * 6
+        + b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 480, 640, 3) + b"\x00" * 6
         + b"\xff\xd9"
     )
-    with pytest.raises(NotImplementedError, match="jpeg"):
-        decode_rgb(jpeg)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_rgb(prog)
     # a PNG with no pixel data names the gap too
     ihdr = struct.pack(">II", 8, 8) + b"\x08\x02\x00\x00\x00"
     png = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4
@@ -400,3 +402,159 @@ def test_gif_extension_blocks_skipped():
     g2 = bytes(g[:insert_at]) + ext + bytes(g[insert_at:])
     out = decode_rgb(g2)
     assert np.array_equal(out, np.tile(np.array([16, 32, 48], np.uint8), (2, 2, 1)))
+
+
+# --- JPEG: pure-Python ITU-T.81 baseline codec -----------------------------
+
+from dss_plugin_nlp_analysis_spark.functions.imagecodec import (  # noqa: E402
+    _BitWriter,
+    _HUFF_AC_C,
+    _HUFF_AC_L,
+    _HUFF_DC_C,
+    _HUFF_DC_L,
+    _huff_codes,
+    _quantize_block,
+    _encode_block,
+    _ZIGZAG,
+    encode_jpeg,
+)
+
+
+def _solid_expected(v):
+    """Closed-form decoded value of a solid-gray block at quality 50
+    (Annex K luminance Q00 = 16): s = v-128, Sq = round-half-away(8s/16),
+    decoded = clip(2*Sq + 128). The SQL oracle evaluates the same form."""
+    s = v - 128
+    sq = (abs(s) + 1) // 2 * (1 if s > 0 else -1 if s < 0 else 0)
+    return min(255, max(0, 2 * sq + 128))
+
+
+@pytest.mark.parametrize("mode", ["444", "420", "gray"])
+def test_jpeg_solid_closed_form_all_modes(mode):
+    for v in [0, 1, 33, 127, 128, 129, 200, 254, 255]:
+        a = np.full((8, 8, 3), v, np.uint8)
+        if mode == "gray":
+            buf = encode_jpeg(a, quality=50, gray=True)
+        else:
+            buf = encode_jpeg(a, quality=50, subsampling=mode)
+        out = decode_rgb(buf)
+        assert out.shape == (8, 8, 3)
+        assert (out == _solid_expected(v)).all(), (mode, v, out[0, 0, 0])
+
+
+def test_jpeg_solid_odd_dims_crop_and_pad():
+    # 13x21 forces edge-replicate padding on encode and cropping on
+    # decode; a solid image stays solid through both
+    for mode in ("444", "420"):
+        a = np.full((13, 21, 3), 77, np.uint8)
+        out = decode_rgb(encode_jpeg(a, quality=50, subsampling=mode))
+        assert out.shape == (13, 21, 3)
+        assert (out == _solid_expected(77)).all()
+
+
+@pytest.mark.parametrize("mode", ["444", "420", "gray"])
+def test_jpeg_smooth_gradient_roundtrip_tolerance(mode):
+    h, w = 24, 40
+    y, x, c = np.meshgrid(np.arange(h), np.arange(w), np.arange(3), indexing="ij")
+    a = (40 + y * 3 + x * 2 + c * 20).clip(0, 255).astype(np.uint8)
+    if mode == "gray":
+        a = np.repeat(a[:, :, :1], 3, axis=2)
+        out = decode_rgb(encode_jpeg(a, quality=90, gray=True))
+    else:
+        out = decode_rgb(encode_jpeg(a, quality=90, subsampling=mode))
+    err = np.abs(out.astype(int) - a.astype(int))
+    assert err.max() <= 3, err.max()
+
+
+def test_jpeg_restart_markers_do_not_change_pixels():
+    a = _arr(19, 34, seed=3)
+    plain = decode_rgb(encode_jpeg(a, quality=85))
+    restarted = encode_jpeg(a, quality=85, restart_interval=1)
+    assert b"\xff\xd0" in restarted  # RST0 actually emitted
+    assert np.array_equal(decode_rgb(restarted), plain)
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    # random noise at default tables reliably produces 0xFF entropy
+    # bytes; the stream must carry stuffed 0xFF00 pairs and still decode
+    a = _arr(16, 16, seed=11)
+    buf = encode_jpeg(a, quality=95)
+    body = buf[buf.find(b"\xff\xda") + 2 :]
+    assert b"\xff\x00" in body
+    out = decode_rgb(buf)
+    assert out.shape == a.shape
+
+
+def test_jpeg_dc_luminance_codes_match_spec_table():
+    # ITU-T.81 Table K.3: published canonical codes for the typical DC
+    # luminance table — an encoder-independent witness for the canonical
+    # code constructor both halves of the codec share
+    codes = _huff_codes(*_HUFF_DC_L)
+    expected = {
+        0: ("00", 2), 1: ("010", 3), 2: ("011", 3), 3: ("100", 3),
+        4: ("101", 3), 5: ("110", 3), 6: ("1110", 4), 7: ("11110", 5),
+        8: ("111110", 6), 9: ("1111110", 7), 10: ("11111110", 8),
+        11: ("111111110", 9),
+    }
+    for sym, (bits, ln) in expected.items():
+        code, length = codes[sym]
+        assert length == ln and format(code, f"0{ln}b") == bits, sym
+
+
+def test_jpeg_422_sampling_decodes():
+    # the fixture encoder emits 4:4:4/4:2:0; build a 4:2:2 stream by
+    # hand from the module's own primitives (solid color → constant
+    # blocks) to exercise the decoder's asymmetric-sampling path
+    v = 99
+    w, h = 16, 8
+    ql, qc = np.full(64, 16, np.int64), np.full(64, 17, np.int64)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+    out += ql[_ZIGZAG].astype(np.uint8).tobytes()
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01"
+    out += qc[_ZIGZAG].astype(np.uint8).tobytes()
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1]  # Y is 2x1: 4:2:2
+    )
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for cls_id, (bits, vals) in (
+        (0x00, _HUFF_DC_L), (0x10, _HUFF_AC_L),
+        (0x01, _HUFF_DC_C), (0x11, _HUFF_AC_C),
+    ):
+        seg = bytes([cls_id]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    wtr = _BitWriter()
+    dc_l, ac_l = _huff_codes(*_HUFF_DC_L), _huff_codes(*_HUFF_AC_L)
+    dc_c, ac_c = _huff_codes(*_HUFF_DC_C), _huff_codes(*_HUFF_AC_C)
+    yb = np.full((8, 8), float(v))
+    cbb = np.full((8, 8), 128.0)
+    preds = [0, 0, 0]
+    for _ in range(2):  # two Y blocks per MCU
+        preds[0] = _encode_block(
+            wtr, _quantize_block(yb, ql.reshape(8, 8)), preds[0], dc_l, ac_l
+        )
+    for ci in (1, 2):
+        preds[ci] = _encode_block(
+            wtr, _quantize_block(cbb, qc.reshape(8, 8)), preds[ci], dc_c, ac_c
+        )
+    wtr.flush()
+    buf = bytes(out) + bytes(wtr.out) + b"\xff\xd9"
+    decoded = decode_rgb(buf)
+    assert decoded.shape == (8, 16, 3)
+    assert (decoded == _solid_expected(v)).all()
+
+
+def test_jpeg_sniff_encoder_output():
+    buf = encode_jpeg(_arr(9, 14), quality=80)
+    assert sniff(buf) == ("jpeg", 14, 9)
+
+
+def test_jpeg_resize_reencodes_as_png():
+    from dss_plugin_nlp_analysis_spark.operators.multimodal import _resize_one
+
+    a = np.full((8, 8, 3), 90, np.uint8)
+    resized = _resize_one(encode_jpeg(a, quality=50), 4, 4)
+    assert sniff(resized) == ("png", 4, 4)
+    assert (decode_rgb(resized) == _solid_expected(90)).all()
