@@ -2946,6 +2946,92 @@ def _q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_channel_sums(imgs_df, "doc_id", "img")
 
 
+def _audio_fixture_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document deterministic mono 16-bit PCM WAV: n = doc_id%50+10
+    samples with s_i = ((doc_id·31 + i·17) mod 4096) − 2048 at 16 kHz —
+    integer construction both engines can rebuild exactly."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from dss_plugin_nlp_analysis_spark.functions.audiocodec import encode_wav
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            wavs = []
+            for d in ids:
+                n = int(d % 50 + 10)
+                i = np.arange(n, dtype=np.int64)
+                s = ((int(d) * 31 + i * 17) % 4096) - 2048
+                wavs.append(encode_wav(s.astype(np.int32), 16000, 16))
+            yield pd.DataFrame({"doc_id": ids, "audio": wavs})
+
+    return docs.mapInPandas(gen, "doc_id long, audio binary")
+
+
+def _q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-metadata gate: RIFF PCM WAV headers written by the
+    fixture encoder, parsed back by functions/audiocodec.sniff_wav
+    inside decode_audio_meta; integer duration_ms = n·1000 // rate."""
+    from dss_plugin_nlp_analysis_spark.operators.multimodal import (
+        decode_audio_meta,
+    )
+
+    return decode_audio_meta(_audio_fixture_df(spark, sf_dir), "doc_id", "audio")
+
+
+def _q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM sample-decode gate: the full 16-bit LE sample payload is
+    decoded back (functions/audiocodec.decode_pcm) and reduced to
+    integer amplitude features — sum|s|, max|s|, and sign-change count —
+    which the DuckDB oracle rebuilds over generate_series. Any defect in
+    chunk walking, sample width, endianness or channel deinterleave
+    breaks the value hash."""
+    from dss_plugin_nlp_analysis_spark.operators.multimodal import audio_features
+
+    return audio_features(_audio_fixture_df(spark, sf_dir), "doc_id", "audio")
+
+
+def _q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-metadata gate: per document a spec-shaped ISO-BMFF box
+    tree (ftyp + moov/mvhd + trak/tkhd) with deterministic timescale /
+    duration / track dimensions, walked back by
+    functions/audiocodec.sniff_mp4 inside decode_video_meta. Frame
+    pixel decode is the explicit GPU-stage seam; the box metadata is
+    what a trillion-document pipeline filters and partitions on."""
+    from dss_plugin_nlp_analysis_spark.operators.multimodal import (
+        decode_video_meta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        from dss_plugin_nlp_analysis_spark.functions.audiocodec import (
+            encode_mp4_stub,
+        )
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            vids = [
+                encode_mp4_stub(
+                    brand="mp42" if d % 2 else "isom",
+                    timescale=int(600 + d % 100),
+                    duration=int((d * 37) % 100000),
+                    width=int(d % 640 + 16),
+                    height=int(d % 360 + 16),
+                )
+                for d in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "video": vids})
+
+    vids_df = docs.mapInPandas(gen, "doc_id long, video binary")
+    return decode_video_meta(vids_df, "doc_id", "video")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -2991,6 +3077,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "translation_pairs": _q_translation_pairs,
         "multimodal_png_decode": _q_multimodal_png_decode,
         "multimodal_jpeg_decode": _q_multimodal_jpeg_decode,
+        "audio_meta": _q_audio_meta,
+        "audio_decode": _q_audio_decode,
+        "video_meta": _q_video_meta,
         "taxonomy_edges": _q_taxonomy_edges,
         "html_tables": _q_html_tables,
         "date_mentions": _q_date_mentions,
@@ -4348,6 +4437,53 @@ def oracle_sql() -> dict[str, str]:
                (w * h * d)::BIGINT AS sum_g,
                (w * h * d)::BIGINT AS sum_b
         FROM dec
+    """
+    # WAV header gate: the fixture writes mono 16-bit 16 kHz PCM with
+    # n = doc_id%50+10 samples; duration_ms is integer floor division
+    d["audio_meta"] = """
+        SELECT doc_id AS id, 1 AS channels, 16000 AS sample_rate,
+               16 AS bits, (doc_id % 50 + 10)::BIGINT AS n_samples,
+               ((doc_id % 50 + 10) * 1000 // 16000)::BIGINT AS duration_ms
+        FROM documents
+    """
+    # PCM sample gate: closed form over the deterministic sample series
+    # s_i = ((id*31 + i*17) % 4096) - 2048; zero crossing counted at i>0
+    # iff sign(s_{i-1}) != sign(s_i) under the (s < 0) predicate
+    d["audio_decode"] = """
+        WITH base AS (
+          SELECT doc_id AS id, (doc_id % 50 + 10)::BIGINT AS n FROM documents
+        ),
+        samples AS (
+          SELECT id, n, i.v AS i,
+                 ((id * 31 + i.v * 17) % 4096) - 2048 AS s
+          FROM base, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS v) i
+        ),
+        feats AS (
+          SELECT id, n, sum(abs(s))::BIGINT AS sum_abs,
+                 max(abs(s))::BIGINT AS max_abs
+          FROM samples GROUP BY 1, 2
+        ),
+        zx AS (
+          SELECT a.id, count(*)::BIGINT AS zc
+          FROM samples a JOIN samples b ON a.id = b.id AND b.i = a.i + 1
+          WHERE (a.s < 0) != (b.s < 0)
+          GROUP BY 1
+        )
+        SELECT f.id, f.n AS n_samples, f.sum_abs, f.max_abs,
+               coalesce(zx.zc, 0)::BIGINT AS zero_crossings
+        FROM feats f LEFT JOIN zx ON f.id = zx.id
+    """
+    # MP4 box gate: the fixture's deterministic mvhd/tkhd fields
+    d["video_meta"] = """
+        SELECT doc_id AS id,
+               CASE WHEN doc_id % 2 = 1 THEN 'mp42' ELSE 'isom' END AS brand,
+               (600 + doc_id % 100)::BIGINT AS timescale,
+               ((doc_id * 37) % 100000)::BIGINT AS duration,
+               (doc_id % 640 + 16)::INT AS width,
+               (doc_id % 360 + 16)::INT AS height,
+               (((doc_id * 37) % 100000) * 1000 // (600 + doc_id % 100))::BIGINT
+                 AS duration_ms
+        FROM documents
     """
     d["mirror_domains"] = rf"""
         WITH corpus AS (

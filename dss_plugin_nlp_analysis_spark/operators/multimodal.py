@@ -21,6 +21,13 @@ shapes that still raise by name are genuinely rarer container variants
 or 16-bit PNG, 16-bit netpbm) — each raises ``NotImplementedError``
 naming itself, and each is a drop-in extension point.
 
+Audio and video are real too (functions/audiocodec.py): RIFF PCM WAV
+header parse + full 8/16-bit sample decode with integer amplitude
+features (``decode_audio_meta`` / ``audio_features``), and ISO-BMFF
+(MP4/MOV) box-tree metadata (``decode_video_meta``). Compressed audio
+(MP3/AAC) and video frame pixels (H.264/VP9/AV1) raise by name — the
+explicit GPU-stage seam; their container metadata works.
+
 Fake wire format (deterministic, oracle-reproducible):
     b"IMG|<width>|<height>|<fmt>|" + payload-bytes
 """
@@ -38,6 +45,7 @@ from dss_plugin_nlp_analysis_spark.functions import imagecodec
 __all__ = [
     "fake_image_binary", "decode_image_meta", "resize_images",
     "extract_features", "frame_sample_plan", "decode_channel_sums",
+    "decode_audio_meta", "audio_features", "decode_video_meta",
 ]
 
 META_SCHEMA = "id long, width int, height int, fmt string, payload_bytes int"
@@ -247,3 +255,115 @@ def frame_sample_plan(df: DataFrame, id_col: str, n_frames_col: str, every: int 
             F.sequence(F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every))
         ).alias("frame_idx"),
     )
+
+
+# ------------------------------------------------------------ audio/video
+
+AUDIO_META_SCHEMA = (
+    "id long, channels int, sample_rate int, bits int, n_samples long, "
+    "duration_ms long"
+)
+AUDIO_FEATURES_SCHEMA = (
+    "id long, n_samples long, sum_abs long, max_abs long, zero_crossings long"
+)
+VIDEO_META_SCHEMA = (
+    "id long, brand string, timescale long, duration long, width int, "
+    "height int, duration_ms long"
+)
+
+
+def decode_audio_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """mapInPandas audio-metadata decode: RIFF PCM WAV headers →
+    (channels, sample_rate, bits, n_samples, duration_ms). Real header
+    parse (functions/audiocodec.sniff_wav); compressed audio raises by
+    name at the codec. duration_ms = n_samples * 1000 // sample_rate
+    (integer floor — oracle-replicable)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dss_plugin_nlp_analysis_spark.functions.audiocodec import sniff_wav
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                meta = sniff_wav(b)
+                if meta is None:
+                    raise NotImplementedError(
+                        "unrecognized audio container (RIFF PCM WAV supported)"
+                    )
+                nch, rate, bits, n = meta
+                rows.append((i, nch, rate, bits, n, n * 1000 // rate))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "channels", "sample_rate", "bits", "n_samples",
+                    "duration_ms",
+                ],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(decode, AUDIO_META_SCHEMA)
+
+
+def audio_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """REAL PCM decode, oracle-exact: integer amplitude features over the
+    decoded channel-0 samples — sum of absolute amplitudes, peak, and
+    sign-change (zero-crossing) count, where a crossing is counted at
+    index i>0 iff (s[i-1] < 0) != (s[i] < 0). All-integer outputs
+    value-hash across engines, the same gate design as
+    ``decode_channel_sums`` for images."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from dss_plugin_nlp_analysis_spark.functions.audiocodec import decode_pcm
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                s = decode_pcm(b)[:, 0].astype(np.int64)
+                neg = s < 0
+                rows.append(
+                    (
+                        i,
+                        len(s),
+                        int(np.abs(s).sum()),
+                        int(np.abs(s).max()) if len(s) else 0,
+                        int((neg[1:] != neg[:-1]).sum()) if len(s) > 1 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "n_samples", "sum_abs", "max_abs", "zero_crossings"],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(feats, AUDIO_FEATURES_SCHEMA)
+
+
+def decode_video_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """mapInPandas video-metadata decode: ISO-BMFF (MP4/MOV) box-tree
+    walk → (brand, timescale, duration, width, height, duration_ms).
+    Frame pixel decode (H.264/VP9/AV1) is the explicit GPU-stage seam;
+    the metadata here is what the pipeline filters/partitions on before
+    that stage. duration_ms = duration * 1000 // timescale."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dss_plugin_nlp_analysis_spark.functions.audiocodec import sniff_mp4
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                meta = sniff_mp4(b)
+                if meta is None:
+                    raise NotImplementedError(
+                        "unrecognized video container (ISO-BMFF supported)"
+                    )
+                brand, ts, dur, w, h = meta
+                rows.append((i, brand, ts, dur, w, h, dur * 1000 // ts))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "brand", "timescale", "duration", "width", "height",
+                    "duration_ms",
+                ],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(decode, VIDEO_META_SCHEMA)
