@@ -3032,6 +3032,51 @@ def _q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_video_meta(vids_df, "doc_id", "video")
 
 
+def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-frame-decode gate: per document an AVI/MJPEG stream of
+    nf = doc_id%7+2 solid-color baseline-JPEG frames (value
+    (doc_id·11 + f·29) mod 256); sample_video_frames walks the RIFF
+    container, keeps every 2nd frame and entropy-decodes it with the
+    pure-Python JPEG decoder, emitting per-frame integer channel sums.
+    The DuckDB oracle evaluates the same solid-block DC closed form per
+    sampled frame index — container walk, frame selection AND pixel
+    decode all gate the hash."""
+    from dss_plugin_nlp_analysis_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from dss_plugin_nlp_analysis_spark.functions.audiocodec import (
+            encode_avi_mjpeg,
+        )
+        from dss_plugin_nlp_analysis_spark.functions.imagecodec import (
+            encode_jpeg,
+        )
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            avis = []
+            for d in ids:
+                w, h = int(d % 9 + 4), int(d % 5 + 4)
+                frames = [
+                    encode_jpeg(
+                        np.full((h, w, 3), (int(d) * 11 + f * 29) % 256, np.uint8),
+                        quality=50,
+                    )
+                    for f in range(int(d % 7 + 2))
+                ]
+                avis.append(encode_avi_mjpeg(frames, w, h))
+            yield pd.DataFrame({"doc_id": ids, "video": avis})
+
+    vids_df = docs.mapInPandas(gen, "doc_id long, video binary")
+    return sample_video_frames(vids_df, "doc_id", "video", every=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -3080,6 +3125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_meta": _q_audio_meta,
         "audio_decode": _q_audio_decode,
         "video_meta": _q_video_meta,
+        "video_frames": _q_video_frames,
         "taxonomy_edges": _q_taxonomy_edges,
         "html_tables": _q_html_tables,
         "date_mentions": _q_date_mentions,
@@ -4472,6 +4518,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT f.id, f.n AS n_samples, f.sum_abs, f.max_abs,
                coalesce(zx.zc, 0)::BIGINT AS zero_crossings
         FROM feats f LEFT JOIN zx ON f.id = zx.id
+    """
+    # AVI/MJPEG frame gate: every-2nd-frame sampling over nf=id%7+2
+    # frames; per-frame solid value (id*11 + f*29) % 256 decodes by the
+    # same DC closed form as the JPEG gate
+    d["video_frames"] = """
+        WITH base AS (
+          SELECT doc_id AS id, (doc_id % 9 + 4)::INT AS w,
+                 (doc_id % 5 + 4)::INT AS h,
+                 (doc_id % 7 + 2)::BIGINT AS nf
+          FROM documents
+        ),
+        frames AS (
+          SELECT id, w, h, f.v AS frame_idx,
+                 ((id * 11 + f.v * 29) % 256) - 128 AS s
+          FROM base, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS v) f
+          WHERE f.v % 2 = 0
+        ),
+        dec AS (
+          SELECT id, frame_idx, w, h,
+                 least(255, greatest(0,
+                   2 * (CASE WHEN s > 0 THEN (s + 1) // 2
+                             WHEN s < 0 THEN -((-s + 1) // 2)
+                             ELSE 0 END) + 128))::BIGINT AS d
+          FROM frames
+        )
+        SELECT id, frame_idx::INT AS frame_idx, w AS width, h AS height,
+               (w * h * d)::BIGINT AS sum_r,
+               (w * h * d)::BIGINT AS sum_g,
+               (w * h * d)::BIGINT AS sum_b
+        FROM dec
     """
     # MP4 box gate: the fixture's deterministic mvhd/tkhd fields
     d["video_meta"] = """

@@ -14,6 +14,11 @@ columns:
   pipeline filters on — plus ``encode_mp4_stub`` writing a spec-shaped
   box tree for fixtures. Frame pixel decode (H.264/VP9/AV1) is out of
   scope and raises by name.
+- AVI/MJPEG (video frames): ``sniff_avi`` + ``iter_avi_frames`` walk
+  the RIFF chunk tree to the 'movi' LIST and yield per-frame payloads;
+  for MJPEG streams each payload is a complete baseline JPEG that
+  functions/imagecodec decodes — real video FRAME pixel decode, not
+  just metadata. ``encode_avi_mjpeg`` is the fixture writer.
 
 Everything is deterministic and integer-valued so the Spark results
 value-hash against DuckDB closed-form oracles.
@@ -31,6 +36,9 @@ __all__ = [
     "encode_wav",
     "sniff_mp4",
     "encode_mp4_stub",
+    "sniff_avi",
+    "iter_avi_frames",
+    "encode_avi_mjpeg",
 ]
 
 
@@ -204,3 +212,82 @@ def encode_mp4_stub(
     moov = box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd))
     ftyp = brand.ljust(4).encode()[:4] + struct.pack(">I", 0) + b"isomiso2"
     return box(b"ftyp", ftyp) + box(b"moov", moov)
+
+
+# ---------------------------------------------------------------- AVI
+
+# RIFF AVI with MJPEG video: the one video container whose FRAME PIXELS
+# are decodable here, because each '00dc' chunk is a complete baseline
+# JPEG that functions/imagecodec._decode_jpeg handles. This makes video
+# frame sampling REAL end-to-end (container walk → frame select →
+# entropy decode), not a plan-only stub.
+
+
+def sniff_avi(buf: bytes | bytearray | memoryview | None):
+    """Return ``(width, height, n_frames, usec_per_frame)`` from the
+    'avih' main header of a RIFF AVI, else ``None``."""
+    if buf is None:
+        return None
+    b = bytes(buf)
+    if len(b) < 24 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    # avih is inside LIST hdrl; a flat scan for the fourcc is robust to
+    # writer variations and cheap (headers live in the first KB)
+    at = b.find(b"avih")
+    if at < 0 or at + 40 > len(b):
+        return None
+    usec = struct.unpack("<I", b[at + 8 : at + 12])[0]
+    n_frames = struct.unpack("<I", b[at + 24 : at + 28])[0]
+    w, h = struct.unpack("<II", b[at + 40 : at + 48])
+    return (w, h, n_frames, usec)
+
+
+def iter_avi_frames(buf: bytes | bytearray | memoryview):
+    """Yield the compressed payload bytes of each video frame chunk
+    ('00dc'/'00db') inside the 'movi' LIST, in stream order. Pure
+    container walk — decoding the payload is the caller's choice (MJPEG
+    payloads are baseline JPEGs; other codecs raise there, by name)."""
+    b = bytes(buf)
+    if sniff_avi(b) is None:
+        raise NotImplementedError("not a RIFF AVI container")
+    pos = 12
+    n = len(b)
+    while pos + 8 <= n:
+        cid = b[pos : pos + 4]
+        ln = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        if cid == b"LIST":
+            list_type = b[pos + 8 : pos + 12]
+            if list_type == b"movi":
+                q = pos + 12
+                end = pos + 8 + ln
+                while q + 8 <= min(end, n):
+                    fcc = b[q : q + 4]
+                    fln = struct.unpack("<I", b[q + 4 : q + 8])[0]
+                    if fcc[2:4] in (b"dc", b"db"):
+                        yield b[q + 8 : q + 8 + fln]
+                    q += 8 + fln + (fln & 1)
+                return
+            pos += 12  # descend into other LISTs (hdrl)
+            continue
+        pos += 8 + ln + (ln & 1)
+
+
+def encode_avi_mjpeg(frames: list[bytes], width: int, height: int,
+                     usec_per_frame: int = 40000) -> bytes:
+    """Minimal spec-shaped RIFF AVI writer wrapping pre-encoded JPEG
+    frames as '00dc' chunks (fixture half of ``iter_avi_frames``)."""
+
+    def chunk(fcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fcc + struct.pack("<I", len(body)) + body + pad
+
+    avih = struct.pack(
+        "<IIIIIIIIII", usec_per_frame, 0, 0, 0x10, len(frames), 0, 1, 0,
+        width, height,
+    ) + bytes(16)
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(chunk(b"avih", avih))) + b"hdrl"
+    hdrl += chunk(b"avih", avih)
+    movi_body = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

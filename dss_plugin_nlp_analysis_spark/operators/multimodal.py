@@ -24,9 +24,11 @@ naming itself, and each is a drop-in extension point.
 Audio and video are real too (functions/audiocodec.py): RIFF PCM WAV
 header parse + full 8/16-bit sample decode with integer amplitude
 features (``decode_audio_meta`` / ``audio_features``), and ISO-BMFF
-(MP4/MOV) box-tree metadata (``decode_video_meta``). Compressed audio
-(MP3/AAC) and video frame pixels (H.264/VP9/AV1) raise by name — the
-explicit GPU-stage seam; their container metadata works.
+(MP4/MOV) box-tree metadata (``decode_video_meta``). Video FRAME
+pixels are real for AVI/MJPEG (``sample_video_frames``: RIFF walk →
+every-Nth frame select → the pure-Python JPEG decoder). Compressed
+audio (MP3/AAC) and modern video codecs (H.264/VP9/AV1) raise by name
+— the explicit GPU-stage seam; their container metadata works.
 
 Fake wire format (deterministic, oracle-reproducible):
     b"IMG|<width>|<height>|<fmt>|" + payload-bytes
@@ -46,6 +48,7 @@ __all__ = [
     "fake_image_binary", "decode_image_meta", "resize_images",
     "extract_features", "frame_sample_plan", "decode_channel_sums",
     "decode_audio_meta", "audio_features", "decode_video_meta",
+    "sample_video_frames",
 ]
 
 META_SCHEMA = "id long, width int, height int, fmt string, payload_bytes int"
@@ -367,3 +370,60 @@ def decode_video_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
             )
 
     return df.select(id_col, bin_col).mapInPandas(decode, VIDEO_META_SCHEMA)
+
+
+FRAME_SUMS_SCHEMA = (
+    "id long, frame_idx int, width int, height int, sum_r long, sum_g long, "
+    "sum_b long"
+)
+
+
+def sample_video_frames(
+    df: DataFrame, id_col: str, bin_col: str, every: int = 10
+) -> DataFrame:
+    """REAL video frame sampling: walk the AVI container to the 'movi'
+    stream (functions/audiocodec.iter_avi_frames), keep every
+    ``every``-th frame, entropy-decode its MJPEG payload with the
+    pure-Python JPEG decoder and emit integer per-channel pixel sums —
+    one output row per sampled frame. This is ``frame_sample_plan``
+    upgraded from a plan to an execution: container walk → frame select
+    → pixel decode, all inside one mapInPandas pass (decode cost stays
+    on the executors, proportional to frames KEPT, not frames stored —
+    the property that matters when the stored stream is hours long).
+    Non-MJPEG payloads raise inside decode_rgb, by name."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from dss_plugin_nlp_analysis_spark.functions.audiocodec import (
+            iter_avi_frames,
+        )
+        from dss_plugin_nlp_analysis_spark.functions.imagecodec import decode_rgb
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                for idx, payload in enumerate(iter_avi_frames(b)):
+                    if idx % every:
+                        continue
+                    arr = decode_rgb(payload).astype(np.int64)
+                    rows.append(
+                        (
+                            i,
+                            idx,
+                            arr.shape[1],
+                            arr.shape[0],
+                            int(arr[:, :, 0].sum()),
+                            int(arr[:, :, 1].sum()),
+                            int(arr[:, :, 2].sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "frame_idx", "width", "height", "sum_r", "sum_g",
+                    "sum_b",
+                ],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(sample, FRAME_SUMS_SCHEMA)

@@ -127,3 +127,62 @@ def test_decode_video_meta_operator(spark):
     row = decode_video_meta(df, "id", "video").collect()[0]
     assert (row["brand"], row["timescale"], row["duration"]) == ("isom", 1000, 2500)
     assert (row["width"], row["height"], row["duration_ms"]) == (320, 240, 2500)
+
+
+# --- AVI/MJPEG: real video FRAME decode ------------------------------------
+
+from dss_plugin_nlp_analysis_spark.functions.audiocodec import (  # noqa: E402
+    encode_avi_mjpeg,
+    iter_avi_frames,
+    sniff_avi,
+)
+from dss_plugin_nlp_analysis_spark.functions.imagecodec import (  # noqa: E402
+    decode_rgb,
+    encode_jpeg,
+)
+
+
+def _solid_jpeg(v, w=8, h=8):
+    return encode_jpeg(np.full((h, w, 3), v, np.uint8), quality=50)
+
+
+def test_avi_sniff_and_frame_walk():
+    frames = [_solid_jpeg(v) for v in (10, 130, 250)]
+    avi = encode_avi_mjpeg(frames, 8, 8, 33333)
+    assert sniff_avi(avi) == (8, 8, 3, 33333)
+    assert list(iter_avi_frames(avi)) == frames
+
+
+def test_avi_odd_frame_length_padding():
+    # JPEG frames of odd byte length force the RIFF word-align pad path
+    frames = [_solid_jpeg(200, 5, 3)]
+    if len(frames[0]) % 2 == 0:
+        frames.append(_solid_jpeg(201, 5, 3))
+    avi = encode_avi_mjpeg(frames + [_solid_jpeg(7, 5, 3)], 5, 3)
+    got = list(iter_avi_frames(avi))
+    assert got == frames + [_solid_jpeg(7, 5, 3)]
+
+
+def test_avi_non_avi_raises():
+    with pytest.raises(NotImplementedError, match="AVI"):
+        list(iter_avi_frames(b"RIFFxxxxWAVEdata"))
+    assert sniff_avi(b"GIF89a") is None
+
+
+def test_sample_video_frames_decodes_every_nth(spark):
+    from dss_plugin_nlp_analysis_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    vals = [10, 60, 110, 160, 210]
+    avi = encode_avi_mjpeg([_solid_jpeg(v, 4, 6) for v in vals], 4, 6)
+    df = spark.createDataFrame([(3, avi)], "id long, video binary")
+    rows = sorted(
+        sample_video_frames(df, "id", "video", every=2).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    for r, v in zip(rows, vals[::2]):
+        arr = decode_rgb(_solid_jpeg(v, 4, 6)).astype(np.int64)
+        assert (r["width"], r["height"]) == (4, 6)
+        assert r["sum_r"] == int(arr[:, :, 0].sum())
