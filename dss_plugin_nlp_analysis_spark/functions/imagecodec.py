@@ -973,6 +973,15 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
     if frame is None or scan is None:
         raise NotImplementedError("JPEG missing SOF/SOS")
 
+    # crawl-payload defense: a forged SOF with huge dimensions would
+    # allocate plane buffers (h*w per component) BEFORE entropy decode
+    # proves the stream real — cap pixels so corrupt/adversarial bytes
+    # fail fast instead of exhausting executor memory (256 MPx ≈ 16k²)
+    if frame["h"] * frame["w"] > 268_435_456:
+        raise ValueError(
+            f"JPEG dimensions {frame['w']}x{frame['h']} exceed the decode "
+            "limit (corrupt or adversarial header?)"
+        )
     comps = frame["comps"]
     by_id = {c["id"]: c for c in comps}
     for s in scan:
@@ -1004,6 +1013,8 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                     for bh_ in range(c["h"]):
                         zz = np.zeros(64, np.int32)
                         t = _decode_huff_symbol(rdr, c["dc_t"])
+                        if t > 16:  # DC categories are 0..16 (ITU-T.81 F.1.2.1)
+                            raise ValueError(f"corrupt JPEG DC category {t}")
                         preds[ci] += _extend(rdr.receive(t), t)
                         zz[0] = preds[ci]
                         k = 1

@@ -558,3 +558,32 @@ def test_jpeg_resize_reencodes_as_png():
     resized = _resize_one(encode_jpeg(a, quality=50), 4, 4)
     assert sniff(resized) == ("png", 4, 4)
     assert (decode_rgb(resized) == _solid_expected(90)).all()
+
+
+def test_jpeg_forged_dimensions_fail_fast():
+    # a corrupt SOF claiming 65535x65535 must raise before allocating
+    # gigabyte plane buffers (crawl-payload defense)
+    buf = bytearray(encode_jpeg(_arr(8, 8), quality=80))
+    sof_at = bytes(buf).find(b"\xff\xc0")
+    buf[sof_at + 5 : sof_at + 9] = struct.pack(">HH", 65535, 65535)
+    with pytest.raises(ValueError, match="exceed the decode limit"):
+        decode_rgb(bytes(buf))
+
+
+def test_jpeg_corrupt_bytes_raise_cleanly():
+    # bit-flip fuzz: a mutated stream must either still decode or raise a
+    # clean, typed error quickly — never hang, loop, or allocate wild
+    base = encode_jpeg(_arr(12, 10, seed=9), quality=80)
+    rng = np.random.RandomState(0)
+    outcomes = {"ok": 0, "raised": 0}
+    for _ in range(150):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            b[rng.randint(2, len(b))] ^= 1 << rng.randint(8)
+        try:
+            out = decode_rgb(bytes(b))
+            assert out.dtype == np.uint8 and out.ndim == 3
+            outcomes["ok"] += 1
+        except (NotImplementedError, ValueError, struct.error, IndexError, KeyError):
+            outcomes["raised"] += 1
+    assert sum(outcomes.values()) == 150
