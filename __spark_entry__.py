@@ -3077,6 +3077,44 @@ def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(vids_df, "doc_id", "video", every=2)
 
 
+def _q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR / nDCG@10 / recall@10 of a deterministic synthetic run
+    against graded qrels, both derived from the events table: queries
+    are user_id%20, candidate docs event_id%50, the run ranks each
+    query's docs by the arithmetic score (d*13+q)%97 (top 10 kept), and
+    judgments grade rel 2/1 by (d+q)%5. The rank is synthesized WITHOUT
+    a window: per-query candidates are collected (bounded: <=50/query),
+    sort_array'd, posexploded — the oracle mirrors with row_number."""
+    from dss_plugin_nlp_analysis_spark.operators.evalmetrics import (
+        retrieval_metrics,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        (F.col("user_id") % 20).alias("query_id"),
+        (F.col("event_id") % 50).alias("doc_id"),
+    ).distinct()
+    ranked = (
+        pairs.withColumn("srt", F.expr("(doc_id * 13 + query_id) % 97"))
+        .groupBy("query_id")
+        .agg(F.sort_array(F.collect_list(F.struct("srt", "doc_id"))).alias("a"))
+        .select("query_id", F.posexplode("a").alias("pos", "s"))
+        .select(
+            "query_id",
+            F.col("s.doc_id").alias("doc_id"),
+            (F.col("pos") + 1).alias("rank"),
+        )
+        .where(F.col("rank") <= 10)
+    )
+    qrels = pairs.withColumn(
+        "rel",
+        F.when((F.col("doc_id") + F.col("query_id")) % 5 == 0, 2)
+        .when((F.col("doc_id") + F.col("query_id")) % 5 == 1, 1)
+        .otherwise(0),
+    ).where(F.col("rel") > 0)
+    return retrieval_metrics(ranked, qrels, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -3237,6 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": _q_funnel,
         "cohort": _q_cohort,
         "group_cap": _q_group_cap,
+        "retrieval_metrics": _q_retrieval_metrics,
     }
 
 
@@ -4724,6 +4763,81 @@ def oracle_sql() -> dict[str, str]:
                          AND (kept * 1000000) // n_pages >= 500000 THEN 'keep'
                     ELSE 'drop' END AS verdict
         FROM a
+    """
+    # retrieval_metrics: the SAME driver-computed integer discount table
+    # the operator embeds (evalmetrics.discount_table), as CASE literals
+    from dss_plugin_nlp_analysis_spark.operators.evalmetrics import discount_table
+
+    _disc = discount_table(10)
+    _disc_rank = (
+        "CASE rank "
+        + " ".join(f"WHEN {i + 1} THEN {v}" for i, v in enumerate(_disc))
+        + " ELSE 0 END"
+    )
+    _disc_pos = (
+        "CASE rr "
+        + " ".join(f"WHEN {i + 1} THEN {v}" for i, v in enumerate(_disc))
+        + " ELSE 0 END"
+    )
+    d["retrieval_metrics"] = f"""
+        WITH pairs AS (
+          SELECT DISTINCT user_id % 20 AS query_id, event_id % 50 AS doc_id
+          FROM events
+        ),
+        ranked AS (
+          SELECT query_id, doc_id,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY (doc_id * 13 + query_id) % 97, doc_id
+                 ) AS rank
+          FROM pairs
+        ),
+        runs AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 10),
+        qr AS (
+          SELECT * FROM (
+            SELECT query_id, doc_id,
+                   CASE (doc_id + query_id) % 5
+                        WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS rel
+            FROM pairs
+          ) WHERE rel > 0
+        ),
+        j AS (
+          SELECT qr.query_id, qr.rel, r.rank
+          FROM qr LEFT JOIN runs r
+            ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id
+        ),
+        agg AS (
+          SELECT query_id,
+                 count(*)::BIGINT AS n_rel,
+                 sum(CASE WHEN rank IS NOT NULL AND rank <= 10
+                          THEN 1 ELSE 0 END)::BIGINT AS hits_at_k,
+                 min(rank) AS first_rank,
+                 sum(CASE WHEN rank IS NOT NULL AND rank <= 10
+                          THEN rel * ({_disc_rank})
+                          ELSE 0 END)::BIGINT AS dcg_micro
+          FROM j GROUP BY query_id
+        ),
+        ideal AS (
+          SELECT query_id, rel,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY rel DESC
+                 ) AS rr
+          FROM qr
+        ),
+        idcg AS (
+          SELECT query_id, sum(rel * ({_disc_pos}))::BIGINT AS idcg_micro
+          FROM ideal WHERE rr <= 10 GROUP BY query_id
+        )
+        SELECT a.query_id, a.n_rel, a.hits_at_k,
+               (1000000 * a.hits_at_k) // a.n_rel AS recall_at_k_ppm,
+               (CASE WHEN a.first_rank IS NULL THEN 0
+                     ELSE 1000000 // a.first_rank END)::BIGINT AS mrr_ppm,
+               a.dcg_micro,
+               i.idcg_micro,
+               (CASE WHEN i.idcg_micro > 0
+                     THEN (1000000 * a.dcg_micro) // i.idcg_micro
+                     ELSE 0 END)::BIGINT AS ndcg_ppm
+        FROM agg a JOIN idcg i USING (query_id)
     """
     return d
 
