@@ -3115,6 +3115,22 @@ def _q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_metrics(ranked, qrels, k=10)
 
 
+def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM: counts trained on the even-doc_id half
+    of the corpus, every doc scored against them — odd docs exercise the
+    unigram-backoff path (bigrams unseen in the training half), even
+    docs the main path. Integer ppm scores; join-deployed count tables
+    (the web-scale-vocabulary LM shape, never a literal map)."""
+    from dss_plugin_nlp_analysis_spark.operators.textstats import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    return bigram_lm_scores(
+        docs.select(F.col("doc_id"), F.col("text")), "doc_id", "text",
+        train_df=train.select("doc_id", "text"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -3276,6 +3292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort": _q_cohort,
         "group_cap": _q_group_cap,
         "retrieval_metrics": _q_retrieval_metrics,
+        "bigram_lm": _q_bigram_lm,
     }
 
 
@@ -4838,6 +4855,60 @@ def oracle_sql() -> dict[str, str]:
                      THEN (1000000 * a.dcg_micro) // i.idcg_micro
                      ELSE 0 END)::BIGINT AS ndcg_ppm
         FROM agg a JOIN idcg i USING (query_id)
+    """
+    # bigram_lm: stupid-backoff counts trained on the even-doc_id half
+    d["bigram_lm"] = f"""
+        WITH corpus AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),
+        words AS (
+          SELECT id, list_filter(string_split(t, ' '), x -> x != '') AS w
+          FROM corpus
+        ),
+        tokt AS (
+          SELECT id, unnest(w) AS wd, generate_subscripts(w, 1) AS pos
+          FROM words WHERE id % 2 = 0
+        ),
+        uni AS (SELECT wd AS u, count(*)::BIGINT AS c FROM tokt GROUP BY 1),
+        tot AS (SELECT sum(c)::BIGINT AS n_total FROM uni),
+        bgt AS (
+          SELECT a.wd AS w1, b.wd AS w2
+          FROM tokt a JOIN tokt b ON b.id = a.id AND b.pos = a.pos + 1
+        ),
+        bc AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bgt GROUP BY 1, 2),
+        tok AS (
+          SELECT id, unnest(w) AS wd, generate_subscripts(w, 1) AS pos
+          FROM words
+        ),
+        bg AS (
+          SELECT a.id, a.wd AS w1, b.wd AS w2
+          FROM tok a JOIN tok b ON b.id = a.id AND b.pos = a.pos + 1
+        ),
+        sc AS (
+          SELECT bg.id,
+                 CASE WHEN bc.c12 IS NOT NULL
+                      THEN (1000000 * bc.c12) // u1.c
+                      ELSE (400000 * coalesce(u2.c, 0)) // t.n_total
+                 END AS score_ppm,
+                 CASE WHEN bc.c12 IS NULL THEN 1 ELSE 0 END AS backoff
+          FROM bg
+          LEFT JOIN bc ON bc.w1 = bg.w1 AND bc.w2 = bg.w2
+          LEFT JOIN uni u1 ON u1.u = bg.w1
+          LEFT JOIN uni u2 ON u2.u = bg.w2
+          CROSS JOIN tot t
+        ),
+        agg AS (
+          SELECT id, count(*)::BIGINT AS n_bigrams,
+                 sum(backoff)::BIGINT AS n_backoff,
+                 sum(score_ppm)::BIGINT AS score_sum_ppm
+          FROM sc GROUP BY 1
+        )
+        SELECT w.id,
+               coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+               coalesce(a.n_backoff, 0)::BIGINT AS n_backoff,
+               coalesce(a.score_sum_ppm, 0)::BIGINT AS score_sum_ppm,
+               (CASE WHEN coalesce(a.n_bigrams, 0) > 0
+                     THEN a.score_sum_ppm // a.n_bigrams
+                     ELSE 0 END)::BIGINT AS avg_score_ppm
+        FROM words w LEFT JOIN agg a USING (id)
     """
     return d
 

@@ -1017,3 +1017,123 @@ def rake_keywords(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.max("score_ppm").alias("score_ppm"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    train_df: DataFrame | None = None,
+    alpha_ppm: int = 400_000,
+) -> DataFrame:
+    """Bigram language-model quality score with stupid backoff (Brants
+    et al. 2007, "Large Language Models in Machine Translation") — the
+    CCNet-style perplexity filter one order above ``unigram_lm_scores``:
+    a document full of real word PAIRS from the training corpus scores
+    high; gibberish and shuffled boilerplate back off to unigrams and
+    score low.
+
+    Per target bigram (w1, w2), the integer ppm score is
+      c(w1,w2) > 0:  floor(1e6 * c(w1,w2) / c(w1))
+      else:          floor(alpha_ppm * c(w2) / N)       (backoff)
+    with counts from ``train_df`` (default: ``df`` itself — self-scoring)
+    and N the training token total. Stupid backoff is deliberately
+    unnormalized (S, not P) — no discounting hyperparameters, which is
+    exactly why it is the standard at web scale; alpha = 0.4 is the
+    paper's constant, here as integer ppm.
+
+    Determinism contract: every value is an int64 count, product, or
+    floor division — no logs, no floats — so a DuckDB oracle reproduces
+    the scores bit-exactly (the house rule shared by unigram_lm_scores /
+    collocations).
+
+    Scale shape: this is the JOIN-deployed LM (the path the
+    unigram_lm_scores docstring points to for web-scale vocabularies):
+    the unigram and bigram count tables are corpus-derived DataFrames,
+    never literal maps, and scoring is three shuffle equi-joins on token
+    keys (bigram pair, w1, w2) + one re-aggregation by doc id. Hot words
+    ("the") skew the unigram join — AQE skew-join splits them; the
+    training total is a 1-row broadcast cross join (the scalar-stats
+    pattern of bm25). No windows, no collects, no UDFs.
+
+    Returns (id, n_bigrams, n_backoff, score_sum_ppm, avg_score_ppm);
+    docs with < 2 tokens score (0, 0, 0, 0). NULL text = "" (house
+    NULL contract).
+    """
+    train = train_df if train_df is not None else df
+    toks = F.filter(word_tokens(F.col(text_col)), lambda x: x != "")
+    bigrams = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(toks[i-1] AS w1, toks[i] AS w2)) "
+        "ELSE array() END"
+    )
+
+    tr = train.select(toks.alias("toks"))
+    uni = (
+        tr.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = uni.agg(F.sum("c").cast("long").alias("n_total"))
+    bc = (
+        tr.select(F.explode(bigrams).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+
+    # target side: explode_outer keeps < 2-token docs as one NULL row so
+    # every input id survives to the output with zero scores
+    tgt = (
+        df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+        .select("id", F.explode_outer(bigrams).alias("p"))
+        .select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        tgt.join(bc, ["w1", "w2"], "left")
+        .join(u1, ["w1"], "left")
+        .join(u2, ["w2"], "left")
+        .crossJoin(total)  # 1-row scalar, AQE broadcasts
+        .select(
+            "id",
+            F.col("w1"),
+            F.when(F.col("w1").isNull(), F.lit(None).cast("long"))
+            .when(
+                F.col("c12").isNotNull(),
+                F.expr("(1000000 * c12) div c1"),
+            )
+            .otherwise(
+                F.expr(f"({alpha_ppm} * coalesce(c2, 0)) div n_total")
+            )
+            .alias("score_ppm"),
+            F.when(
+                F.col("w1").isNotNull() & F.col("c12").isNull(), 1
+            )
+            .otherwise(0)
+            .alias("backoff"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.sum(F.when(F.col("w1").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bigrams"),
+        F.sum("backoff").cast("long").alias("n_backoff"),
+        F.sum(F.coalesce(F.col("score_ppm"), F.lit(0).cast("long")))
+        .cast("long")
+        .alias("score_sum_ppm"),
+    ).select(
+        "id",
+        "n_bigrams",
+        "n_backoff",
+        "score_sum_ppm",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.expr("score_sum_ppm div n_bigrams"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("avg_score_ppm"),
+    )
