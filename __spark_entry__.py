@@ -3131,6 +3131,19 @@ def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three BPE merges learned from the document corpus — the iterative
+    tokenizer-training loop (bpe_pairs is merge #1's statistics only).
+    The oracle unrolls the identical three rounds as CTEs, replaying the
+    greedy leftmost merge application with the run-parity window trick
+    (adjacent candidate starts only occur for self-pairs, where greedy
+    keeps even offsets within each run)."""
+    from dss_plugin_nlp_analysis_spark.operators.bpetrain import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, "text", n_merges=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -3293,6 +3306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_cap": _q_group_cap,
         "retrieval_metrics": _q_retrieval_metrics,
         "bigram_lm": _q_bigram_lm,
+        "bpe_train": _q_bpe_train,
     }
 
 
@@ -4910,7 +4924,83 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0 END)::BIGINT AS avg_score_ppm
         FROM words w LEFT JOIN agg a USING (id)
     """
+    d["bpe_train"] = _bpe_oracle(3)
     return d
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled BPE-training oracle: round k counts adjacent symbol
+    pairs over position rows s{k}, picks the (count desc, l, r) winner,
+    and applies it with the run-parity rule — candidate merge starts are
+    only ever adjacent for self-pairs (l = r runs), where greedy
+    left-to-right keeps the even offsets of each run; positions are
+    renumbered per round so 'adjacent' stays pos + 1."""
+    ctes = [
+        f"corpus AS (SELECT {_NORM} AS t FROM documents)",
+        """words AS (
+          SELECT w, count(*)::BIGINT AS cnt FROM (
+            SELECT unnest(list_filter(string_split(t, ' '), x -> x != '')) AS w
+            FROM corpus
+          ) GROUP BY w
+        )""",
+        """s1p AS (
+          SELECT w, cnt, unnest(range(1, length(w) + 1))::INT AS pos
+          FROM words
+        )""",
+        "s1 AS (SELECT w, cnt, pos, substr(w, pos, 1) AS sym FROM s1p)",
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(f"""pc{k} AS (
+          SELECT a.sym AS l, b.sym AS r, sum(a.cnt)::BIGINT AS c
+          FROM s{k} a JOIN s{k} b ON b.w = a.w AND b.pos = a.pos + 1
+          GROUP BY 1, 2
+        )""")
+        ctes.append(
+            f"best{k} AS (SELECT l, r, c FROM pc{k} ORDER BY c DESC, l, r LIMIT 1)"
+        )
+        if k == n_merges:
+            break
+        ctes.append(f"""cand{k} AS (
+          SELECT a.w, a.pos
+          FROM s{k} a
+          JOIN s{k} b ON b.w = a.w AND b.pos = a.pos + 1
+          CROSS JOIN best{k} m
+          WHERE a.sym = m.l AND b.sym = m.r
+        )""")
+        ctes.append(f"""keep{k} AS (
+          SELECT w, pos FROM (
+            SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off
+            FROM (
+              SELECT w, pos,
+                     pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp
+              FROM cand{k}
+            )
+          ) WHERE off % 2 = 0
+        )""")
+        ctes.append(f"""app{k} AS (
+          SELECT s.w, s.cnt, s.pos,
+                 CASE WHEN kk.pos IS NOT NULL THEN m.l || m.r
+                      ELSE s.sym END AS sym
+          FROM s{k} s
+          LEFT JOIN keep{k} kk ON kk.w = s.w AND kk.pos = s.pos
+          CROSS JOIN best{k} m
+          WHERE NOT EXISTS (
+            SELECT 1 FROM keep{k} k2
+            WHERE k2.w = s.w AND k2.pos = s.pos - 1
+          )
+        )""")
+        ctes.append(f"""s{k + 1} AS (
+          SELECT w, cnt,
+                 row_number() OVER (PARTITION BY w ORDER BY pos)::INT AS pos,
+                 sym
+          FROM app{k}
+        )""")
+    finals = "\n        UNION ALL ".join(
+        f'SELECT {k}::INT AS merge_rank, l AS "left", r AS "right", '
+        f"c AS pair_count FROM best{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n        ".join(ctes) + "\n        " + finals
 
 
 def _oracle_dict(pat, onto, lm_values, lm_oov, thr_case) -> dict[str, str]:
