@@ -3131,6 +3131,23 @@ def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order node2vec walks (3 steps, p=2 q=3 — all three weight
+    classes distinct: return 3, adjacent 6, far 2) from the link-graph
+    seed set. Exact integer weighted sampling: next hop = the candidate
+    whose cumulative-weight range contains md5(walk|step) mod W; the
+    oracle replays each step with window cumsums."""
+    from dss_plugin_nlp_analysis_spark.operators.graph import node2vec_walks
+
+    return node2vec_walks(
+        _link_edges(spark, sf_dir),
+        _link_seed_nodes(spark, sf_dir),
+        steps=3,
+        p=2,
+        q=3,
+    )
+
+
 def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three BPE merges learned from the document corpus — the iterative
     tokenizer-training loop (bpe_pairs is merge #1's statistics only).
@@ -3307,6 +3324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_metrics": _q_retrieval_metrics,
         "bigram_lm": _q_bigram_lm,
         "bpe_train": _q_bpe_train,
+        "node2vec_walks": _q_node2vec,
     }
 
 
@@ -4925,7 +4943,49 @@ def oracle_sql() -> dict[str, str]:
         FROM words w LEFT JOIN agg a USING (id)
     """
     d["bpe_train"] = _bpe_oracle(3)
+    d["node2vec_walks"] = _node2vec_oracle(steps=3, p=2, q=3)
     return d
+
+
+def _node2vec_oracle(*, steps: int, p: int, q: int) -> str:
+    """Unrolled node2vec oracle: per step, candidate weights by the
+    (return=q, adjacent=p*q, far=p) CASE, window cumsum in dst order,
+    pick = min dst with cum > md5(walk|step) mod total."""
+    w_ret, w_adj, w_far = q, p * q, p
+    ctes = [
+        _LINK_EDGES.strip(),
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        """w0 AS (SELECT node AS walk_id, node, NULL::BIGINT AS prev
+                  FROM nodes WHERE node % 10 = 0)""",
+    ]
+    for t in range(1, steps + 1):
+        ctes.append(f"""c{t} AS (
+          SELECT w.walk_id, e.dst, w.node AS cur,
+                 (CASE WHEN e.dst = w.prev THEN {w_ret}
+                       WHEN a.src IS NOT NULL THEN {w_adj}
+                       ELSE {w_far} END)::BIGINT AS wt
+          FROM w{t - 1} w
+          JOIN e ON e.src = w.node
+          LEFT JOIN e a ON a.src = w.prev AND a.dst = e.dst
+        )""")
+        ctes.append(f"""s{t} AS (
+          SELECT walk_id, dst, cur,
+                 sum(wt) OVER (PARTITION BY walk_id ORDER BY dst
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(wt) OVER (PARTITION BY walk_id) AS tot,
+                 ('0x' || substr(md5(walk_id::VARCHAR || '|' || '{t}'),
+                                 1, 15))::BIGINT AS h
+          FROM c{t}
+        )""")
+        ctes.append(f"""w{t} AS (
+          SELECT walk_id, min(dst) AS node, min(cur) AS prev
+          FROM s{t} WHERE cum > h % tot GROUP BY walk_id
+        )""")
+    finals = "\n        UNION ALL ".join(
+        f"SELECT walk_id, {t} AS step, node FROM w{t}"
+        for t in range(0, steps + 1)
+    )
+    return "WITH " + ",\n        ".join(ctes) + "\n        " + finals
 
 
 def _bpe_oracle(n_merges: int) -> str:

@@ -845,3 +845,123 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    steps: int = 3,
+    p: int = 1,
+    q: int = 2,
+    node_col: str = "node",
+) -> DataFrame:
+    """Second-order biased walks (node2vec, Grover & Leskovec 2016) with
+    EXACT integer weighted sampling, deterministic across engines.
+
+    ``random_walks`` picks uniformly; node2vec biases each hop by where
+    the walk came from: a candidate that RETURNS to the previous node
+    weighs 1/p, one ADJACENT to it (prev -> cand edge exists) weighs 1,
+    anything FARTHER weighs 1/q — small p = depth-first-ish exploration,
+    small q = breadth-first-ish. Scaling by p*q makes the three weights
+    the integers {q, p*q, p}, so sampling needs no floats: per hop, the
+    walk's candidate list is sorted by destination, W = sum of weights,
+    and h = md5(walk_id|step) mod W picks the candidate whose cumulative
+    weight range contains h — exact categorical sampling (every residue
+    maps to one candidate in proportion to its weight), bit-reproducible
+    across retries, repartitions, and the DuckDB oracle. Step 1 has no
+    previous node: every candidate takes the FAR weight p, which is
+    uniform (all equal). Walks end early at sinks.
+
+    Scale shape per hop: frontier ⋈ edges (equi-join on the current
+    node), one LEFT equi-join back to edges on (prev, cand) for the
+    adjacency class (this is the second-order check most
+    implementations approximate away; here it is one more hash join),
+    then a per-walk candidate fold. The fold's collect_list is bounded
+    by the current node's OUT-DEGREE — fine for web graphs (~10^3-10^4
+    links/page); for super-hub graphs cap degree upstream (the
+    max_hub_degree pattern of neighbor_jaccard). Lineage cut per hop.
+
+    Returns (walk_id, step, node); step 0 is the seed.
+    """
+    if steps < 0:
+        raise ValueError(f"steps must be >= 0, got {steps}")
+    if p < 1 or q < 1:
+        raise ValueError(f"p and q must be integers >= 1, got p={p} q={q}")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    adj = e.select(
+        F.col("src").alias("_prev"), F.col("dst").alias("_dst"),
+        F.lit(1).alias("_adj"),
+    )
+    cur = (
+        seeds.select(F.col(node_col).alias("walk_id"))
+        .distinct()
+        .select(
+            "walk_id",
+            F.col("walk_id").alias("node"),
+            F.lit(None).cast(seeds.schema[node_col].dataType).alias("prev"),
+        )
+        .localCheckpoint()
+    )
+    out = cur.select("walk_id", F.lit(0).alias("step"), "node")
+    w_ret, w_adj, w_far = q, p * q, p
+    for t in range(1, steps + 1):
+        cand = (
+            cur.join(e, cur["node"] == e["src"])
+            .join(
+                adj,
+                (F.col("prev") == F.col("_prev")) & (e["dst"] == F.col("_dst")),
+                "left",
+            )
+            .select(
+                "walk_id",
+                e["dst"].alias("cand"),
+                F.when(F.col("dst") == F.col("prev"), F.lit(w_ret))
+                .when(F.col("_adj").isNotNull(), F.lit(w_adj))
+                .otherwise(F.lit(w_far))
+                .cast("long")
+                .alias("wt"),
+            )
+        )
+        picked = (
+            cand.groupBy("walk_id")
+            .agg(F.sort_array(F.collect_list(F.struct("cand", "wt"))).alias("cs"))
+            .withColumn("tot", F.expr("aggregate(cs, 0L, (a, x) -> a + x.wt)"))
+            .withColumn(
+                "h",
+                F.expr(
+                    f"conv(substr(md5(concat(cast(walk_id as string), '|', '{t}')),"
+                    " 1, 15), 16, 10)"
+                ).cast("long")
+                % F.col("tot"),
+            )
+            # fold over indices: first candidate whose cumulative weight
+            # range contains h (cs/h are materialized columns, so the
+            # lambda's outer references don't re-evaluate work per element)
+            .withColumn(
+                "sel",
+                F.expr(
+                    "aggregate(sequence(1, size(cs)), "
+                    "struct(cast(0 as bigint) AS cum, 0 AS idx), "
+                    "(acc, i) -> CASE WHEN acc.idx > 0 THEN acc "
+                    "WHEN acc.cum + cs[i-1].wt > h "
+                    "THEN struct(acc.cum + cs[i-1].wt AS cum, i AS idx) "
+                    "ELSE struct(acc.cum + cs[i-1].wt AS cum, 0 AS idx) END, "
+                    "acc -> acc.idx)"
+                ),
+            )
+            .select("walk_id", F.expr("cs[sel-1].cand").alias("node"))
+        )
+        nxt = picked.join(
+            cur.select("walk_id", F.col("node").alias("prev")), "walk_id"
+        ).select("walk_id", "node", "prev")
+        cur = nxt.localCheckpoint()
+        out = out.union(cur.select("walk_id", F.lit(t).alias("step"), "node"))
+    return out.select("walk_id", "step", "node")
