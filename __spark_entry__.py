@@ -3131,6 +3131,23 @@ def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of a compact directed graph
+    (user_id%30 -> event_id%30): FW-BW-Trim peeling vs a recursive-CTE
+    mutual-reachability oracle (scc_id(v) = min u with v->u and u->v,
+    self included). connected_components is the undirected clustering;
+    this certifies the directed one."""
+    from dss_plugin_nlp_analysis_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 30).alias("src"), (F.col("event_id") % 30).alias("dst")
+    )
+    return strongly_connected_components(edges)
+
+
 def _q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-order node2vec walks (3 steps, p=2 q=3 — all three weight
     classes distinct: return 3, adjacent 6, far 2) from the link-graph
@@ -3325,6 +3342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": _q_bigram_lm,
         "bpe_train": _q_bpe_train,
         "node2vec_walks": _q_node2vec,
+        "scc": _q_scc,
     }
 
 
@@ -4944,6 +4962,28 @@ def oracle_sql() -> dict[str, str]:
     """
     d["bpe_train"] = _bpe_oracle(3)
     d["node2vec_walks"] = _node2vec_oracle(steps=3, p=2, q=3)
+    # scc: mutual reachability closure (recursive CTE); scc_id(v) = the
+    # minimum u with v->u AND u->v, v itself included
+    d["scc"] = """
+        WITH RECURSIVE g AS (
+          SELECT DISTINCT user_id % 30 AS src, event_id % 30 AS dst
+          FROM events WHERE user_id % 30 != event_id % 30
+        ),
+        nodes AS (SELECT src AS node FROM g UNION SELECT dst FROM g),
+        reach(a, b) AS (
+          SELECT src, dst FROM g
+          UNION
+          SELECT r.a, g.dst FROM reach r JOIN g ON g.src = r.b
+        ),
+        mutual AS (
+          SELECT node AS v, node AS u FROM nodes
+          UNION
+          SELECT r1.a, r1.b FROM reach r1
+          WHERE EXISTS (SELECT 1 FROM reach r2
+                        WHERE r2.a = r1.b AND r2.b = r1.a)
+        )
+        SELECT v AS node, min(u)::BIGINT AS scc_id FROM mutual GROUP BY v
+    """
     return d
 
 

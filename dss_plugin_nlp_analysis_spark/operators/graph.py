@@ -965,3 +965,157 @@ def node2vec_walks(
         cur = nxt.localCheckpoint()
         out = out.union(cur.select("walk_id", F.lit(t).alias("step"), "node"))
     return out.select("walk_id", "step", "node")
+
+
+def _min_label_fixpoint(
+    nodes: DataFrame, e: DataFrame, *, reverse: bool, max_iters: int
+) -> DataFrame:
+    """(node, lbl) where lbl = min node id reachable from node along
+    edge direction (reverse=True follows edges backwards), self
+    included. Iterates min-propagation to convergence (probe: any
+    changed label?), capped at max_iters; returns the fixpoint and
+    whether it converged via an attached marker row count contract —
+    callers treat hitting the cap as non-convergence."""
+    s, d = ("dst", "src") if reverse else ("src", "dst")
+    lbl = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint()
+    for _ in range(max_iters):
+        upd = (
+            e.join(lbl, e[d] == lbl["node"])
+            .groupBy(e[s].alias("node"))
+            .agg(F.min("lbl").alias("m"))
+        )
+        new = (
+            lbl.join(upd, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("m"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(lbl.alias("o"), "node")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        lbl = new
+        if changed == 0:
+            return lbl
+    raise ValueError(
+        f"min-label propagation did not converge in {max_iters} iterations"
+        " — raise max_label_iters (graph diameter exceeds the cap)"
+    )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_peel_rounds: int = 8,
+    max_label_iters: int = 30,
+    trim_iters: int = 10,
+) -> DataFrame:
+    """Strongly connected components by FW-BW-Trim peeling (Fleischer et
+    al. 2000 / the Slota-Rajamanickam distributed variant): per round,
+    TRIM repeatedly assigns nodes with no in- or no out-edge in the
+    remaining graph as singleton SCCs (cheap degree anti-joins, clears
+    DAG tendrils a level per iteration), then one forward and one
+    backward min-label fixpoint over what remains — a node whose
+    min-forward-reachable id equals its min-backward-reachable id m is
+    mutually reachable with m, so its SCC id IS m; assigned nodes peel
+    off and the next round runs on the rest. connected_components gives
+    the undirected clustering; this is the directed one (link-farm and
+    citation-ring detection over the crawl link graph).
+
+    Guaranteed progress: each round assigns at least the SCC of the
+    remaining graph's minimum id (its members' fwd and bwd minima are
+    both that id). Web-shaped graphs (bow-tie: one giant core + DAG
+    tendrils) finish in 2-3 rounds — trim eats the tendrils, round one
+    eats the core. Adversarial singleton CHAINS peel one level per trim
+    iteration; raise trim_iters / max_peel_rounds for those, or use
+    transitive_closure for pure DAGs. Raises (never returns a partial
+    answer) if caps are hit before every node is assigned.
+
+    Node universe contract (shared with _link_seed_nodes / the oracles):
+    endpoints of non-self-loop distinct edges; a node appearing only in
+    self-loops is not in the universe.
+
+    Scale shape: everything is equi-joins, groupBy-min aggregations, and
+    anti-joins — no windows, no collects; every fixpoint frame is
+    localCheckpoint'd (lineage cut) and every convergence probe is a
+    limit(1).count() over a just-checkpointed frame. Returns
+    (node, scc_id); scc_id is the component's minimum node id.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    remaining = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    assigned: list[DataFrame] = []
+    re = e
+    for _ in range(max_peel_rounds):
+        # TRIM: no in-edge or no out-edge => singleton SCC
+        for _ in range(trim_iters):
+            srcs = re.select(F.col("src").alias("node")).distinct()
+            dsts = re.select(F.col("dst").alias("node")).distinct()
+            # nodes missing from either endpoint set of the live edges
+            both = srcs.join(dsts, "node")
+            singles = remaining.join(both, "node", "left_anti").localCheckpoint()
+            if singles.limit(1).count() == 0:
+                break
+            assigned.append(
+                singles.select("node", F.col("node").alias("scc_id"))
+            )
+            remaining = remaining.join(singles, "node", "left_anti").localCheckpoint()
+            re = (
+                re.join(remaining.select(F.col("node").alias("src")), "src", "left_semi")
+                .join(remaining.select(F.col("node").alias("dst")), "dst", "left_semi")
+                .localCheckpoint()
+            )
+        if remaining.limit(1).count() == 0:
+            break
+        fwd = _min_label_fixpoint(
+            remaining, re, reverse=False, max_iters=max_label_iters
+        )
+        bwd = _min_label_fixpoint(
+            remaining, re, reverse=True, max_iters=max_label_iters
+        )
+        scc = (
+            fwd.alias("f")
+            .join(bwd.alias("b"), "node")
+            .where(F.col("f.lbl") == F.col("b.lbl"))
+            .select("node", F.col("f.lbl").alias("scc_id"))
+            .localCheckpoint()
+        )
+        assigned.append(scc)
+        remaining = remaining.join(scc, "node", "left_anti").localCheckpoint()
+        if remaining.limit(1).count() == 0:
+            break
+        re = (
+            re.join(remaining.select(F.col("node").alias("src")), "src", "left_semi")
+            .join(remaining.select(F.col("node").alias("dst")), "dst", "left_semi")
+            .localCheckpoint()
+        )
+    else:
+        if remaining.limit(1).count() > 0:
+            raise ValueError(
+                f"SCC peeling incomplete after {max_peel_rounds} rounds —"
+                " raise max_peel_rounds (many chained small components)"
+            )
+    if not assigned:  # empty edge input: empty result, correct schema
+        return remaining.select("node", F.col("node").alias("scc_id"))
+    out = assigned[0]
+    for part in assigned[1:]:
+        out = out.union(part)
+    return out
