@@ -671,3 +671,63 @@ def test_translation_pairs_equi_joins_no_python(spark, docs):
     plan = plan_of(translation_pairs(pages, alts))
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+# --- round-5 session-4 operators ---------------------------------------
+
+
+def test_bigram_lm_no_window_no_cartesian_no_python(spark, docs):
+    from dss_plugin_nlp_analysis_spark.operators.textstats import bigram_lm_scores
+
+    out = bigram_lm_scores(docs, "doc_id", "text")
+    plan = plan_of(out)
+    # join-deployed LM: token equi-joins + one scalar cross (1-row stats)
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only nested-loop join is the broadcast of the 1-row total
+    assert plan.count("NestedLoopJoin") <= 1, plan
+
+
+def test_retrieval_metrics_single_shuffle_agg_no_window(spark):
+    from dss_plugin_nlp_analysis_spark.operators.evalmetrics import (
+        retrieval_metrics,
+    )
+
+    runs = spark.createDataFrame(
+        [("a", "d1", 1)], "query_id string, doc_id string, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [("a", "d1", 1)], "query_id string, doc_id string, rel int"
+    )
+    plan = plan_of(retrieval_metrics(runs, qrels, k=10))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bpe_round_is_vocab_sized_aggregation(spark, docs):
+    from dss_plugin_nlp_analysis_spark.operators.bpetrain import word_counts
+
+    plan = plan_of(word_counts(docs, "text"))
+    # one corpus pass: explode + partial/final count, no windows/python
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_scc_and_node2vec_plans_are_join_only(spark):
+    from dss_plugin_nlp_analysis_spark.operators.graph import (
+        node2vec_walks,
+        strongly_connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    w = node2vec_walks(edges, seeds, steps=2)
+    s = strongly_connected_components(edges)
+    for plan in (plan_of(w), plan_of(s)):
+        assert "Window" not in plan, plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
