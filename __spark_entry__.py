@@ -3131,6 +3131,19 @@ def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the planted-duplicate embedding corpus: cluster to
+    the first-16-by-id centroids (the ivf_topk convention the oracle
+    replicates), then first-occurrence-wins pruning of cosine >= 0.95
+    pairs WITHIN clusters — every planted copy (vec_id + 10000, scaled
+    2x: cosine exactly 1) lands in its original's cluster and drops."""
+    from dss_plugin_nlp_analysis_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _planted_embeddings(spark, sf_dir), n_centroids=16, threshold=0.95
+    )
+
+
 def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components of a compact directed graph
     (user_id%30 -> event_id%30): FW-BW-Trim peeling vs a recursive-CTE
@@ -3343,6 +3356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _q_bpe_train,
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -4962,6 +4976,43 @@ def oracle_sql() -> dict[str, str]:
     """
     d["bpe_train"] = _bpe_oracle(3)
     d["node2vec_walks"] = _node2vec_oracle(steps=3, p=2, q=3)
+    # semantic_dedup: assign to first-16-by-id centroids (argmax cosine,
+    # tie -> lowest cid), within-cluster pairs, drop ids dominated by a
+    # smaller near-identical one
+    d["semantic_dedup"] = """
+        WITH planted AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 10000,
+                 list_transform(embedding, x -> x * 2.0)::FLOAT[]
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT vec_id AS ccid, embedding AS cemb
+          FROM planted ORDER BY vec_id LIMIT 16
+        ),
+        asgn AS (
+          SELECT vec_id, cid FROM (
+            SELECT p.vec_id, c.ccid AS cid,
+                   row_number() OVER (PARTITION BY p.vec_id
+                     ORDER BY list_cosine_similarity(p.embedding::DOUBLE[],
+                                                     c.cemb::DOUBLE[]) DESC,
+                              c.ccid) AS r
+            FROM planted p CROSS JOIN cent c
+          ) WHERE r = 1
+        ),
+        dom AS (
+          SELECT DISTINCT b.vec_id AS id
+          FROM asgn a JOIN asgn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN planted pa ON pa.vec_id = a.vec_id
+          JOIN planted pb ON pb.vec_id = b.vec_id
+          WHERE list_cosine_similarity(pa.embedding::DOUBLE[],
+                                       pb.embedding::DOUBLE[]) >= 0.95
+        )
+        SELECT a.vec_id, a.cid,
+               (CASE WHEN d.id IS NULL THEN 1 ELSE 0 END)::INT AS keep
+        FROM asgn a LEFT JOIN dom d ON d.id = a.vec_id
+    """
     # scc: mutual reachability closure (recursive CTE); scc_id(v) = the
     # minimum u with v->u AND u->v, v itself included
     d["scc"] = """

@@ -488,3 +488,75 @@ def rrf_fuse(
         F.sum("_term").alias("rrf_micro"),
         F.count(F.lit(1)).alias("n_systems"),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): drop documents whose
+    EMBEDDINGS nearly coincide — paraphrases, templated rewrites, and
+    machine translations that no lexical dedup (minhash/simhash/winnow)
+    can see — by clustering the embedding space and pruning near-
+    duplicates WITHIN each cluster only.
+
+    Returns (id, cid, keep): cluster id and an integer keep flag.
+    Keep rule: a vector is dropped iff some SMALLER-id vector in the
+    SAME cluster has cosine >= threshold — first-occurrence-wins, the
+    line_dedup/latest_by_key house contract, one pass, deterministic.
+    (DIV from the paper: SemDeDup keeps the point farthest from the
+    centroid per duplicate group; id-min is deterministic across engines
+    and retries, which the pipeline values more. Chains coarsen: in
+    a~b~c with a!~c, only a survives — same semantics as cluster_dedup;
+    use that operator when exact connected components matter.)
+
+    Scale shape: centroids are the first ``n_centroids`` vectors in id
+    order (the ivf_topk default — deterministic, oracle-replicable;
+    swap in kmeans_centroids for data-adaptive cells). Assignment is a
+    pure map (centroid sims are literal expressions); the pair stage is
+    an equi-join ON CLUSTER ID — the quadratic blow-up is bounded per
+    cluster, which is exactly the paper's trick for running at web
+    scale (size n_centroids so clusters stay ~10^4-10^5 vectors; skewed
+    clusters split under AQE). No windows, no corpus-sized collects —
+    the one collect is the k seed vectors.
+    """
+    if n_centroids < 1:
+        raise ValueError(f"n_centroids must be >= 1, got {n_centroids}")
+    cent_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
+    assigned = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("_v"),
+        _centroid_sims(F.col(vec_col).cast("array<double>"), centroids)[0][
+            "cid"
+        ].alias("cid"),
+    )
+    a = assigned.select("cid", F.col("id").alias("id_a"), F.col("_v").alias("_va"))
+    b = assigned.select("cid", F.col("id").alias("id_b"), F.col("_v").alias("_vb"))
+    dom = (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            cosine(
+                F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")
+            )
+            >= threshold
+        )
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return assigned.join(dom.withColumn("_dup", F.lit(1)), "id", "left").select(
+        F.col("id").alias(id_col),
+        "cid",
+        F.when(F.col("_dup").isNull(), 1).otherwise(0).alias("keep"),
+    )
