@@ -3131,6 +3131,18 @@ def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid readability in integer micro-units over the
+    document corpus — sentence runs, whitespace words, vowel-group
+    syllables (floored at 1/word), all counted by regexes shared
+    verbatim with the oracle."""
+    from dss_plugin_nlp_analysis_spark.operators.textstats import (
+        readability_scores,
+    )
+
+    return readability_scores(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the planted-duplicate embedding corpus: cluster to
     the first-16-by-id centroids (the ivf_topk convention the oracle
@@ -3357,6 +3369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
+        "readability": _q_readability,
     }
 
 
@@ -4976,6 +4989,32 @@ def oracle_sql() -> dict[str, str]:
     """
     d["bpe_train"] = _bpe_oracle(3)
     d["node2vec_walks"] = _node2vec_oracle(steps=3, p=2, q=3)
+    # readability: identical regex counts + integer FK formula
+    d["readability"] = f"""
+        WITH base AS (
+          SELECT doc_id AS id,
+                 list_filter(string_split({_NORM}, ' '), x -> x != '') AS w,
+                 len(regexp_extract_all({_NORM}, '[.!?]+')) AS raw_sents
+          FROM documents
+        ),
+        c AS (
+          SELECT id,
+                 len(w)::BIGINT AS n_words,
+                 (CASE WHEN len(w) > 0 THEN greatest(raw_sents, 1)
+                       ELSE 0 END)::BIGINT AS n_sentences,
+                 (CASE WHEN len(w) > 0 THEN
+                    list_sum(list_transform(w, x ->
+                      greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1)))
+                  ELSE 0 END)::BIGINT AS n_syllables
+          FROM base
+        )
+        SELECT id, n_words, n_sentences, n_syllables,
+               (CASE WHEN n_words > 0 THEN
+                  390000 * n_words // n_sentences
+                  + 11800000 * n_syllables // n_words - 15590000
+                ELSE 0 END)::BIGINT AS fk_grade_micro
+        FROM c
+    """
     # semantic_dedup: assign to first-16-by-id centroids (argmax cosine,
     # tie -> lowest cid), within-cluster pairs, drop ids dominated by a
     # smaller near-identical one
