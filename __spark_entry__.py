@@ -3131,6 +3131,29 @@ def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling over a derived
+    collapse-tree (u<i> -> u<i div 2>, chains up to 7 hops) plus a
+    planted 2-cycle; the oracle walks the same chains with a recursive
+    CTE (hop cap 64 = 2^6, the operator's doubling budget)."""
+    from dss_plugin_nlp_analysis_spark.operators.url import resolve_redirects
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select((F.col("doc_id") % 97).alias("i"))
+        .where(F.col("i") >= 1)
+        .distinct()
+    )
+    edges = base.select(
+        F.concat(F.lit("u"), F.col("i").cast("string")).alias("src"),
+        F.concat(F.lit("u"), F.expr("i div 2").cast("string")).alias("dst"),
+    )
+    cyc = spark.createDataFrame(
+        [("c1", "c2"), ("c2", "c1")], "src string, dst string"
+    )
+    return resolve_redirects(edges.union(cyc))
+
+
 def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch-Kincaid readability in integer micro-units over the
     document corpus — sentence runs, whitespace words, vowel-group
@@ -3370,6 +3393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
         "readability": _q_readability,
+        "resolve_redirects": _q_redirects,
     }
 
 
@@ -4989,6 +5013,36 @@ def oracle_sql() -> dict[str, str]:
     """
     d["bpe_train"] = _bpe_oracle(3)
     d["node2vec_walks"] = _node2vec_oracle(steps=3, p=2, q=3)
+    # resolve_redirects: recursive-CTE walk of the same functional graph,
+    # hop cap 64 = the operator's 2^6 doubling budget
+    d["resolve_redirects"] = """
+        WITH RECURSIVE m0 AS (
+          SELECT DISTINCT 'u' || (doc_id % 97) AS u,
+                          'u' || ((doc_id % 97) // 2) AS v
+          FROM documents WHERE doc_id % 97 >= 1
+          UNION
+          SELECT * FROM (VALUES ('c1', 'c2'), ('c2', 'c1')) t(u, v)
+        ),
+        mm AS (SELECT u, min(v) AS v FROM m0 WHERE u != v GROUP BY u),
+        walk(u, cur, hops) AS (
+          SELECT u, v, 1::BIGINT FROM mm
+          UNION ALL
+          SELECT w.u, m2.v, w.hops + 1
+          FROM walk w JOIN mm m2 ON m2.u = w.cur
+          WHERE w.hops < 64
+        ),
+        fin AS (
+          SELECT w.u, w.cur, w.hops
+          FROM walk w LEFT JOIN mm t ON t.u = w.cur
+          WHERE t.u IS NULL
+        )
+        SELECT u AS url, cur AS final_url, hops, 1::INT AS resolved FROM fin
+        UNION ALL
+        SELECT w.u, w.cur, 64::BIGINT, 0::INT
+        FROM walk w
+        WHERE w.hops = 64
+          AND NOT EXISTS (SELECT 1 FROM fin f WHERE f.u = w.u)
+    """
     # readability: identical regex counts + integer FK formula
     d["readability"] = f"""
         WITH base AS (

@@ -474,3 +474,97 @@ def translation_pairs(
         .where(F.col("len_ratio_pct") <= max_len_ratio_pct)
         .select("url_a", "url_b", "lang_a", "lang_b", "len_a", "len_b", "len_ratio_pct")
     )
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    doubling_rounds: int = 6,
+) -> DataFrame:
+    """Resolve HTTP redirect (or rel=canonical) chains to their final
+    target by POINTER DOUBLING: each round composes the jump table with
+    itself, so round k covers chains up to 2^k hops — log₂(longest
+    chain) equi-joins instead of one join per hop. A crawl-consolidation
+    staple: every snapshot URL must collapse to the page that actually
+    served content before dedup/link analysis, or mirror chains count as
+    distinct documents.
+
+    Input: (src, dst) redirect edges. A src with several targets keeps
+    the MINIMUM dst (deterministic last-wins stand-in; real pipelines
+    dedupe by crawl recency upstream). Self-redirects are dropped.
+
+    Returns (url, final_url, hops, resolved) for every src in the input:
+      resolved=1: final_url is terminal (no outgoing redirect), hops =
+                  exact chain length;
+      resolved=0: the chain did not terminate within 2^doubling_rounds
+                  hops — a redirect CYCLE (or a chain longer than the
+                  cap; raise doubling_rounds — 6 covers 64 hops, far
+                  past any browser's follow limit). final_url is where
+                  the walk stopped; hops = 2^doubling_rounds.
+
+    Scale shape: the jump table is redirect-source-sized (tiny vs the
+    corpus); each round is ONE self-equi-join on the jump target + a
+    coalesce — no per-hop corpus scans, no windows, no collects;
+    lineage cut per round."""
+    if doubling_rounds < 0:
+        raise ValueError(f"doubling_rounds must be >= 0, got {doubling_rounds}")
+    m = (
+        redirects.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u")
+        .agg(F.min("v").alias("v"))
+        .localCheckpoint()
+    )
+    srcs = m.select(F.col("u").alias("_s"))
+    # jump(u) = (v, steps, term): v reachable from u in `steps` hops;
+    # term=1 iff v has no outgoing redirect (the LEFT join probe below)
+    jump = (
+        m.join(m.select(F.col("u").alias("v"), F.lit(1).alias("_more")), "v", "left")
+        .select(
+            "u",
+            "v",
+            F.lit(1).cast("long").alias("steps"),
+            F.when(F.col("_more").isNull(), 1).otherwise(0).alias("term"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(doubling_rounds):
+        nxt = jump.select(
+            F.col("u").alias("_ju"),
+            F.col("v").alias("_jv"),
+            F.col("steps").alias("_js"),
+            F.col("term").alias("_jt"),
+        )
+        jump = (
+            jump.join(nxt, jump["v"] == nxt["_ju"], "left")
+            .select(
+                "u",
+                F.when((F.col("term") == 0) & F.col("_jv").isNotNull(), F.col("_jv"))
+                .otherwise(F.col("v"))
+                .alias("v"),
+                F.when(
+                    (F.col("term") == 0) & F.col("_jv").isNotNull(),
+                    F.col("steps") + F.col("_js"),
+                )
+                .otherwise(F.col("steps"))
+                .alias("steps"),
+                F.when(
+                    (F.col("term") == 0) & F.col("_jv").isNotNull(), F.col("_jt")
+                )
+                .otherwise(F.col("term"))
+                .alias("term"),
+            )
+            .localCheckpoint()
+        )
+    cap = 1 << doubling_rounds
+    return jump.select(
+        F.col("u").alias("url"),
+        F.col("v").alias("final_url"),
+        F.when(F.col("term") == 1, F.col("steps"))
+        .otherwise(F.lit(cap).cast("long"))
+        .alias("hops"),
+        F.col("term").alias("resolved"),
+    )
