@@ -3226,6 +3226,106 @@ def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, "text", n_merges=3)
 
 
+def _q_transe_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransE integer L1 energies + ranking margin for the demo-ontology
+    triples vs their md5-drawn corrupt-tail negatives (4 dims, scale 100)
+    — pure per-row column math fused onto the negative_samples broadcast
+    join; the oracle expands the identical md5 component arithmetic over
+    the kg_negatives SQL as a subquery."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import transe_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = build_triples(
+        docs,
+        demo_ontology_df(spark),
+        url_col="doc_id",
+        text_col="text",
+        lang_col="lang",
+        ts_col=None,
+        category_col=None,
+        canonicalize=False,
+    )
+    return transe_scores(t, dims=4, n_neg=2, seed="neg")
+
+
+def _q_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven recrawl priorities over the multi-snapshot crawl
+    view: per-url change rate (lag-window fingerprint transitions, ppm) x
+    staleness vs the corpus max ts — url-partitioned window + one
+    map-side-combinable groupBy."""
+    from dss_plugin_nlp_analysis_spark.operators.url import recrawl_priority
+
+    return recrawl_priority(_snapshot_pages(spark, sf_dir))
+
+
+def _q_ontology_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology-release alignment: demo ontology vs its 'next release'
+    (tags renamed *_v2, the 'slow' alias dropped, a 'fast merge' alias
+    added) — shared-keyword equi-join blocking + integer-ppm Jaccard."""
+    from dss_plugin_nlp_analysis_spark.operators.ontology import (
+        align_ontologies,
+    )
+
+    left = demo_ontology_df(spark)
+    right = (
+        left.where(F.col("keyword") != "slow")
+        .unionByName(
+            spark.createDataFrame(
+                [("merge_op", "fast merge")], "tag string, keyword string"
+            )
+        )
+        .withColumn("tag", F.concat(F.col("tag"), F.lit("_v2")))
+    )
+    return align_ontologies(left, right, min_jaccard_ppm=1)
+
+
+def _transe_eval_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 50-entity / 3-predicate KG derived from doc ids —
+    rich enough that the filtered link-prediction protocol actually
+    removes candidates (several true tails per (subj, pred))."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("e"), (F.col("doc_id") % 50).cast("string")).alias(
+            "subj"
+        ),
+        F.concat(F.lit("p"), (F.col("doc_id") % 3).cast("string")).alias(
+            "pred"
+        ),
+        F.concat(
+            F.lit("e"), ((F.col("doc_id") * 7) % 50).cast("string")
+        ).alias("obj"),
+    )
+
+
+def _q_transe_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered link-prediction ranks (Bordes et al. protocol): rank of
+    each true tail among the 50-entity vocabulary by TransE integer
+    energy, other true tails removed — broadcast candidate dim + one
+    anti equi-join + combinable count."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import transe_ranks
+
+    return transe_ranks(_transe_eval_triples(spark, sf_dir), dims=2)
+
+
+def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware fetch waves over the recrawl priorities: per-
+    domain rank by (priority desc, url) split into budget-5 waves — the
+    one per-host window the politeness semantics themselves require."""
+    from dss_plugin_nlp_analysis_spark.operators.url import (
+        crawl_schedule,
+        recrawl_priority,
+    )
+
+    pr = recrawl_priority(_snapshot_pages(spark, sf_dir)).withColumn(
+        "domain",
+        F.concat(
+            F.lit("d"),
+            (F.substring("url", 2, 10).cast("int") % 10).cast("string"),
+        ),
+    )
+    return crawl_schedule(pr, per_domain_budget=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -3389,6 +3489,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_metrics": _q_retrieval_metrics,
         "bigram_lm": _q_bigram_lm,
         "bpe_train": _q_bpe_train,
+        "transe_margin": _q_transe_margin,
+        "recrawl": _q_recrawl,
+        "ontology_align": _q_ontology_align,
+        "transe_hits": _q_transe_hits,
+        "crawl_schedule": _q_crawl_schedule,
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
@@ -5127,6 +5232,154 @@ def oracle_sql() -> dict[str, str]:
                         WHERE r2.a = r1.b AND r2.b = r1.a)
         )
         SELECT v AS node, min(u)::BIGINT AS scc_id FROM mutual GROUP BY v
+    """
+    # transe_margin: the kg_negatives oracle as a subquery (the two gates
+    # share one negative-sampling truth), plus the identical md5 integer
+    # embedding arithmetic expanded per dimension
+
+    def _transe_energy(tail: str, dims: int = 4, scale: int = 100) -> str:
+        m = 2 * scale + 1
+
+        def comp(kind: str, col: str, dd: int) -> str:
+            return (
+                f"(('0x' || substr(md5('{kind}|{dd}|' || {col}::VARCHAR),"
+                f" 1, 15))::BIGINT % {m} - {scale})"
+            )
+
+        terms = [
+            f"abs({comp('ent', 'subj', dd)} + {comp('rel', 'pred', dd)}"
+            f" - {comp('ent', tail, dd)})"
+            for dd in range(dims)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    _e_pos, _e_neg = _transe_energy("obj"), _transe_energy("neg_obj")
+    d["transe_margin"] = f"""
+        SELECT subj, pred, obj, neg_obj, neg_rank,
+               {_e_pos}::BIGINT AS pos_energy,
+               {_e_neg}::BIGINT AS neg_energy,
+               ({_e_neg} - {_e_pos})::BIGINT AS margin
+        FROM ({d['kg_negatives']})
+    """
+    # recrawl: per-url change rate over the multi-snapshot view (lag in
+    # (ts, fingerprint) order) x whole-day staleness vs the corpus max ts
+    d["recrawl"] = """
+        WITH snap AS (
+          SELECT 'u' || (doc_id % 500)::VARCHAR AS url,
+                 TIMESTAMP '2026-01-01'
+                   + (doc_id % 17) * INTERVAL 1 DAY AS ts,
+                 md5(coalesce(text, '')) AS fingerprint
+          FROM documents
+        ),
+        lagd AS (
+          SELECT url, ts, fingerprint,
+                 lag(fingerprint) OVER (
+                   PARTITION BY url ORDER BY ts, fingerprint) AS prev_fp
+          FROM snap
+        ),
+        per_url AS (
+          SELECT url,
+                 count(*)::BIGINT AS n_snapshots,
+                 sum(CASE WHEN prev_fp IS NOT NULL
+                           AND prev_fp != fingerprint
+                          THEN 1 ELSE 0 END)::BIGINT AS n_changes,
+                 max(ts) AS last_ts
+          FROM lagd GROUP BY url
+        ),
+        mx AS (SELECT max(ts) AS corpus_max_ts FROM snap),
+        j AS (
+          SELECT url, n_snapshots, n_changes,
+                 CASE WHEN n_snapshots > 1
+                      THEN (1000000 * n_changes) // (n_snapshots - 1)
+                      ELSE 0 END AS change_rate_ppm,
+                 (epoch(corpus_max_ts)::BIGINT - epoch(last_ts)::BIGINT)
+                   // 86400 AS staleness_days
+          FROM per_url CROSS JOIN mx
+        )
+        SELECT url, n_snapshots, n_changes,
+               change_rate_ppm::BIGINT AS change_rate_ppm,
+               staleness_days::BIGINT AS staleness_days,
+               (change_rate_ppm * (1 + staleness_days))::BIGINT AS priority
+        FROM j
+    """
+    # ontology_align: demo ontology vs its '_v2 release' (drop 'slow',
+    # add 'fast merge') — shared-keyword blocking + integer-ppm Jaccard
+    d["ontology_align"] = f"""
+        WITH {onto},
+        lhs AS (SELECT DISTINCT tag AS tag_left,
+                       lower(trim(keyword)) AS kw FROM onto),
+        rhs AS (SELECT DISTINCT tag || '_v2' AS tag_right,
+                       lower(trim(keyword)) AS kw
+                FROM (SELECT tag, keyword FROM onto WHERE keyword != 'slow'
+                      UNION ALL SELECT 'merge_op', 'fast merge')),
+        sl AS (SELECT tag_left, count(*)::BIGINT AS size_left
+               FROM lhs GROUP BY 1),
+        sr AS (SELECT tag_right, count(*)::BIGINT AS size_right
+               FROM rhs GROUP BY 1),
+        sh AS (SELECT tag_left, tag_right, count(*)::BIGINT AS shared
+               FROM lhs JOIN rhs USING (kw) GROUP BY 1, 2)
+        SELECT tag_left, tag_right, shared, size_left, size_right,
+               ((1000000 * shared)
+                 // (size_left + size_right - shared))::BIGINT AS jaccard_ppm
+        FROM sh JOIN sl USING (tag_left) JOIN sr USING (tag_right)
+        WHERE (1000000 * shared) // (size_left + size_right - shared) >= 1
+    """
+    # transe_hits: filtered link-prediction ranks over the 50-entity
+    # doc-id-derived KG — same per-dim md5 arithmetic, candidates that
+    # are other true tails removed via NOT EXISTS
+    _eh_c = _transe_energy("cand", dims=2)
+    _eh_p = _transe_energy("obj", dims=2)
+    d["transe_hits"] = f"""
+        WITH tr AS (
+          SELECT DISTINCT 'e' || (doc_id % 50)::VARCHAR AS subj,
+                 'p' || (doc_id % 3)::VARCHAR AS pred,
+                 'e' || ((doc_id * 7) % 50)::VARCHAR AS obj
+          FROM documents
+        ),
+        ents AS (SELECT DISTINCT obj AS cand FROM tr),
+        c AS (
+          SELECT t.subj, t.pred, t.obj, e.cand
+          FROM tr t CROSS JOIN ents e
+          WHERE NOT EXISTS (
+            SELECT 1 FROM tr f
+            WHERE f.subj = t.subj AND f.pred = t.pred
+              AND f.obj = e.cand AND e.cand != t.obj)
+        ),
+        s AS (SELECT subj, pred, obj, cand,
+                     {_eh_c} AS ce, {_eh_p} AS pe FROM c),
+        r AS (
+          SELECT subj, pred, obj,
+                 (1 + sum(CASE WHEN cand != obj
+                                AND (ce < pe OR (ce = pe AND cand < obj))
+                               THEN 1 ELSE 0 END))::BIGINT AS rank
+          FROM s GROUP BY 1, 2, 3
+        )
+        SELECT subj, pred, obj, rank,
+               (rank <= 1)::INT AS hits1,
+               (rank <= 3)::INT AS hits3,
+               (rank <= 10)::INT AS hits10
+        FROM r
+    """
+    # crawl_schedule: the recrawl oracle as a subquery, bucketed into
+    # 10 synthetic domains, per-domain row_number into budget-5 waves
+    d["crawl_schedule"] = f"""
+        WITH pr AS (
+          SELECT url,
+                 'd' || (substr(url, 2)::INT % 10)::VARCHAR AS domain,
+                 priority
+          FROM ({d['recrawl']})
+        ),
+        rk AS (
+          SELECT url, domain, priority,
+                 row_number() OVER (
+                   PARTITION BY domain
+                   ORDER BY priority DESC NULLS LAST, url
+                 )::BIGINT AS rank_in_domain
+          FROM pr
+        )
+        SELECT url, domain, priority, rank_in_domain,
+               ((rank_in_domain - 1) // 5)::BIGINT AS wave
+        FROM rk
     """
     return d
 

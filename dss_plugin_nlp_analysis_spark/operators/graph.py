@@ -53,6 +53,8 @@ __all__ = [
     "random_walks",
     "personalized_pagerank",
     "label_propagation",
+    "node2vec_walks",
+    "strongly_connected_components",
 ]
 
 

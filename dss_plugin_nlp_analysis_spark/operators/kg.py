@@ -29,6 +29,8 @@ __all__ = [
     "triple_history",
     "tag_cooccurrence",
     "negative_samples",
+    "transe_scores",
+    "transe_ranks",
     "entity_salience",
     "triple_delta",
     "attribute_triples",
@@ -46,6 +48,7 @@ __all__ = [
     "truth_discovery",
     "taxonomy_edges",
     "TRIPLE_COLUMNS",
+    "ntriples_lines",
 ]
 
 TRIPLE_COLUMNS = [
@@ -354,6 +357,185 @@ def negative_samples(
         keyed.join(F.broadcast(ents_idx), "_idx")
         .where(F.col("neg_obj") != F.col("obj"))
         .select("subj", "pred", "obj", "neg_obj", "neg_rank")
+    )
+
+
+def _embedding_component(col: Column, dim: int, kind: str, scale: int) -> Column:
+    """One integer component of a deterministic pseudo-embedding: the
+    md5-derived uniform hash of ``kind|dim|value`` mapped into
+    ``[-scale, scale]``.  Engine-portable (the same first-15-hex-digit
+    construction as ``sampling.sample_hash``), a pure function of the
+    value — stable under repartitioning, retries, and engines."""
+    key = F.concat(F.lit(f"{kind}|{dim}|"), col.cast("string"))
+    raw = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return raw % (2 * scale + 1) - scale
+
+
+def transe_scores(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    *,
+    dims: int = 4,
+    n_neg: int = 1,
+    seed: str = "",
+    scale: int = 100,
+) -> DataFrame:
+    """TransE-style energy scoring of positive triples against their
+    corrupt-tail negatives, in exact integer arithmetic.
+
+    ``energy(s, p, o) = sum_d |E(s,d) + R(p,d) - E(o,d)|`` — the L1
+    translation energy of Bordes et al.'s TransE, evaluated over
+    deterministic integer pseudo-embeddings (``E`` in the ``ent``
+    namespace, ``R`` in ``rel``; each component an md5-derived uniform
+    integer in ``[-scale, scale]``).  Real KG-embedding training replaces
+    the hash embeddings with learned vectors; the *pipeline* shape —
+    score every (positive, corrupt-tail negative) pair, emit the margin
+    the ranking loss is driven by — is exactly this operator, and the
+    deterministic embeddings make it oracle-checkable end to end.
+
+    Returns ``(subj, pred, obj, neg_obj, neg_rank, pos_energy,
+    neg_energy, margin)`` with ``margin = neg_energy - pos_energy``
+    (positive margin = the corruption scores worse than the truth, the
+    direction a trained model is pushed toward).  Rows follow
+    ``negative_samples``' contract (collision draws absent, NULL
+    components excluded).
+
+    Scale shape: everything past ``negative_samples`` (itself a pure map
+    plus one broadcast dim join) is per-row column math — ``2 * dims``
+    md5 calls per side, no shuffle, no UDF; whole-stage codegen fuses the
+    energy sum into the same stage as the join.
+    """
+    if dims < 1:
+        raise ValueError(f"dims must be >= 1, got {dims}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    negs = negative_samples(
+        triples, subj, pred, obj, n_per=n_neg, seed=seed
+    )
+
+    def energy(tail: Column) -> Column:
+        total: Column | None = None
+        for d in range(dims):
+            term = F.abs(
+                _embedding_component(F.col("subj"), d, "ent", scale)
+                + _embedding_component(F.col("pred"), d, "rel", scale)
+                - _embedding_component(tail, d, "ent", scale)
+            )
+            total = term if total is None else total + term
+        assert total is not None
+        return total
+
+    return negs.select(
+        "*",
+        energy(F.col("obj")).alias("pos_energy"),
+        energy(F.col("neg_obj")).alias("neg_energy"),
+    ).withColumn("margin", F.col("neg_energy") - F.col("pos_energy"))
+
+
+def transe_ranks(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    *,
+    dims: int = 4,
+    scale: int = 100,
+    filtered: bool = True,
+) -> DataFrame:
+    """Link-prediction evaluation under the standard filtered protocol
+    (Bordes et al.): for each distinct positive triple, the rank of the
+    true tail among the full entity vocabulary by TransE energy, with
+    candidates that form OTHER true triples removed first (so a model is
+    not penalized for ranking a different correct answer high).
+
+    Rank = 1 + |{candidate e : energy(s,p,e) < energy(s,p,o), or equal
+    energy and e < o}| — the deterministic total order every engine's
+    sort gives, no RNG tie-break. Returns ``(subj, pred, obj, rank,
+    hits1, hits3, hits10)``; aggregate MRR/hits@k downstream with one
+    combinable groupBy (``evalmetrics`` owns the retrieval-style rollup).
+
+    Scale shape: candidates = positives x the broadcast entity dimension
+    (vocabulary is ontology-sized — the ``negative_samples`` contract),
+    filtered by one anti equi-join against the fact table on
+    ``(subj, pred, candidate)``, then a map-side-combinable count back
+    onto the triple key. The n·m candidate blowup is bounded by the
+    vocabulary size m, never the corpus.
+    """
+    if dims < 1:
+        raise ValueError(f"dims must be >= 1, got {dims}")
+    base = (
+        triples.select(
+            F.col(subj).alias("subj"),
+            F.col(pred).alias("pred"),
+            F.col(obj).alias("obj"),
+        )
+        .where(
+            F.col(subj).isNotNull()
+            & F.col(pred).isNotNull()
+            & F.col(obj).isNotNull()
+        )
+        .distinct()
+    )
+    ents = base.select(F.col("obj").alias("cand")).distinct()
+
+    def energy(tail: Column) -> Column:
+        total: Column | None = None
+        for d in range(dims):
+            term = F.abs(
+                _embedding_component(F.col("subj"), d, "ent", scale)
+                + _embedding_component(F.col("pred"), d, "rel", scale)
+                - _embedding_component(tail, d, "ent", scale)
+            )
+            total = term if total is None else total + term
+        assert total is not None
+        return total
+
+    cands = base.join(F.broadcast(ents))
+    if filtered:
+        # drop candidates that are themselves true facts — EXCEPT the
+        # true tail of the row under evaluation, which must stay
+        facts = base.select(
+            F.col("subj").alias("_fs"),
+            F.col("pred").alias("_fp"),
+            F.col("obj").alias("_fo"),
+        )
+        cands = cands.join(
+            facts,
+            (F.col("subj") == F.col("_fs"))
+            & (F.col("pred") == F.col("_fp"))
+            & (F.col("cand") == F.col("_fo"))
+            & (F.col("cand") != F.col("obj")),
+            "left_anti",
+        )
+    scored = cands.select(
+        "subj",
+        "pred",
+        "obj",
+        "cand",
+        energy(F.col("cand")).alias("_ce"),
+        energy(F.col("obj")).alias("_pe"),
+    )
+    beats = F.when(
+        (F.col("cand") != F.col("obj"))
+        & (
+            (F.col("_ce") < F.col("_pe"))
+            | ((F.col("_ce") == F.col("_pe")) & (F.col("cand") < F.col("obj")))
+        ),
+        1,
+    ).otherwise(0)
+    ranked = scored.groupBy("subj", "pred", "obj").agg(
+        (F.lit(1) + F.sum(beats)).cast("long").alias("rank")
+    )
+    return ranked.select(
+        "subj",
+        "pred",
+        "obj",
+        "rank",
+        (F.col("rank") <= 1).cast("int").alias("hits1"),
+        (F.col("rank") <= 3).cast("int").alias("hits3"),
+        (F.col("rank") <= 10).cast("int").alias("hits10"),
     )
 
 

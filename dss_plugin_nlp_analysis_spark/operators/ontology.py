@@ -24,7 +24,14 @@ from ..functions.textnorm import normalize_text
 from ..functions.tokenizer import tokenize
 from .automaton import TokenAutomaton
 
-__all__ = ["TagOptions", "CompiledOntology", "clean_ontology", "compile_ontology"]
+__all__ = [
+    "TagOptions",
+    "CompiledOntology",
+    "clean_ontology",
+    "compile_ontology",
+    "align_ontologies",
+    "keyword_match_tokens",
+]
 
 UNCATEGORIZED = "uncategorized"
 
@@ -160,3 +167,87 @@ def compile_ontology(
         has_category=has_category,
         profiles=profiles,
     )
+
+
+def align_ontologies(
+    left: DataFrame,
+    right: DataFrame,
+    tag_col: str = "tag",
+    keyword_col: str = "keyword",
+    *,
+    min_jaccard_ppm: int = 0,
+    normalize: bool = True,
+) -> DataFrame:
+    """Ontology-version alignment: match tags of one ontology release to
+    tags of another by the overlap of their keyword (alias) sets — the
+    maintenance step of a living KG, where each release renames/merges
+    tags and the pipeline must map old canonical nodes onto new ones.
+
+    Candidate pairs are *blocked* by a shared normalized keyword (an
+    equi-join on the keyword — never a tag x tag cartesian; a pair with
+    zero shared aliases is unmatchable by definition and is never
+    generated).  Each surviving pair is scored by keyword-set Jaccard in
+    integer ppm: ``10^6 * |A ∩ B| / (|A| + |B| - |A ∩ B|)`` (floor).
+    ``normalize`` lower-cases and trims keywords first, so case-variant
+    releases still align; sizes are counted over the same normalized
+    distinct sets the intersection uses (a tag whose aliases differ only
+    by case counts them once — documented, matches the join key).
+
+    Returns ``(tag_left, tag_right, shared, size_left, size_right,
+    jaccard_ppm)`` filtered to ``jaccard_ppm >= min_jaccard_ppm``.
+
+    Scale shape: ontologies are dimension-sized (SURVEY.md §1.4) but the
+    same plan holds for alias tables far beyond broadcast size — two
+    distinct-projections, one equi-join on the keyword, two
+    map-side-combinable counts.  A stopword-like alias shared by k_L ·
+    k_R tags bounds the pair blowup exactly as the wedge pivot does in
+    ``graph.neighbor_jaccard``; callers with such aliases should drop
+    them upstream (they carry no alignment signal).
+    """
+    if min_jaccard_ppm < 0 or min_jaccard_ppm > 1_000_000:
+        raise ValueError(
+            f"min_jaccard_ppm must be in [0, 10^6], got {min_jaccard_ppm}"
+        )
+
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        kw = F.col(keyword_col).cast("string")
+        if normalize:
+            kw = F.lower(F.trim(kw))
+        return (
+            df.select(
+                F.col(tag_col).cast("string").alias(f"tag_{side}"),
+                kw.alias("_kw"),
+            )
+            .where(F.col(f"tag_{side}").isNotNull() & F.col("_kw").isNotNull())
+            .distinct()
+        )
+
+    lhs, rhs = prep(left, "left"), prep(right, "right")
+    size_l = lhs.groupBy("tag_left").agg(F.count(F.lit(1)).alias("size_left"))
+    size_r = rhs.groupBy("tag_right").agg(
+        F.count(F.lit(1)).alias("size_right")
+    )
+    shared = (
+        lhs.join(rhs, "_kw")
+        .groupBy("tag_left", "tag_right")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(size_l, "tag_left")
+        .join(size_r, "tag_right")
+        .withColumn(
+            "jaccard_ppm",
+            F.floor(
+                (F.lit(1_000_000) * F.col("shared"))
+                / (F.col("size_left") + F.col("size_right") - F.col("shared"))
+            ).cast("long"),
+        )
+    )
+    return out.select(
+        "tag_left",
+        "tag_right",
+        F.col("shared").cast("long").alias("shared"),
+        F.col("size_left").cast("long").alias("size_left"),
+        F.col("size_right").cast("long").alias("size_right"),
+        "jaccard_ppm",
+    ).where(F.col("jaccard_ppm") >= min_jaccard_ppm)

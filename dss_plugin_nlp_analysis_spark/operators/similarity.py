@@ -26,6 +26,8 @@ __all__ = [
     "hyperplane_buckets", "multiprobe_buckets", "lsh_ann_topk",
     "kmeans_centroids", "ivf_topk",
     "cosine_dup_pairs",
+    "rrf_fuse",
+    "semantic_dedup",
 ]
 
 

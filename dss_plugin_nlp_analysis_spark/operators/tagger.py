@@ -49,6 +49,11 @@ __all__ = [
     "extract_mentions",
     "tag_documents",
     "process_document",
+    "TaggerResult",
+    "format_per_doc",
+    "format_per_doc_json",
+    "format_per_match",
+    "sentence_of",
 ]
 
 MATCH_SCHEMA = T.StructType(

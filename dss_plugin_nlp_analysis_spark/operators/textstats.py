@@ -36,6 +36,11 @@ __all__ = [
     "SCRIPT_RANGES",
     "remove_stopwords",
     "EN_STOPWORDS",
+    "bigram_lm_scores",
+    "char_pair_counts",
+    "hashed_linear_score",
+    "rake_keywords",
+    "readability_scores",
 ]
 
 # small fixed stopword list (order matters nowhere; frozen for oracles)

@@ -37,6 +37,9 @@ __all__ = [
     "crawl_frontier",
     "mirror_domains",
     "translation_pairs",
+    "resolve_redirects",
+    "recrawl_priority",
+    "crawl_schedule",
 ]
 
 _FRAGMENT = r"#.*$"
@@ -567,4 +570,139 @@ def resolve_redirects(
         .otherwise(F.lit(cap).cast("long"))
         .alias("hops"),
         F.col("term").alias("resolved"),
+    )
+
+
+def recrawl_priority(
+    snapshots: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Freshness-driven recrawl scheduling over a multi-snapshot crawl
+    archive: pages that change often and have not been fetched recently
+    should be fetched first (the classic incremental-crawl policy of
+    Cho & Garcia-Molina, "Synchronizing a database to improve freshness").
+
+    Per url, in exact integer arithmetic:
+
+    - ``n_snapshots`` / ``n_changes`` — snapshots observed, and
+      snapshot-over-snapshot content transitions (md5 fingerprint of the
+      text differs from the PREVIOUS snapshot in ``(ts, fingerprint)``
+      order; the fingerprint tie-break makes the lag deterministic when
+      one url has several same-day captures).
+    - ``change_rate_ppm = 10^6 * n_changes / (n_snapshots - 1)`` (floor
+      division; 0 for single-snapshot urls — no transition evidence).
+    - ``staleness_days = floor((corpus_max_ts - last_ts) / 86400)`` —
+      whole days since the url's latest capture, against the newest
+      capture anywhere in the archive (no wall clock: determinism).
+    - ``priority = change_rate_ppm * (1 + staleness_days)`` — a hot page
+      not crawled for a week outranks an equally hot page crawled today.
+
+    Scale shape: the lag window is partitioned BY URL — per-key row count
+    is the snapshots-per-url bound (tens in a crawl archive), never the
+    corpus; the global max-ts is a single-row aggregate joined back as a
+    broadcast (scalar) side. One shuffle on url, which the downstream
+    fetch scheduler needs anyway as its partition key.
+    """
+    fp = F.md5(F.coalesce(F.col(text_col).cast("string"), F.lit("")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy("ts", "fingerprint")
+    per_snap = snapshots.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("ts"),
+        fp.alias("fingerprint"),
+    ).withColumn("prev_fp", F.lag("fingerprint").over(w))
+    per_url = per_snap.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_snapshots"),
+        F.sum(
+            F.when(
+                F.col("prev_fp").isNotNull()
+                & (F.col("prev_fp") != F.col("fingerprint")),
+                1,
+            ).otherwise(0)
+        ).alias("n_changes"),
+        F.max("ts").alias("last_ts"),
+    )
+    max_ts = per_snap.agg(F.max("ts").alias("corpus_max_ts"))
+    out = per_url.crossJoin(F.broadcast(max_ts))
+    change_rate = F.when(
+        F.col("n_snapshots") > 1,
+        (F.lit(1_000_000) * F.col("n_changes")).cast("long")
+        / (F.col("n_snapshots") - 1),
+    ).otherwise(F.lit(0))
+    staleness = F.floor(
+        (
+            F.unix_timestamp(F.col("corpus_max_ts"))
+            - F.unix_timestamp(F.col("last_ts"))
+        )
+        / 86400
+    )
+    return out.select(
+        "url",
+        F.col("n_snapshots").cast("long").alias("n_snapshots"),
+        F.col("n_changes").cast("long").alias("n_changes"),
+        F.floor(change_rate).cast("long").alias("change_rate_ppm"),
+        staleness.cast("long").alias("staleness_days"),
+        (F.floor(change_rate) * (F.lit(1) + staleness))
+        .cast("long")
+        .alias("priority"),
+    )
+
+
+def crawl_schedule(
+    priorities: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    priority_col: str = "priority",
+    *,
+    per_domain_budget: int = 10,
+) -> DataFrame:
+    """Politeness-aware fetch scheduling: order each domain's urls by
+    priority and split them into waves of ``per_domain_budget`` — wave k
+    holds each domain's (k·budget, (k+1)·budget]-ranked urls, so one
+    crawl wave never asks any single host for more than ``budget``
+    fetches (the per-host rate cap every polite crawler enforces),
+    while high-priority urls of EVERY domain land in wave 0.
+
+    Rank within a domain is by ``(priority DESC, url ASC)`` — the url
+    tie-break makes the schedule a pure function of the input. Returns
+    ``(url, domain, priority, rank_in_domain, wave)``; rows with a NULL
+    url or domain are excluded (unschedulable — no host to be polite
+    to), NULL priorities sort last (crawl-if-idle).
+
+    Scale shape: one window partitioned by domain. Per-key width is the
+    domain's url count — for the hot-domain tail (a 10^8-url host) the
+    sort is a single reducer's spill-sort, which is the one place the
+    politeness semantics themselves are sequential: rank-within-host is
+    a total order over that host's urls by definition. The practical
+    cap is upstream (``domain_policy`` / per-domain volume caps bound
+    how many urls per host enter scheduling at all); AQE cannot split
+    this window and no salt preserves its semantics — documented, not
+    hidden.
+    """
+    if per_domain_budget < 1:
+        raise ValueError(
+            f"per_domain_budget must be >= 1, got {per_domain_budget}"
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("domain").orderBy(
+        F.col("priority").desc_nulls_last(), F.col("url")
+    )
+    return (
+        priorities.select(
+            F.col(url_col).cast("string").alias("url"),
+            F.col(domain_col).cast("string").alias("domain"),
+            F.col(priority_col).cast("long").alias("priority"),
+        )
+        .where(F.col("url").isNotNull() & F.col("domain").isNotNull())
+        .withColumn("rank_in_domain", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "wave",
+            F.floor((F.col("rank_in_domain") - 1) / per_domain_budget).cast(
+                "long"
+            ),
+        )
     )
