@@ -731,3 +731,80 @@ def test_scc_and_node2vec_plans_are_join_only(spark):
         assert "Window" not in plan, plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+
+def test_transe_scores_broadcast_only_beyond_negative_sampling(spark):
+    from dss_plugin_nlp_analysis_spark.operators.kg import transe_scores
+
+    t = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "y"), ("c", "q", "x")],
+        "subj string, pred string, obj string",
+    )
+    plan = plan_of(transe_scores(t, dims=4, n_neg=2))
+    # energy is pure column math fused onto the negative_samples
+    # broadcast join: no window, no python, no cartesian
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_transe_ranks_vocab_bounded_no_python(spark):
+    from dss_plugin_nlp_analysis_spark.operators.kg import transe_ranks
+
+    t = spark.createDataFrame(
+        [("a", "p", "x"), ("a", "p", "y"), ("b", "q", "x")],
+        "subj string, pred string, obj string",
+    )
+    plan = plan_of(transe_ranks(t, dims=2))
+    # candidate blowup rides a broadcast (nested-loop on the vocab dim is
+    # fine — the dim is ontology-sized by contract); the rank count is a
+    # hash aggregate, never a window
+    assert "Broadcast" in plan, plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_recrawl_single_url_exchange(spark):
+    import datetime as dt
+
+    from dss_plugin_nlp_analysis_spark.operators.url import recrawl_priority
+
+    snaps = spark.createDataFrame(
+        [("u", dt.datetime(2026, 1, 1), "a"), ("u", dt.datetime(2026, 1, 2), "b")],
+        "url string, warc_ts timestamp, text string",
+    )
+    plan = plan_of(recrawl_priority(snaps))
+    # the lag window and the per-url aggregate both partition by url —
+    # one key, and the scalar max-ts side joins back as a broadcast
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_align_ontologies_equi_join_only(spark):
+    from dss_plugin_nlp_analysis_spark.operators.ontology import (
+        align_ontologies,
+    )
+
+    left = spark.createDataFrame(
+        [("t1", "alpha"), ("t2", "beta")], "tag string, keyword string"
+    )
+    plan = plan_of(align_ontologies(left, left))
+    # blocking is an equi-join on the keyword — never a tag x tag cross
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_crawl_schedule_single_domain_window(spark):
+    from dss_plugin_nlp_analysis_spark.operators.url import crawl_schedule
+
+    df = spark.createDataFrame(
+        [("u1", "d", 3), ("u2", "d", 1)],
+        "url string, domain string, priority long",
+    )
+    plan = plan_of(crawl_schedule(df))
+    # exactly the one politeness-mandated per-domain window
+    assert plan.count("Window") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan
