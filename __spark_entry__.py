@@ -3326,6 +3326,34 @@ def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_schedule(pr, per_domain_budget=5)
 
 
+def _q_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor selection inside each near-dup cluster (keep
+    the longest text, ties to smallest id) — min(struct) argmax per
+    cluster, never a window; composed over the dup_clusters components."""
+    from dss_plugin_nlp_analysis_spark.operators.dedup import (
+        cluster_dedup,
+        cluster_representatives,
+    )
+
+    corpus = _dup_corpus(spark, sf_dir, mutate=True)
+    clusters = cluster_dedup(
+        corpus, "id", "t", num_hashes=8, bands=4, n=3
+    ).select("id", "cluster_id")
+    scored = corpus.select("id", F.length("t").alias("score"))
+    return cluster_representatives(scored, clusters)
+
+
+def _q_co_citation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation relatedness over the link graph (pairs cited by the
+    same sources, hub pivots capped at out-degree 40) — wedge
+    self-equi-join on the citing page, never an all-pairs cross."""
+    from dss_plugin_nlp_analysis_spark.operators.graph import co_citation
+
+    return co_citation(
+        _link_edges(spark, sf_dir), max_hub_degree=40, min_shared=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -3494,6 +3522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ontology_align": _q_ontology_align,
         "transe_hits": _q_transe_hits,
         "crawl_schedule": _q_crawl_schedule,
+        "cluster_reps": _q_cluster_reps,
+        "co_citation": _q_co_citation,
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
@@ -5380,6 +5410,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT url, domain, priority, rank_in_domain,
                ((rank_in_domain - 1) // 5)::BIGINT AS wave
         FROM rk
+    """
+    # cluster_reps: the dup_clusters recursive-CTE components as a
+    # subquery (one clustering truth for both gates) + per-cluster
+    # argmax(score desc, id asc) survivor
+    d["cluster_reps"] = f"""
+        WITH {_CORPUS_MUT},
+        rows_ AS (
+          SELECT cl.id, cl.cluster_id, length(c.t)::BIGINT AS score
+          FROM ({d['dup_clusters']}) cl JOIN corpus c ON c.id = cl.id
+        ),
+        w AS (
+          SELECT cluster_id, id AS rep FROM (
+            SELECT cluster_id, id,
+                   row_number() OVER (PARTITION BY cluster_id
+                     ORDER BY score DESC, id) AS rn
+            FROM rows_)
+          WHERE rn = 1
+        )
+        SELECT r.id, r.cluster_id, r.score,
+               (CASE WHEN r.id = w.rep THEN 1 ELSE 0 END)::INT AS keep
+        FROM rows_ r JOIN w USING (cluster_id)
+    """
+    # co_citation: wedge self-join on the citing page over the events
+    # link graph, out-degree cap 40, unordered pairs once
+    d["co_citation"] = """
+        WITH e AS (
+          SELECT DISTINCT user_id AS p, event_id % 150 AS n
+          FROM events
+          WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+            AND user_id != event_id % 150
+        ),
+        deg AS (SELECT p, count(*) AS d FROM e GROUP BY p),
+        ec AS (SELECT e.p, e.n FROM e JOIN deg USING (p) WHERE d <= 40),
+        pr AS (SELECT a.n AS node_a, b.n AS node_b
+               FROM ec a JOIN ec b ON a.p = b.p AND a.n < b.n)
+        SELECT node_a, node_b, count(*)::BIGINT AS shared
+        FROM pr GROUP BY 1, 2 HAVING count(*) >= 2
     """
     return d
 

@@ -37,6 +37,7 @@ __all__ = [
     "simhash_buckets",
     "duplicated_spans",
     "remove_duplicated_spans",
+    "cluster_representatives",
 ]
 
 
@@ -749,4 +750,58 @@ def remove_duplicated_spans(
         "id",
         F.array_join(kept, " ").alias("clean_text"),
         (F.size("_toks") - F.size(kept)).alias("n_removed"),
+    )
+
+
+def cluster_representatives(
+    scored: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Dedup finishing step: inside each duplicate cluster keep exactly
+    one canonical document — the highest-``score`` member (ties broken by
+    smallest id, so the choice is a pure function of the input).  This is
+    the step after ``cluster_dedup``: candidate pairs → components →
+    *pick the survivor* (training pipelines keep the longest/cleanest
+    copy, not an arbitrary one).
+
+    Inputs: ``scored`` carries ``(id, score)`` (any integer quality
+    signal — length, quality_linear, readability); ``clusters`` carries
+    ``(id, cluster_id)`` from ``cluster_dedup``.  Returns one row per
+    clustered document: ``(id, cluster_id, score, keep)`` with ``keep=1``
+    on the representative.  Documents missing a score row are excluded
+    (score is the selection key; emit a 0-score row upstream to keep
+    them), NULL scores rank below every non-NULL score.
+
+    Scale shape: one equi-join on the id and one map-side-combinable
+    ``min(struct(-score, id))`` per cluster (the line_dedup
+    first-occurrence pattern — never a window), then a broadcast-or-
+    shuffle equi-join of the winner dim back onto the rows. Cluster
+    count ~ doc count; no per-key blowup anywhere.
+    """
+    rows = clusters.select(
+        F.col(id_col).alias("id"), F.col(cluster_col).alias("cluster_id")
+    ).join(
+        scored.select(
+            F.col(id_col).alias("id"),
+            F.col(score_col).cast("long").alias("score"),
+        ),
+        "id",
+    )
+    # min(struct) picks (max score, then min id); NULL scores sort after
+    # every non-NULL -score value via coalesce to long-min sentinel
+    neg = F.coalesce(-F.col("score"), F.lit(2**62))
+    winners = rows.groupBy("cluster_id").agg(
+        F.min(F.struct(neg.alias("ns"), F.col("id").alias("id"))).alias("w")
+    ).select("cluster_id", F.col("w.id").alias("_rep"))
+    return (
+        rows.join(winners, "cluster_id")
+        .select(
+            "id",
+            "cluster_id",
+            "score",
+            (F.col("id") == F.col("_rep")).cast("int").alias("keep"),
+        )
     )

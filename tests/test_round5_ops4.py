@@ -283,3 +283,107 @@ def test_crawl_schedule_drops_null_keys_and_validates(spark):
     assert [(r.url, r.domain) for r in out] == [("w", "d")]
     with pytest.raises(ValueError, match="per_domain_budget"):
         crawl_schedule(df, per_domain_budget=0)
+
+
+# ------------------------------------------------ cluster_representatives
+
+
+def test_cluster_reps_picks_best_score_then_min_id(spark):
+    from dss_plugin_nlp_analysis_spark.operators.dedup import (
+        cluster_representatives,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20)],
+        "id long, cluster_id long",
+    )
+    scored = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, None), (5, None)],
+        "id long, score long",
+    )
+    out = {r.id: r for r in cluster_representatives(scored, clusters).collect()}
+    assert len(out) == 5
+    # cluster 10: max score 9 shared by ids 2 and 3 -> min id 2 wins
+    assert [out[i].keep for i in (1, 2, 3)] == [0, 1, 0]
+    # cluster 20: all-NULL scores -> min id wins
+    assert [out[i].keep for i in (4, 5)] == [1, 0]
+    # exactly one representative per cluster
+    assert sum(r.keep for r in out.values()) == 2
+
+
+def test_cluster_reps_excludes_unscored_docs(spark):
+    from dss_plugin_nlp_analysis_spark.operators.dedup import (
+        cluster_representatives,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10)], "id long, cluster_id long"
+    )
+    scored = spark.createDataFrame([(1, 7)], "id long, score long")
+    out = cluster_representatives(scored, clusters).collect()
+    assert [(r.id, r.keep) for r in out] == [(1, 1)]
+
+
+# ------------------------------------------------------------ co_citation
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_co_citation_counts_shared_citers(spark):
+    from dss_plugin_nlp_analysis_spark.operators.graph import co_citation
+
+    # citers 100, 101 both cite (7, 8); 102 cites only 7
+    e = _edges(
+        spark,
+        [(100, 7), (100, 8), (101, 7), (101, 8), (102, 7), (102, 9)],
+    )
+    out = {
+        (r.node_a, r.node_b): r.shared
+        for r in co_citation(e, min_shared=1).collect()
+    }
+    assert out[(7, 8)] == 2
+    assert out[(7, 9)] == 1
+    assert (8, 9) not in out
+
+
+def test_coupling_is_the_transpose(spark):
+    from dss_plugin_nlp_analysis_spark.operators.graph import co_citation
+
+    e = _edges(spark, [(1, 50), (2, 50), (1, 60), (2, 60), (3, 50)])
+    # coupling: 1 and 2 share targets {50, 60}; 3 shares {50} with both
+    out = {
+        (r.node_a, r.node_b): r.shared
+        for r in co_citation(e, mode="coupling", min_shared=1).collect()
+    }
+    assert out[(1, 2)] == 2
+    assert out[(1, 3)] == 1 and out[(2, 3)] == 1
+    # transpose equivalence: coupling(E) == cocitation(E with src/dst swapped)
+    swapped = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    out2 = {
+        (r.node_a, r.node_b): r.shared
+        for r in co_citation(swapped, min_shared=1).collect()
+    }
+    assert out == out2
+
+
+def test_co_citation_hub_cap_and_validation(spark):
+    from dss_plugin_nlp_analysis_spark.operators.graph import co_citation
+
+    rows = [(999, d) for d in range(10)] + [(1, 3), (1, 4), (2, 3), (2, 4)]
+    e = _edges(spark, rows)
+    capped = {
+        (r.node_a, r.node_b): r.shared
+        for r in co_citation(e, max_hub_degree=5, min_shared=1).collect()
+    }
+    # hub citer 999 (degree 10) dropped: only wedges via citers 1, 2 remain
+    assert capped == {(3, 4): 2}
+    with pytest.raises(ValueError, match="mode"):
+        co_citation(e, mode="bogus")
+    with pytest.raises(ValueError, match="min_shared"):
+        co_citation(e, min_shared=0)
+    with pytest.raises(ValueError, match="max_hub_degree"):
+        co_citation(e, max_hub_degree=0)
