@@ -3354,6 +3354,50 @@ def _q_co_citation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kg_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG integrity gate: shape (anchored-regex) + functional-property
+    violations over a doc-derived attribute KG with planted corruption
+    ('purple' birth years, .org homepages, conflicting years per subject)
+    — broadcast rules join + distinct + combinable count, no windows."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import (
+        constraint_violations,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = docs.select(
+        F.concat(F.lit("e"), (did % 100).cast("string")).alias("subj"),
+        F.when(did % 3 == 0, F.lit("born_year"))
+        .when(did % 3 == 1, F.lit("homepage"))
+        .otherwise(F.lit("related"))
+        .alias("pred"),
+        F.when(
+            did % 3 == 0,
+            F.when(did % 7 == 0, F.lit("purple")).otherwise(
+                (F.lit(1900) + did % 120).cast("string")
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit("https://h"),
+                (did % 40).cast("string"),
+                F.when(did % 11 == 0, F.lit(".org")).otherwise(F.lit(".com")),
+            ),
+        )
+        .otherwise(F.concat(F.lit("e"), ((did * 3) % 100).cast("string")))
+        .alias("obj"),
+    )
+    rules = spark.createDataFrame(
+        [
+            ("born_year", "[0-9]{4}", 1),
+            ("homepage", r"https://[a-z0-9]+\.com", 0),
+        ],
+        "pred string, obj_pattern string, functional int",
+    )
+    return constraint_violations(t, rules)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -3524,6 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": _q_crawl_schedule,
         "cluster_reps": _q_cluster_reps,
         "co_citation": _q_co_citation,
+        "kg_constraints": _q_kg_constraints,
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
@@ -5448,6 +5493,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT node_a, node_b, count(*)::BIGINT AS shared
         FROM pr GROUP BY 1, 2 HAVING count(*) >= 2
     """
+    # kg_constraints: shape check via regexp_full_match (same anchored
+    # semantics as Spark's ^(?:pat)$), functional check via distinct +
+    # count > 1; NOT an f-string (the regex braces stay literal)
+    d["kg_constraints"] = (
+        r"""
+        WITH t AS (
+          SELECT 'e' || (doc_id % 100)::VARCHAR AS subj,
+                 CASE doc_id % 3 WHEN 0 THEN 'born_year'
+                                 WHEN 1 THEN 'homepage'
+                                 ELSE 'related' END AS pred,
+                 CASE doc_id % 3
+                   WHEN 0 THEN CASE WHEN doc_id % 7 = 0 THEN 'purple'
+                                    ELSE (1900 + doc_id % 120)::VARCHAR END
+                   WHEN 1 THEN 'https://h' || (doc_id % 40)::VARCHAR
+                             || CASE WHEN doc_id % 11 = 0
+                                     THEN '.org' ELSE '.com' END
+                   ELSE 'e' || ((doc_id * 3) % 100)::VARCHAR
+                 END AS obj
+          FROM documents
+        ),
+        r(pred, pat, fn) AS (VALUES
+          ('born_year', '[0-9]{4}', 1),
+          ('homepage', 'https://[a-z0-9]+\.com', 0)),
+        c AS (SELECT t.subj, t.pred, t.obj, r.pat, r.fn
+              FROM t JOIN r USING (pred)),
+        shape AS (
+          SELECT subj, pred, obj, 'shape' AS violation FROM c
+          WHERE pat IS NOT NULL AND NOT regexp_full_match(obj, pat)
+        ),
+        fp AS (SELECT DISTINCT subj, pred, obj FROM c WHERE fn = 1),
+        fc AS (SELECT subj, pred, count(*) AS n FROM fp GROUP BY 1, 2),
+        fv AS (SELECT fp.subj, fp.pred, fp.obj, 'functional' AS violation
+               FROM fp JOIN fc USING (subj, pred) WHERE n > 1)
+        SELECT * FROM shape UNION ALL SELECT * FROM fv
+    """
+    )
     return d
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "negative_samples",
     "transe_scores",
     "transe_ranks",
+    "constraint_violations",
     "entity_salience",
     "triple_delta",
     "attribute_triples",
@@ -1648,3 +1649,81 @@ def taxonomy_edges(
         .select("hypo", "hyper", "n_docs", "n_mentions", "n_patterns")
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def constraint_violations(
+    triples: DataFrame,
+    rules: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    *,
+    rule_pred_col: str = "pred",
+    pattern_col: str = "obj_pattern",
+    functional_col: str = "functional",
+) -> DataFrame:
+    """KG integrity checking: validate the triple table against a
+    per-predicate constraint dimension and emit one row per violation —
+    the QA gate between extraction and publication (a pipeline that
+    ships a `born_year` of "purple" or two different birth dates for one
+    subject has an extraction bug, and this is where it surfaces).
+
+    ``rules`` carries one row per constrained predicate:
+    ``(pred, obj_pattern, functional)`` — ``obj_pattern`` an anchored
+    regex the object must FULLY match (Java-regex ∩ RE2 common subset;
+    NULL = unconstrained shape), ``functional`` 1 if the predicate
+    admits at most one distinct object per subject (OWL
+    FunctionalProperty semantics), else 0.
+
+    Output: ``(subj, pred, obj, violation)`` with ``violation`` in
+    ``{'shape', 'functional'}`` — one row per (triple, failed check), so
+    a triple failing both appears twice (callers pivot or distinct as
+    needed). Unconstrained predicates never emit rows; NULL-component
+    triples are excluded (no identity to report against). For
+    ``functional`` violations EVERY distinct object of the offending
+    (subj, pred) is emitted (the conflict set, not an arbitrary member —
+    downstream resolution needs all of them; ``truth_discovery`` is one
+    resolver).
+
+    Scale shape: the rules dimension is ontology-sized — one broadcast
+    equi-join on pred deploys all shape checks as a pure map; the
+    functional check is one distinct + map-side-combinable
+    countDistinct-shaped aggregate on (subj, pred), joined back by the
+    same key. No windows, no collects.
+    """
+    base = (
+        triples.select(
+            F.col(subj).alias("subj"),
+            F.col(pred).alias("pred"),
+            F.col(obj).alias("obj"),
+        )
+        .where(
+            F.col(subj).isNotNull()
+            & F.col(pred).isNotNull()
+            & F.col(obj).isNotNull()
+        )
+    )
+    r = rules.select(
+        F.col(rule_pred_col).alias("pred"),
+        F.col(pattern_col).alias("_pat"),
+        F.col(functional_col).cast("int").alias("_fn"),
+    )
+    constrained = base.join(F.broadcast(r), "pred")
+    full_pat = F.concat(F.lit("^(?:"), F.col("_pat"), F.lit(")$"))
+    shape = constrained.where(
+        F.col("_pat").isNotNull()
+        & ~F.regexp_like(F.col("obj").cast("string"), full_pat)
+    ).select("subj", "pred", "obj", F.lit("shape").alias("violation"))
+    fn_pairs = (
+        constrained.where(F.col("_fn") == 1)
+        .select("subj", "pred", "obj")
+        .distinct()
+    )
+    fn_counts = fn_pairs.groupBy("subj", "pred").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    functional = (
+        fn_pairs.join(fn_counts.where(F.col("_n") > 1), ["subj", "pred"])
+        .select("subj", "pred", "obj", F.lit("functional").alias("violation"))
+    )
+    return shape.unionByName(functional)

@@ -387,3 +387,70 @@ def test_co_citation_hub_cap_and_validation(spark):
         co_citation(e, min_shared=0)
     with pytest.raises(ValueError, match="max_hub_degree"):
         co_citation(e, max_hub_degree=0)
+
+
+# -------------------------------------------------- constraint_violations
+
+
+def test_constraint_violations_shape_and_functional(spark):
+    from dss_plugin_nlp_analysis_spark.operators.kg import (
+        constraint_violations,
+    )
+
+    t = _triples(
+        spark,
+        [
+            ("s1", "born_year", "1984"),
+            ("s1", "born_year", "1990"),  # functional conflict (both emitted)
+            ("s2", "born_year", "purple"),  # shape violation
+            ("s3", "homepage", "https://ok.com"),
+            ("s3", "homepage", "https://two.com"),  # NOT functional: fine
+            ("s4", "related", "anything"),  # unconstrained
+        ],
+    )
+    rules = spark.createDataFrame(
+        [
+            ("born_year", "[0-9]{4}", 1),
+            ("homepage", r"https://[a-z.]+\.com", 0),
+        ],
+        "pred string, obj_pattern string, functional int",
+    )
+    out = constraint_violations(t, rules).collect()
+    got = {(r.subj, r.obj, r.violation) for r in out}
+    assert ("s2", "purple", "shape") in got
+    # the whole conflict set is emitted, not one arbitrary member
+    assert ("s1", "1984", "functional") in got
+    assert ("s1", "1990", "functional") in got
+    # s3 has two homepages but homepage is not functional
+    assert not any(r.subj == "s3" for r in out)
+    assert not any(r.subj == "s4" for r in out)
+    # purple is a shape violation but s2 has only one object: no
+    # functional row for it
+    assert ("s2", "purple", "functional") not in got
+
+
+def test_constraint_violations_anchored_full_match(spark):
+    from dss_plugin_nlp_analysis_spark.operators.kg import (
+        constraint_violations,
+    )
+
+    # '1984-ish' CONTAINS four digits but must fail the anchored match
+    t = _triples(spark, [("s", "year", "1984-ish"), ("s2", "year", "1984")])
+    rules = spark.createDataFrame(
+        [("year", "[0-9]{4}", 0)], "pred string, obj_pattern string, functional int"
+    )
+    out = constraint_violations(t, rules).collect()
+    assert [(r.subj, r.violation) for r in out] == [("s", "shape")]
+
+
+def test_constraint_violations_duplicate_triples_not_functional(spark):
+    from dss_plugin_nlp_analysis_spark.operators.kg import (
+        constraint_violations,
+    )
+
+    # the SAME object asserted twice is one distinct value — no conflict
+    t = _triples(spark, [("s", "p", "x"), ("s", "p", "x")])
+    rules = spark.createDataFrame(
+        [("p", None, 1)], "pred string, obj_pattern string, functional int"
+    )
+    assert constraint_violations(t, rules).count() == 0
