@@ -3398,6 +3398,27 @@ def _q_kg_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return constraint_violations(t, rules)
 
 
+def _q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + Watts-Strogatz clustering coefficient
+    (floor-ppm) over the link graph — the degree-orientation wedge join
+    with corners kept; the oracle replays the identical orientation via
+    tuple comparisons."""
+    from dss_plugin_nlp_analysis_spark.operators.graph import (
+        local_clustering,
+    )
+
+    return local_clustering(_link_edges(spark, sf_dir))
+
+
+def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node edge reciprocity over the directed link graph (link-farm
+    signal) — one distinct, one reversed-key self-equi-join, one
+    combinable aggregate."""
+    from dss_plugin_nlp_analysis_spark.operators.graph import reciprocity
+
+    return reciprocity(_link_edges(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -3569,6 +3590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_reps": _q_cluster_reps,
         "co_citation": _q_co_citation,
         "kg_constraints": _q_kg_constraints,
+        "local_clustering": _q_local_clustering,
+        "reciprocity": _q_reciprocity,
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
@@ -5529,6 +5552,62 @@ def oracle_sql() -> dict[str, str]:
         SELECT * FROM shape UNION ALL SELECT * FROM fv
     """
     )
+    # local_clustering: the degree-orientation triangle enumeration of
+    # graph.triangle_count with corners kept — orientation and wedge
+    # order are (deg, id) tuple comparisons on both engines
+    d["local_clustering"] = """
+        WITH e0 AS (
+          SELECT DISTINCT least(user_id, event_id % 150) AS a,
+                 greatest(user_id, event_id % 150) AS b
+          FROM events WHERE user_id != event_id % 150
+        ),
+        deg AS (SELECT node, count(*) AS deg FROM (
+                  SELECT a AS node FROM e0
+                  UNION ALL SELECT b FROM e0) GROUP BY 1),
+        r AS (
+          SELECT CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
+                      THEN e0.a ELSE e0.b END AS u,
+                 CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
+                      THEN e0.b ELSE e0.a END AS v,
+                 CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
+                      THEN db.deg ELSE da.deg END AS dv
+          FROM e0 JOIN deg da ON da.node = e0.a
+                  JOIN deg db ON db.node = e0.b
+        ),
+        w AS (SELECT r1.u, r1.v AS v1, r2.v AS v2
+              FROM r r1 JOIN r r2
+                ON r1.u = r2.u AND (r1.dv, r1.v) < (r2.dv, r2.v)),
+        tri AS (SELECT w.u, w.v1, w.v2
+                FROM w JOIN r c ON c.u = w.v1 AND c.v = w.v2),
+        tc AS (SELECT node, count(*)::BIGINT AS n_triangles FROM (
+                 SELECT u AS node FROM tri
+                 UNION ALL SELECT v1 FROM tri
+                 UNION ALL SELECT v2 FROM tri) GROUP BY 1)
+        SELECT d.node, d.deg::BIGINT AS deg,
+               coalesce(tc.n_triangles, 0)::BIGINT AS n_triangles,
+               (CASE WHEN d.deg >= 2
+                     THEN (2000000 * coalesce(tc.n_triangles, 0))
+                          // (d.deg * (d.deg - 1))
+                     ELSE 0 END)::BIGINT AS cc_ppm
+        FROM deg d LEFT JOIN tc USING (node)
+    """
+    # reciprocity: reversed-key self-join over the distinct directed
+    # simple graph
+    d["reciprocity"] = """
+        WITH e AS (
+          SELECT DISTINCT user_id AS s, event_id % 150 AS d
+          FROM events
+          WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+            AND user_id != event_id % 150
+        )
+        SELECT e.s AS node, count(*)::BIGINT AS out_deg,
+               sum(CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_reciprocal,
+               ((1000000 * sum(CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END))
+                 // count(*))::BIGINT AS reciprocity_ppm
+        FROM e LEFT JOIN e r ON r.s = e.d AND r.d = e.s
+        GROUP BY 1
+    """
     return d
 
 

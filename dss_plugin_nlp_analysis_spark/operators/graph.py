@@ -56,6 +56,8 @@ __all__ = [
     "node2vec_walks",
     "strongly_connected_components",
     "co_citation",
+    "local_clustering",
+    "reciprocity",
 ]
 
 
@@ -205,6 +207,15 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     orientation turns the celebrity-node O(d²) blowup into the graph-wide
     minimum. Three equi-joins total (wedge build + closing-edge probe),
     all map-side combinable into one final count."""
+    und, deg = _undirected_simple(edges, src, dst)
+    tri = _oriented_triangles(und, deg)
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def _undirected_simple(
+    edges: DataFrame, src: str, dst: str
+) -> tuple[DataFrame, DataFrame]:
+    """(undirected simple edge set ``(a < b)``, per-node degree table)."""
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -219,6 +230,13 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    return und, deg
+
+
+def _oriented_triangles(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """All triangles (u, v1, v2) of the undirected simple graph via the
+    degree-orientation wedge join (the triangle_count plan, corners
+    kept)."""
     # orientation key: (degree, node id) — total order, ties by id
     ranked = (
         und.join(deg.withColumnRenamed("node", "a"), "a")
@@ -261,9 +279,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     closing = ranked.select(
         F.col("u").alias("v1"), F.col("v").alias("v2")
     )
-    return wedges.join(closing, ["v1", "v2"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
+    return wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
 
 
 def neighbor_jaccard(
@@ -1184,4 +1200,95 @@ def co_citation(
         pairs.groupBy("node_a", "node_b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
         .where(F.col("shared") >= min_shared)
+    )
+
+
+def local_clustering(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient of
+    the undirected simple graph (direction ignored, loops dropped,
+    parallel edges collapsed): ``cc = 2·t / (deg·(deg−1))`` in floor-ppm
+    (Watts-Strogatz) — the node-level community/template signal the
+    global ``triangle_count`` can't give (a page whose neighbors all
+    interlink sits inside a cluster; a bridge node's cc is ~0).
+
+    Returns ``(node, deg, n_triangles, cc_ppm)`` for every node of the
+    simple graph; degree-1 nodes report ``cc_ppm = 0`` (no wedge to
+    close, the standard convention).
+
+    Scale shape: the same degree-orientation wedge join as
+    ``triangle_count`` (per-node out-degree O(sqrt m) even on power-law
+    graphs), with each triangle's three corners exploded and counted by
+    one map-side-combinable aggregate — no windows, no caps needed
+    because orientation already bounds the wedge blowup.
+    """
+    und, deg = _undirected_simple(edges, src, dst)
+    tri = _oriented_triangles(und, deg)
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v1").alias("node")))
+        .unionAll(tri.select(F.col("v2").alias("node")))
+    )
+    tcount = corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    out = deg.join(tcount, "node", "left").select(
+        "node",
+        F.col("deg").cast("long").alias("deg"),
+        F.coalesce(F.col("n_triangles"), F.lit(0))
+        .cast("long")
+        .alias("n_triangles"),
+    )
+    cc = F.when(
+        F.col("deg") >= 2,
+        F.floor(
+            (F.lit(2_000_000) * F.col("n_triangles"))
+            / (F.col("deg") * (F.col("deg") - 1))
+        ),
+    ).otherwise(F.lit(0))
+    return out.withColumn("cc_ppm", cc.cast("long"))
+
+
+def reciprocity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node edge reciprocity of the directed simple graph: of a
+    node's distinct out-edges, how many have the reverse edge — the
+    link-farm / mutual-citation signal (organic web linking is mostly
+    one-way; near-1 reciprocity across a domain's pages marks a link
+    exchange).
+
+    Returns ``(node, out_deg, n_reciprocal, reciprocity_ppm)`` with
+    ``reciprocity_ppm = floor(10^6 · n_reciprocal / out_deg)``. Nodes
+    with no out-edges (pure sinks) are absent — there is nothing to
+    measure. Self-loops dropped, parallel edges collapsed first.
+
+    Scale shape: one distinct, one self-equi-join on the reversed
+    ``(dst, src)`` key, one map-side-combinable aggregate on src.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    rev = e.select(
+        F.col("d").alias("s"), F.col("s").alias("d"), F.lit(1).alias("_r")
+    )
+    return (
+        e.join(rev, ["s", "d"], "left")
+        .groupBy(F.col("s").alias("node"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("out_deg"),
+            F.sum(F.coalesce(F.col("_r"), F.lit(0)))
+            .cast("long")
+            .alias("n_reciprocal"),
+        )
+        .withColumn(
+            "reciprocity_ppm",
+            F.floor(
+                (F.lit(1_000_000) * F.col("n_reciprocal")) / F.col("out_deg")
+            ).cast("long"),
+        )
     )

@@ -454,3 +454,47 @@ def test_constraint_violations_duplicate_triples_not_functional(spark):
         [("p", None, 1)], "pred string, obj_pattern string, functional int"
     )
     assert constraint_violations(t, rules).count() == 0
+
+
+# ------------------------------------------- local_clustering / reciprocity
+
+
+def test_local_clustering_triangle_and_bridge(spark):
+    from dss_plugin_nlp_analysis_spark.operators.graph import local_clustering
+
+    # triangle 1-2-3 plus a pendant 4 hanging off 3
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    out = {r.node: r for r in local_clustering(e).collect()}
+    assert out[1].cc_ppm == 1_000_000 and out[1].n_triangles == 1
+    assert out[2].cc_ppm == 1_000_000
+    # node 3: deg 3, 1 triangle -> 2/6 = 0.333...
+    assert out[3].deg == 3 and out[3].cc_ppm == 333_333
+    # pendant: deg 1, cc 0 by convention
+    assert out[4].deg == 1 and out[4].cc_ppm == 0 and out[4].n_triangles == 0
+
+
+def test_local_clustering_ignores_direction_and_dups(spark):
+    from dss_plugin_nlp_analysis_spark.operators.graph import local_clustering
+
+    e1 = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    e2 = _edges(spark, [(2, 1), (2, 3), (1, 3), (3, 1), (1, 1)])
+    a = sorted(map(tuple, local_clustering(e1).collect()))
+    b = sorted(map(tuple, local_clustering(e2).collect()))
+    assert a == b
+
+
+def test_reciprocity_counts_mutual_edges(spark):
+    from dss_plugin_nlp_analysis_spark.operators.graph import reciprocity
+
+    e = _edges(
+        spark, [(1, 2), (2, 1), (1, 3), (3, 4), (4, 3), (3, 5), (3, 3)]
+    )
+    out = {r.node: r for r in reciprocity(e).collect()}
+    # node 1: out {2, 3}; only 1<->2 mutual
+    assert (out[1].out_deg, out[1].n_reciprocal) == (2, 1)
+    assert out[1].reciprocity_ppm == 500_000
+    # node 3: out {4, 5} (self-loop dropped); 3<->4 mutual
+    assert (out[3].out_deg, out[3].n_reciprocal) == (2, 1)
+    # node 5 is a pure sink: absent
+    assert 5 not in out
+    assert out[2].reciprocity_ppm == 1_000_000
