@@ -3419,6 +3419,19 @@ def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reciprocity(_link_edges(spark, sf_dir))
 
 
+def _q_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link-prediction scores over the link graph
+    (hub pivots capped at 40; min score 10000 ppm) — exactly-rational
+    per-witness weights keep the score in pure integer arithmetic."""
+    from dss_plugin_nlp_analysis_spark.operators.graph import (
+        resource_allocation,
+    )
+
+    return resource_allocation(
+        _link_edges(spark, sf_dir), max_hub_degree=40, min_score_ppm=10_000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -3592,6 +3605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_constraints": _q_kg_constraints,
         "local_clustering": _q_local_clustering,
         "reciprocity": _q_reciprocity,
+        "resource_alloc": _q_resource_alloc,
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
@@ -5607,6 +5621,28 @@ def oracle_sql() -> dict[str, str]:
                  // count(*))::BIGINT AS reciprocity_ppm
         FROM e LEFT JOIN e r ON r.s = e.d AND r.d = e.s
         GROUP BY 1
+    """
+    # resource_alloc: per-pivot floor-ppm contribution (10^6 // deg)
+    # summed over shared neighbors — wedge join with pivot-degree cap
+    d["resource_alloc"] = """
+        WITH e0 AS (
+          SELECT DISTINCT least(user_id, event_id % 150) AS a,
+                 greatest(user_id, event_id % 150) AS b
+          FROM events WHERE user_id != event_id % 150
+        ),
+        adj AS (SELECT a AS z, b AS n FROM e0
+                UNION ALL SELECT b, a FROM e0),
+        deg AS (SELECT z, count(*) AS deg FROM adj GROUP BY 1),
+        p AS (SELECT z, deg FROM deg WHERE deg <= 40),
+        w AS (
+          SELECT a1.n AS node_a, a2.n AS node_b, p.deg
+          FROM adj a1 JOIN p USING (z) JOIN adj a2 USING (z)
+          WHERE a1.n < a2.n
+        )
+        SELECT node_a, node_b,
+               sum(1000000 // deg)::BIGINT AS ra_ppm
+        FROM w GROUP BY 1, 2
+        HAVING sum(1000000 // deg) >= 10000
     """
     return d
 

@@ -58,6 +58,7 @@ __all__ = [
     "co_citation",
     "local_clustering",
     "reciprocity",
+    "resource_allocation",
 ]
 
 
@@ -1291,4 +1292,62 @@ def reciprocity(
                 (F.lit(1_000_000) * F.col("n_reciprocal")) / F.col("out_deg")
             ).cast("long"),
         )
+    )
+
+
+def resource_allocation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_hub_degree: int | None = None,
+    min_score_ppm: int = 1,
+) -> DataFrame:
+    """Resource-Allocation link-prediction index (Zhou/Lü/Zhang 2009)
+    over the undirected simple graph: ``RA(a,b) = Σ_z 1/deg(z)`` over
+    shared neighbors z — like Adamic-Adar but with exactly-rational
+    weights, so the score stays in deterministic integer arithmetic:
+    each witness contributes ``10^6 // deg(z)`` (floor-ppm per term,
+    then an order-free integer sum).
+
+    A rare shared neighbor (degree 2) contributes 500000; a hub shared
+    neighbor contributes ~nothing — which is also why the optional
+    ``max_hub_degree`` pivot cap costs almost no score mass: a dropped
+    pivot of degree d could have added at most ``10^6 // d <= 10^6 /
+    cap`` per pair (conservative undercount, same direction as
+    ``neighbor_jaccard``'s cap — and here quantifiably tiny).
+
+    Returns ``(node_a, node_b, ra_ppm)``, unordered pairs once,
+    ``ra_ppm >= min_score_ppm``.
+
+    Scale shape: per-pivot wedge self-equi-join with the pivot degree
+    attached (one node-sized join), then one map-side-combinable sum on
+    the pair key — the same shape as ``co_citation``/``neighbor_jaccard``.
+    """
+    if min_score_ppm < 0:
+        raise ValueError(f"min_score_ppm must be >= 0, got {min_score_ppm}")
+    und, deg = _undirected_simple(edges, src, dst)
+    adj = und.select(F.col("a").alias("z"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("z"), F.col("a").alias("n"))
+    )
+    pivots = deg.withColumnRenamed("node", "z")
+    if max_hub_degree is not None:
+        if max_hub_degree < 1:
+            raise ValueError(
+                f"max_hub_degree must be >= 1, got {max_hub_degree}"
+            )
+        pivots = pivots.where(F.col("deg") <= max_hub_degree)
+    a_side = adj.join(pivots, "z")
+    b_side = adj.select(F.col("z"), F.col("n").alias("n2"))
+    wedges = a_side.join(b_side, "z").where(F.col("n") < F.col("n2"))
+    contrib = F.floor(F.lit(1_000_000) / F.col("deg")).cast("long")
+    return (
+        wedges.select(
+            F.col("n").alias("node_a"),
+            F.col("n2").alias("node_b"),
+            contrib.alias("_c"),
+        )
+        .groupBy("node_a", "node_b")
+        .agg(F.sum("_c").cast("long").alias("ra_ppm"))
+        .where(F.col("ra_ppm") >= min_score_ppm)
     )

@@ -498,3 +498,49 @@ def test_reciprocity_counts_mutual_edges(spark):
     # node 5 is a pure sink: absent
     assert 5 not in out
     assert out[2].reciprocity_ppm == 1_000_000
+
+
+# ---------------------------------------------------- resource_allocation
+
+
+def test_resource_allocation_weights_by_pivot_degree(spark):
+    from dss_plugin_nlp_analysis_spark.operators.graph import (
+        resource_allocation,
+    )
+
+    # a and b share two neighbors: z1 (degree 2 -> 500000) and z2
+    # (degree 4 -> 250000); z2 also connects c
+    e = _edges(
+        spark,
+        [(10, 1), (10, 2), (20, 1), (20, 2), (20, 3), (20, 4)],
+    )
+    out = {
+        (r.node_a, r.node_b): r.ra_ppm
+        for r in resource_allocation(e).collect()
+    }
+    assert out[(1, 2)] == 500_000 + 250_000
+    assert out[(1, 3)] == 250_000  # only via hub 20
+    # pivot cap: dropping degree-4 pivots removes exactly their terms
+    capped = {
+        (r.node_a, r.node_b): r.ra_ppm
+        for r in resource_allocation(e, max_hub_degree=3).collect()
+    }
+    # hub 20 (degree 4) dropped as pivot; nodes 1 and 2 (degree 2) still
+    # pivot the (10, 20) pair — 500000 each
+    assert capped == {(1, 2): 500_000, (10, 20): 1_000_000}
+
+
+def test_resource_allocation_undirected_and_threshold(spark):
+    from dss_plugin_nlp_analysis_spark.operators.graph import (
+        resource_allocation,
+    )
+
+    e = _edges(spark, [(1, 9), (9, 2)])
+    out = resource_allocation(e).collect()
+    # shared neighbor 9 has degree 2 -> 500000 for pair (1, 2)
+    assert [(r.node_a, r.node_b, r.ra_ppm) for r in out] == [(1, 2, 500_000)]
+    assert resource_allocation(e, min_score_ppm=500_001).count() == 0
+    with pytest.raises(ValueError, match="min_score_ppm"):
+        resource_allocation(e, min_score_ppm=-1)
+    with pytest.raises(ValueError, match="max_hub_degree"):
+        resource_allocation(e, max_hub_degree=0)
