@@ -3432,6 +3432,18 @@ def _q_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test assignment by md5 hash range —
+    a pure map appending the split label; same id → same split on any
+    engine, any partitioning, any run."""
+    from dss_plugin_nlp_analysis_spark.operators.sampling import (
+        assign_splits,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return assign_splits(docs, "doc_id", seed="sp").select("doc_id", "split")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -3606,6 +3618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_clustering": _q_local_clustering,
         "reciprocity": _q_reciprocity,
         "resource_alloc": _q_resource_alloc,
+        "split_assign": _q_split_assign,
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
@@ -5643,6 +5656,20 @@ def oracle_sql() -> dict[str, str]:
                sum(1000000 // deg)::BIGINT AS ra_ppm
         FROM w GROUP BY 1, 2
         HAVING sum(1000000 // deg) >= 10000
+    """
+    # split_assign: sorted-label cumulative hash thresholds from the SAME
+    # _threshold helper the operator uses (test 0.01, train cum 0.99,
+    # val = the forced 2^60 remainder)
+    _t_test, _t_train = _threshold(0.01), _threshold(0.99)
+    d["split_assign"] = f"""
+        SELECT doc_id,
+               CASE WHEN h < {_t_test} THEN 'test'
+                    WHEN h < {_t_train} THEN 'train'
+                    ELSE 'val' END AS split
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5('sp|' || doc_id::VARCHAR),
+                                     1, 15))::BIGINT AS h
+              FROM documents)
     """
     return d
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sample_hash", "deterministic_sample", "stratified_sample", "group_capped_sample", "corpus_mixture"]
+__all__ = ["sample_hash", "deterministic_sample", "stratified_sample", "group_capped_sample", "corpus_mixture", "assign_splits"]
 
 _SPACE = 1 << 60
 
@@ -230,3 +230,50 @@ def corpus_mixture(
             F.col("_alloc").cast("long").alias("unimax_budget"),
         )
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float] | None = None,
+    seed: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment: every row gets
+    exactly one split label, decided by where ``md5(seed|id)`` lands in
+    [0, 2^60) partitioned by cumulative fraction thresholds — the same
+    engine-portable hash as ``deterministic_sample``, so the assignment
+    is reproducible on any engine, stable under repartitioning/retries,
+    and (critically for decontamination) a pure function of the id: the
+    same document can never drift between train and test across runs or
+    machines.
+
+    ``splits`` maps label → fraction (default the 98/1/1 LM convention);
+    fractions must be positive and sum to 1 (±1e-9). Labels are
+    processed in SORTED order so the threshold layout is independent of
+    dict construction order; the last label's upper bound is forced to
+    2^60 (float rounding can't orphan rows). Appends ``split_col`` —
+    a pure map, zero shuffle, composable with downstream filters that
+    Catalyst pushes into the scan.
+    """
+    if splits is None:
+        splits = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    for name, frac in splits.items():
+        if frac <= 0:
+            raise ValueError(f"split {name!r} fraction must be > 0, got {frac}")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    names = sorted(splits)
+    h = sample_hash(F.col(id_col), seed)
+    expr: Column | None = None
+    cum = 0.0
+    for i, name in enumerate(names):
+        cum += splits[name]
+        bound = _SPACE if i == len(names) - 1 else _threshold(cum)
+        cond = h < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    assert expr is not None
+    return df.withColumn(split_col, expr)

@@ -544,3 +544,51 @@ def test_resource_allocation_undirected_and_threshold(spark):
         resource_allocation(e, min_score_ppm=-1)
     with pytest.raises(ValueError, match="max_hub_degree"):
         resource_allocation(e, max_hub_degree=0)
+
+
+# ----------------------------------------------------------- assign_splits
+
+
+def test_assign_splits_total_coverage_and_determinism(spark):
+    from dss_plugin_nlp_analysis_spark.operators.sampling import (
+        assign_splits,
+    )
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = assign_splits(df, "doc_id", seed="s")
+    rows = out.collect()
+    # every row labeled, exactly one label each
+    assert len(rows) == 2000 and all(r.split for r in rows)
+    counts = out.groupBy("split").count().collect()
+    got = {r.split: r["count"] for r in counts}
+    assert set(got) <= {"train", "val", "test"}
+    # 98/1/1 within loose binomial bounds at n=2000
+    assert got["train"] > 1900
+    # stable under repartitioning AND across runs
+    again = {
+        r.doc_id: r.split
+        for r in assign_splits(df.repartition(13), "doc_id", seed="s").collect()
+    }
+    assert {r.doc_id: r.split for r in rows} == again
+    # different seed shuffles membership
+    other = {
+        r.doc_id: r.split
+        for r in assign_splits(df, "doc_id", seed="t").collect()
+    }
+    assert other != again
+
+
+def test_assign_splits_custom_and_validation(spark):
+    from dss_plugin_nlp_analysis_spark.operators.sampling import (
+        assign_splits,
+    )
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    out = assign_splits(df, "doc_id", {"a": 0.5, "b": 0.5}, split_col="part")
+    assert set(r.part for r in out.collect()) <= {"a", "b"}
+    with pytest.raises(ValueError, match="non-empty"):
+        assign_splits(df, "doc_id", {})
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_splits(df, "doc_id", {"a": 0.5, "b": 0.6})
+    with pytest.raises(ValueError, match="must be > 0"):
+        assign_splits(df, "doc_id", {"a": 1.0, "b": 0.0})
