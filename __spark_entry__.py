@@ -3444,6 +3444,17 @@ def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_splits(docs, "doc_id", seed="sp").select("doc_id", "split")
 
 
+def _q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Katz centrality (3 iterations, alpha = 1/4, micro-units)
+    over the link graph — the PageRank loop without the out-degree
+    split; the oracle unrolls the same three iterations as CTEs."""
+    from dss_plugin_nlp_analysis_spark.operators.graph import (
+        katz_centrality,
+    )
+
+    return katz_centrality(_link_edges(spark, sf_dir), iterations=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -3619,6 +3630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": _q_reciprocity,
         "resource_alloc": _q_resource_alloc,
         "split_assign": _q_split_assign,
+        "katz": _q_katz,
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
@@ -5657,6 +5669,21 @@ def oracle_sql() -> dict[str, str]:
         FROM w GROUP BY 1, 2
         HAVING sum(1000000 // deg) >= 10000
     """
+    # katz: the pagerank unroll without the out-degree split — same
+    # int64 sum/floor-division portability argument
+    _kz = [f"WITH {_LINK_EDGES},",
+           "\n    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+           "\n    r0 AS (SELECT node, 1000000::BIGINT AS rank FROM nodes)"]
+    for _i in range(1, 4):
+        _kz.append(f""",
+    i{_i} AS (SELECT e.dst AS node, sum(r.rank)::BIGINT AS incoming
+             FROM e JOIN r{_i - 1} r ON r.node = e.src GROUP BY e.dst),
+    r{_i} AS (SELECT n.node,
+                    (1000000::BIGINT
+                     + (1 * coalesce(i{_i}.incoming, 0)) // 4)::BIGINT AS rank
+             FROM nodes n LEFT JOIN i{_i} ON i{_i}.node = n.node)""")
+    _kz.append("\n    SELECT node, rank AS katz_micro FROM r3")
+    d["katz"] = "".join(_kz)
     # split_assign: sorted-label cumulative hash thresholds from the SAME
     # _threshold helper the operator uses (test 0.01, train cum 0.99,
     # val = the forced 2^60 remainder)

@@ -592,3 +592,49 @@ def test_assign_splits_custom_and_validation(spark):
         assign_splits(df, "doc_id", {"a": 0.5, "b": 0.6})
     with pytest.raises(ValueError, match="must be > 0"):
         assign_splits(df, "doc_id", {"a": 1.0, "b": 0.0})
+
+
+# -------------------------------------------------------- katz_centrality
+
+
+def test_katz_counts_damped_paths(spark):
+    from dss_plugin_nlp_analysis_spark.operators.graph import katz_centrality
+
+    # star into node 9: three in-edges, no outs elsewhere
+    e = _edges(spark, [(1, 9), (2, 9), (3, 9)])
+    out = {
+        r.node: r.katz_micro
+        for r in katz_centrality(
+            e, iterations=2, init=1000, alpha_num=1, alpha_den=2
+        ).collect()
+    }
+    # sources receive nothing: rank stays init
+    assert out[1] == out[2] == out[3] == 1000
+    # node 9 after iter1: 1000 + (3000)//2 = 2500;
+    # iter2: 1000 + (3*1000)//2 = 2500 (sources unchanged)
+    assert out[9] == 2500
+
+
+def test_katz_differs_from_pagerank_on_fanout(spark):
+    from dss_plugin_nlp_analysis_spark.operators.graph import (
+        katz_centrality,
+        pagerank,
+    )
+
+    # hub 1 links to 2 and 3: Katz gives each the FULL damped rank of 1;
+    # PageRank splits it
+    e = _edges(spark, [(1, 2), (1, 3)])
+    k = {r.node: r.katz_micro for r in katz_centrality(e, iterations=1).collect()}
+    assert k[2] == k[3] == 10**6 + (10**6) // 4  # undivided
+    p = {r.node: r.rank for r in pagerank(e, iterations=1).collect()}
+    assert p[2] == p[3] < k[2] * 10**6  # split + damped (different scale)
+
+
+def test_katz_validation(spark):
+    from dss_plugin_nlp_analysis_spark.operators.graph import katz_centrality
+
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="iterations"):
+        katz_centrality(e, iterations=0)
+    with pytest.raises(ValueError, match="alpha"):
+        katz_centrality(e, alpha_den=0)
