@@ -3455,6 +3455,61 @@ def _q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return katz_centrality(_link_edges(spark, sf_dir), iterations=3)
 
 
+def _structured_outline_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized heading/meta-robots page per document (deterministic
+    on both engines): h1 + h2, a nested-markup h2 that must NOT match
+    the inline-free contract, an h3 on every third page, and a rotating
+    robots meta tag (noindex,nofollow / index,follow / none / absent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<h1 class="t">Title '),
+        (did % 50).cast("string"),
+        F.lit("</h1><p>x</p><h2>Sec "),
+        (did % 7).cast("string"),
+        F.lit("</h2>"),
+        F.when(did % 5 == 0, F.lit("<h2><b>rich</b></h2>")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit("<h3>Deep "), (did % 11).cast("string"), F.lit("</h3>")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0, F.lit('<meta name="robots" content="noindex, nofollow">')
+        )
+        .when(did % 4 == 1, F.lit('<meta name="robots" content="index, follow">'))
+        .when(did % 4 == 2, F.lit('<meta name="robots" content="none">'))
+        .otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+def _q_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document outline rows (id, pos, level, text) — two zipped regex
+    passes, pure map + posexplode; the nested-markup heading is absent
+    by the inline-free contract."""
+    from dss_plugin_nlp_analysis_spark.operators.structured import (
+        extract_headings,
+    )
+
+    return extract_headings(
+        _structured_outline_html(spark, sf_dir), "doc_id", "html"
+    )
+
+
+def _q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level robots directives with word-boundary token parsing
+    ('none' implies both flags; absent tag -> indexable NULL row)."""
+    from dss_plugin_nlp_analysis_spark.operators.structured import (
+        extract_meta_robots,
+    )
+
+    return extract_meta_robots(
+        _structured_outline_html(spark, sf_dir), "doc_id", "html"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -3631,6 +3686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resource_alloc": _q_resource_alloc,
         "split_assign": _q_split_assign,
         "katz": _q_katz,
+        "headings": _q_headings,
+        "meta_robots": _q_meta_robots,
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
@@ -5684,6 +5741,55 @@ def oracle_sql() -> dict[str, str]:
              FROM nodes n LEFT JOIN i{_i} ON i{_i}.node = n.node)""")
     _kz.append("\n    SELECT node, rank AS katz_micro FROM r3")
     d["katz"] = "".join(_kz)
+    # headings / meta_robots: shared synthesized page (see
+    # _structured_outline_html), identical patterns on both engines
+    _outline_html = """
+        h AS (
+          SELECT doc_id AS id,
+            '<h1 class="t">Title ' || (doc_id % 50) || '</h1><p>x</p><h2>Sec '
+            || (doc_id % 7) || '</h2>'
+            || CASE WHEN doc_id % 5 = 0 THEN '<h2><b>rich</b></h2>' ELSE '' END
+            || CASE WHEN doc_id % 3 = 0
+                    THEN '<h3>Deep ' || (doc_id % 11) || '</h3>' ELSE '' END
+            || CASE WHEN doc_id % 4 = 0
+                    THEN '<meta name="robots" content="noindex, nofollow">'
+                    WHEN doc_id % 4 = 1
+                    THEN '<meta name="robots" content="index, follow">'
+                    WHEN doc_id % 4 = 2
+                    THEN '<meta name="robots" content="none">'
+                    ELSE '' END AS html
+          FROM documents
+        )
+    """
+    d["headings"] = f"""
+        WITH {_outline_html},
+        ex AS (SELECT id,
+                 regexp_extract_all(html, '<h([1-6])[^>]*>[^<]*</h[1-6]>', 1) AS lv,
+                 regexp_extract_all(html, '<h[1-6][^>]*>([^<]*)</h[1-6]>', 1) AS tx
+               FROM h),
+        u AS (SELECT id, unnest(lv) AS lvl, unnest(tx) AS txt,
+                     generate_subscripts(lv, 1) AS pos
+              FROM ex)
+        SELECT id, pos::BIGINT AS pos, lvl::BIGINT AS level, txt AS text
+        FROM u
+    """
+    d["meta_robots"] = f"""
+        WITH {_outline_html},
+        m AS (SELECT id,
+                nullif(regexp_extract(html,
+                  '<meta name="robots" content="([^"]*)"', 1), '') AS raw
+              FROM h),
+        t AS (SELECT id, raw, lower(coalesce(raw, '')) AS toks FROM m)
+        SELECT id,
+          (regexp_matches(toks, '(^|[,\\s])(?:noindex)([,\\s]|$)')
+             OR regexp_matches(toks, '(^|[,\\s])(?:none)([,\\s]|$)'))::INT
+            AS noindex,
+          (regexp_matches(toks, '(^|[,\\s])(?:nofollow)([,\\s]|$)')
+             OR regexp_matches(toks, '(^|[,\\s])(?:none)([,\\s]|$)'))::INT
+            AS nofollow,
+          raw AS directives
+        FROM t
+    """
     # split_assign: sorted-label cumulative hash thresholds from the SAME
     # _threshold helper the operator uses (test 0.01, train cum 0.99,
     # val = the forced 2^60 remainder)

@@ -43,6 +43,8 @@ __all__ = [
     "extract_tables",
     "extract_microdata",
     "jsonld_block",
+    "extract_headings",
+    "extract_meta_robots",
 ]
 
 # non-greedy island body; (?s) so embedded newlines stay inside the block.
@@ -268,4 +270,82 @@ def extract_microdata(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
         F.col("r.itemprop").alias("itemprop"),
         F.col("r.value").alias("value"),
         F.col("r.src").alias("src"),
+    )
+
+
+# h1-h6 with inline-free text body (the Java∩RE2 common-subset contract
+# of this module: no lookaround, one capture per pass)
+_HEADING_LEVEL_RE = r"<h([1-6])[^>]*>[^<]*</h[1-6]>"
+_HEADING_TEXT_RE = r"<h[1-6][^>]*>([^<]*)</h[1-6]>"
+# robots meta directives; content is a comma-separated token list
+_META_ROBOTS_RE = r'<meta name="robots" content="([^"]*)"'
+
+
+def extract_headings(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """Document outline: one row per ``<h1>``-``<h6>`` heading —
+    ``(id, pos, level, text)`` in document order (``pos`` is 1-based).
+    The outline is the section signal for structure-aware chunking
+    (split training chunks at headings, prefix each chunk with its
+    heading path) and for title-quality checks (a page whose only h1 is
+    'Untitled' gets flagged).
+
+    Same structural-parity formulation as the sibling extracts: the
+    level and text captures run as two passes of one anchored pattern
+    over identical match sites, zipped positionally. Headings with
+    nested inline markup inside (``<h1><b>x</b></h1>``) do not match
+    the inline-free body — frozen contract (the Java∩RE2 subset has no
+    way to strip nested tags in one pattern; run ``html_to_text``
+    downstream when inner markup matters). Pure map + explode, zero
+    shuffle; pages without headings emit no rows.
+    """
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(html, F.lit(_HEADING_LEVEL_RE), 1).alias("lvl"),
+        F.regexp_extract_all(html, F.lit(_HEADING_TEXT_RE), 1).alias("txt"),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(pairs).alias("p", "h"),
+        )
+        .select(
+            "id",
+            (F.col("p") + 1).cast("long").alias("pos"),
+            F.col("h.lvl").cast("long").alias("level"),
+            F.col("h.txt").alias("text"),
+        )
+    )
+
+
+def extract_meta_robots(
+    df: DataFrame, id_col: str, html_col: str
+) -> DataFrame:
+    """Page-level robots directives: ``(id, noindex, nofollow,
+    directives)`` from the first ``<meta name="robots">`` tag —
+    ``noindex``/``nofollow`` as 0/1 flags (1 also when the blanket
+    ``none`` directive appears, per the robots-meta spec), ``directives``
+    the raw content string (NULL when the tag is absent; absent means
+    indexable — the crawl default). The page-level half of the politeness
+    stack (``robots.py`` handles the host-level robots.txt half): a
+    pipeline that trains on noindex'd pages violates publisher intent,
+    so this flag feeds the same filter as ``robots_filter``.
+
+    Token matching is word-boundary exact on the lowercased list
+    (``"noindex,nofollow"``, ``"index, follow"`` both parse; a
+    hypothetical ``"nonoindex"`` token does NOT match). Pure per-row
+    map, zero shuffle.
+    """
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    content = F.regexp_extract(html, _META_ROBOTS_RE, 1)
+    raw = F.when(content == "", F.lit(None)).otherwise(content)
+    toks = F.lower(F.coalesce(raw, F.lit("")))
+
+    def has(token: str) -> Column:
+        return F.regexp_like(toks, F.lit(rf"(^|[,\s])(?:{token})([,\s]|$)"))
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        (has("noindex") | has("none")).cast("int").alias("noindex"),
+        (has("nofollow") | has("none")).cast("int").alias("nofollow"),
+        raw.alias("directives"),
     )

@@ -638,3 +638,54 @@ def test_katz_validation(spark):
         katz_centrality(e, iterations=0)
     with pytest.raises(ValueError, match="alpha"):
         katz_centrality(e, alpha_den=0)
+
+
+# --------------------------------------- extract_headings / meta_robots
+
+
+def test_extract_headings_order_levels_and_nested_contract(spark):
+    from dss_plugin_nlp_analysis_spark.operators.structured import (
+        extract_headings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, '<h2>Two</h2><h1 id="a">One</h1><h3></h3>'),
+            (2, "<h1><b>rich</b></h1><p>no headings match</p>"),
+            (3, None),
+        ],
+        "doc_id long, html string",
+    )
+    out = extract_headings(df, "doc_id", "html").collect()
+    one = sorted(
+        ((r.pos, r.level, r.text) for r in out if r.id == 1)
+    )
+    # document order preserved, empty heading text kept
+    assert one == [(1, 2, "Two"), (2, 1, "One"), (3, 3, "")]
+    # nested inline markup does not match the inline-free body (frozen)
+    assert not any(r.id == 2 for r in out)
+    assert not any(r.id == 3 for r in out)
+
+
+def test_extract_meta_robots_tokens_and_none(spark):
+    from dss_plugin_nlp_analysis_spark.operators.structured import (
+        extract_meta_robots,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, '<meta name="robots" content="noindex, nofollow">'),
+            (2, '<meta name="robots" content="index, follow">'),
+            (3, '<meta name="robots" content="none">'),
+            (4, "<p>no tag</p>"),
+            (5, '<meta name="robots" content="nonoindexed">'),
+        ],
+        "doc_id long, html string",
+    )
+    out = {r.id: r for r in extract_meta_robots(df, "doc_id", "html").collect()}
+    assert (out[1].noindex, out[1].nofollow) == (1, 1)
+    assert (out[2].noindex, out[2].nofollow) == (0, 0)
+    assert (out[3].noindex, out[3].nofollow) == (1, 1)  # blanket 'none'
+    assert out[4].directives is None and out[4].noindex == 0
+    # word-boundary: 'nonoindexed' is not 'noindex'
+    assert (out[5].noindex, out[5].nofollow) == (0, 0)
