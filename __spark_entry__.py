@@ -3510,6 +3510,64 @@ def _q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_feed_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS <item> + Atom <entry> extraction from a synthesized feed per
+    document (rss items first, then atom entries; every third page
+    atom-only, every eleventh empty) — zipped regex passes, pure map."""
+    from dss_plugin_nlp_analysis_spark.operators.structured import (
+        extract_feed_items,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    rss = F.concat(
+        F.lit("<item><title>R"),
+        (did % 30).cast("string"),
+        F.lit("</title><link>https://f.ex/r/"),
+        (did % 9).cast("string"),
+        F.lit("</link></item><item><title>R2</title>"
+              "<link>https://f.ex/r2</link></item>"),
+    )
+    atom = F.concat(
+        F.lit("<entry><title>A"),
+        (did % 13).cast("string"),
+        F.lit('</title><link href="https://f.ex/a/'),
+        (did % 5).cast("string"),
+        F.lit('"/></entry>'),
+    )
+    xml = F.when(did % 11 == 0, F.lit("<p>not a feed</p>")).otherwise(
+        F.concat(
+            F.when(did % 3 == 0, F.lit("")).otherwise(rss),
+            atom,
+        )
+    )
+    return extract_feed_items(
+        docs.select("doc_id", xml.alias("xml")), "doc_id", "xml"
+    )
+
+
+def _q_incr_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH candidates for a crawl update: the base corpus
+    plus a delta of re-crawled (4-words-truncated) versions at id+1e6 —
+    exactly the full-run pairs touching >=1 delta doc, with the pair
+    join delta-sided instead of corpus-wide."""
+    from dss_plugin_nlp_analysis_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        normalized_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        normalized_text(F.col("text")).alias("t"),
+    )
+    words = F.split(F.col("t"), " ")
+    t2 = F.array_join(
+        F.slice(words, 1, F.greatest(F.size(words) - 4, F.lit(1))), " "
+    )
+    delta = docs.select((F.col("id") + 1000000).alias("id"), t2.alias("t"))
+    return incremental_minhash_pairs(docs, delta, "id", "t")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -3688,6 +3746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz": _q_katz,
         "headings": _q_headings,
         "meta_robots": _q_meta_robots,
+        "feed_items": _q_feed_items,
+        "incr_minhash": _q_incr_minhash,
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
@@ -5789,6 +5849,71 @@ def oracle_sql() -> dict[str, str]:
             AS nofollow,
           raw AS directives
         FROM t
+    """
+    # incr_minhash: the dedup_minhash banding chain, pair join filtered
+    # to pairs touching the delta side (ids >= 1e6 — the re-crawled
+    # copies of _CORPUS_MUT)
+    d["incr_minhash"] = f"""
+        WITH {_CORPUS_MUT},
+        {_SHINGLES},
+        hx AS (SELECT id, md5(g) AS h FROM sh3),
+        sig AS (
+          SELECT id,
+                 min(substr(h,  1, 4)) AS s0, min(substr(h,  5, 4)) AS s1,
+                 min(substr(h,  9, 4)) AS s2, min(substr(h, 13, 4)) AS s3,
+                 min(substr(h, 17, 4)) AS s4, min(substr(h, 21, 4)) AS s5,
+                 min(substr(h, 25, 4)) AS s6, min(substr(h, 29, 4)) AS s7
+          FROM hx GROUP BY id
+        ),
+        bk AS (
+          SELECT id, unnest([
+            md5(0 || '|' || s0 || '|' || s1),
+            md5(1 || '|' || s2 || '|' || s3),
+            md5(2 || '|' || s4 || '|' || s5),
+            md5(3 || '|' || s6 || '|' || s7)]) AS band_key
+          FROM sig
+        ),
+        small AS (SELECT band_key FROM bk GROUP BY band_key
+                  HAVING count(*) <= 1000),
+        bks AS (SELECT bk.id, bk.band_key FROM bk JOIN small USING (band_key))
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM bks x JOIN bks y ON x.band_key = y.band_key AND x.id < y.id
+        WHERE x.id >= 1000000 OR y.id >= 1000000
+    """
+    # feed_items: same synthesized feed; rss positions first, atom
+    # positions offset by the rss item count (the concat order)
+    d["feed_items"] = r"""
+        WITH x AS (
+          SELECT doc_id AS id,
+            CASE WHEN doc_id % 11 = 0 THEN '<p>not a feed</p>'
+                 ELSE (CASE WHEN doc_id % 3 = 0 THEN '' ELSE
+                    '<item><title>R' || (doc_id % 30)
+                    || '</title><link>https://f.ex/r/' || (doc_id % 9)
+                    || '</link></item><item><title>R2</title>'
+                    || '<link>https://f.ex/r2</link></item>' END)
+                   || '<entry><title>A' || (doc_id % 13)
+                   || '</title><link href="https://f.ex/a/' || (doc_id % 5)
+                   || '"/></entry>'
+            END AS xml
+          FROM documents
+        ),
+        ex AS (SELECT id,
+                regexp_extract_all(xml,
+                  '(?s)<item><title>([^<]*)</title><link>[^<]*</link></item>', 1) AS rt,
+                regexp_extract_all(xml,
+                  '(?s)<item><title>[^<]*</title><link>([^<]*)</link></item>', 1) AS rl,
+                regexp_extract_all(xml,
+                  '(?s)<entry><title>([^<]*)</title><link href="[^"]*"/></entry>', 1) AS ae,
+                regexp_extract_all(xml,
+                  '(?s)<entry><title>[^<]*</title><link href="([^"]*)"/></entry>', 1) AS al
+               FROM x),
+        r AS (SELECT id, generate_subscripts(rt, 1)::BIGINT AS pos,
+                     'rss' AS fmt, unnest(rt) AS title, unnest(rl) AS link
+              FROM ex),
+        a AS (SELECT id, (len(rt) + generate_subscripts(ae, 1))::BIGINT AS pos,
+                     'atom' AS fmt, unnest(ae) AS title, unnest(al) AS link
+              FROM ex)
+        SELECT * FROM r UNION ALL SELECT * FROM a
     """
     # split_assign: sorted-label cumulative hash thresholds from the SAME
     # _threshold helper the operator uses (test 0.01, train cum 0.99,

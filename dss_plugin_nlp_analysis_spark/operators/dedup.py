@@ -38,6 +38,7 @@ __all__ = [
     "duplicated_spans",
     "remove_duplicated_spans",
     "cluster_representatives",
+    "incremental_minhash_pairs",
 ]
 
 
@@ -144,24 +145,18 @@ def minhash_signature(col: Column, num_hashes: int = 8, n: int = 3) -> Column:
     )
 
 
-def minhash_candidate_pairs(
+def _banded_small_keys(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_hashes: int = 8,
-    bands: int = 4,
-    n: int = 3,
-    max_bucket_size: int = 1000,
+    num_hashes: int,
+    bands: int,
+    n: int,
+    max_bucket_size: int,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band of the MinHash signature become a
-    candidate pair (id_a < id_b, distinct).
-
-    Physical plan: explode shingles → md5 ONCE per shingle → groupBy(id)
-    with map-side partial MIN aggregation of the per-seed hex windows (the
-    shuffle carries one tiny signature row per doc per partition), then
-    band-key explode + self-equi-join. ``max_bucket_size`` drops degenerate
-    buckets (boilerplate text) before the quadratic pair step.
-    """
+    """(id, band_key) rows of the MinHash LSH banding with degenerate
+    buckets (> max_bucket_size members) dropped — the shared build side
+    of ``minhash_candidate_pairs`` and ``incremental_minhash_pairs``."""
     rows_per_band = num_hashes // bands
     ex = exploded_shingles(df, id_col, text_col, n).withColumn("h", F.md5("g"))
     sig = ex.groupBy("id").agg(
@@ -188,8 +183,31 @@ def minhash_candidate_pairs(
         ).alias("band_key"),
     )
     counts = banded.groupBy("band_key").agg(F.count("*").alias("_n"))
-    small = banded.join(
+    return banded.join(
         counts.where(F.col("_n") <= max_bucket_size).select("band_key"), "band_key"
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the MinHash signature become a
+    candidate pair (id_a < id_b, distinct).
+
+    Physical plan: explode shingles → md5 ONCE per shingle → groupBy(id)
+    with map-side partial MIN aggregation of the per-seed hex windows (the
+    shuffle carries one tiny signature row per doc per partition), then
+    band-key explode + self-equi-join. ``max_bucket_size`` drops degenerate
+    buckets (boilerplate text) before the quadratic pair step.
+    """
+    small = _banded_small_keys(
+        df, id_col, text_col, num_hashes, bands, n, max_bucket_size
     )
     a = small.alias("a")
     b = small.alias("b")
@@ -804,4 +822,60 @@ def cluster_representatives(
             "score",
             (F.col("id") == F.col("_rep")).cast("int").alias("keep"),
         )
+    )
+
+
+def incremental_minhash_pairs(
+    base_df: DataFrame,
+    delta_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Incremental near-dup candidates for a crawl update: exactly the
+    pairs a FULL ``minhash_candidate_pairs`` re-run over base ∪ delta
+    would emit that involve at least one delta (new or re-crawled)
+    document — unchanged×unchanged pairs, already known from the
+    previous run, are never re-derived. When an id appears on both
+    sides, the delta row wins (it carries the re-crawled content).
+
+    Returns ``(id_a, id_b)`` with ``id_a < id_b``, distinct — the same
+    contract as the full operator, so downstream clustering consumes
+    either interchangeably (union the new pairs with the previous pair
+    archive before ``cluster_dedup``).
+
+    Scale shape: band keys are computed over the union (a production
+    deployment persists the base side's (id, band_key) table between
+    crawls and only the delta side's signatures are new work — the seam
+    is this function's ``small``/``d_keys`` split), and the pair join is
+    DELTA-SIDED: |delta band rows| x bucket width, not the corpus-wide
+    self-join — the whole point of incremental processing at 10^12
+    documents where each crawl touches a small fraction.
+    """
+    delta_ids = delta_df.select(F.col(id_col).alias("id")).distinct()
+    base_kept = base_df.join(
+        delta_ids.withColumnRenamed("id", id_col), [id_col], "left_anti"
+    )
+    union = base_kept.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("t")
+    ).unionByName(
+        delta_df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    )
+    small = _banded_small_keys(
+        union, "id", "t", num_hashes, bands, n, max_bucket_size
+    )
+    d_keys = small.join(delta_ids, "id").select(
+        F.col("id").alias("_did"), "band_key"
+    )
+    return (
+        small.join(d_keys, "band_key")
+        .where(F.col("id") != F.col("_did"))
+        .select(
+            F.least(F.col("id"), F.col("_did")).alias("id_a"),
+            F.greatest(F.col("id"), F.col("_did")).alias("id_b"),
+        )
+        .distinct()
     )

@@ -45,6 +45,7 @@ __all__ = [
     "jsonld_block",
     "extract_headings",
     "extract_meta_robots",
+    "extract_feed_items",
 ]
 
 # non-greedy island body; (?s) so embedded newlines stay inside the block.
@@ -348,4 +349,56 @@ def extract_meta_robots(
         (has("noindex") | has("none")).cast("int").alias("noindex"),
         (has("nofollow") | has("none")).cast("int").alias("nofollow"),
         raw.alias("directives"),
+    )
+
+
+# canonical-form feed items (frozen attribute/element order — the same
+# major-SSG canonical-form stance as _JSONLD_RE); one capture per pass
+_RSS_TITLE_RE = r"(?s)<item><title>([^<]*)</title><link>[^<]*</link></item>"
+_RSS_LINK_RE = r"(?s)<item><title>[^<]*</title><link>([^<]*)</link></item>"
+_ATOM_TITLE_RE = r'(?s)<entry><title>([^<]*)</title><link href="[^"]*"/></entry>'
+_ATOM_LINK_RE = r'(?s)<entry><title>[^<]*</title><link href="([^"]*)"/></entry>'
+
+
+def extract_feed_items(df: DataFrame, id_col: str, xml_col: str) -> DataFrame:
+    """Feed discovery: one row per RSS ``<item>`` or Atom ``<entry>`` —
+    ``(id, pos, fmt, title, link)`` with ``fmt`` in {'rss', 'atom'} and
+    ``pos`` 1-based within the feed (rss items first, then atom entries,
+    each in document order). Feeds are how a crawler finds fresh urls
+    between sitemap fetches; the links feed ``crawl_frontier`` exactly
+    like ``extract_links`` anchors do.
+
+    Canonical element form is frozen (title before link, no interleaved
+    elements — the module's SSG-canonical-form contract; a lenient parse
+    needs an XML parser, not a regex). Two zipped single-group passes
+    per format over identical match sites; pure map + explode, zero
+    shuffle. Pages with neither format emit no rows.
+    """
+    xml = F.coalesce(F.col(xml_col), F.lit(""))
+
+    def fmt_rows(fmt: str, title_re: str, link_re: str):
+        return F.transform(
+            F.arrays_zip(
+                F.regexp_extract_all(xml, F.lit(title_re), 1).alias("title"),
+                F.regexp_extract_all(xml, F.lit(link_re), 1).alias("link"),
+            ),
+            lambda s: F.struct(
+                F.lit(fmt).alias("fmt"),
+                s["title"].alias("title"),
+                s["link"].alias("link"),
+            ),
+        )
+
+    items = F.concat(
+        fmt_rows("rss", _RSS_TITLE_RE, _RSS_LINK_RE),
+        fmt_rows("atom", _ATOM_TITLE_RE, _ATOM_LINK_RE),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(items).alias("p", "it")
+    ).select(
+        "id",
+        (F.col("p") + 1).cast("long").alias("pos"),
+        F.col("it.fmt").alias("fmt"),
+        F.col("it.title").alias("title"),
+        F.col("it.link").alias("link"),
     )

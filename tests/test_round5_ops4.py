@@ -689,3 +689,73 @@ def test_extract_meta_robots_tokens_and_none(spark):
     assert out[4].directives is None and out[4].noindex == 0
     # word-boundary: 'nonoindexed' is not 'noindex'
     assert (out[5].noindex, out[5].nofollow) == (0, 0)
+
+
+# ----------------------------------- feed items / incremental minhash
+
+
+def test_extract_feed_items_formats_and_positions(spark):
+    from dss_plugin_nlp_analysis_spark.operators.structured import (
+        extract_feed_items,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "<item><title>T1</title><link>u1</link></item>"
+                "<item><title>T2</title><link>u2</link></item>"
+                '<entry><title>A1</title><link href="a1"/></entry>',
+            ),
+            (2, "<p>no feed</p>"),
+        ],
+        "doc_id long, xml string",
+    )
+    out = sorted(
+        (
+            (r.pos, r.fmt, r.title, r.link)
+            for r in extract_feed_items(df, "doc_id", "xml").collect()
+            if r.id == 1
+        )
+    )
+    assert out == [
+        (1, "rss", "T1", "u1"),
+        (2, "rss", "T2", "u2"),
+        (3, "atom", "A1", "a1"),
+    ]
+    assert (
+        extract_feed_items(df, "doc_id", "xml").where("id = 2").count() == 0
+    )
+
+
+def test_incremental_minhash_equals_full_run_delta_slice(spark):
+    from dss_plugin_nlp_analysis_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_candidate_pairs,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc{i % 3}") for i in range(6)],
+        "id long, t string",
+    )
+    delta = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta doc0"),
+         (1, "totally different words entirely here now")],  # re-crawl of id 1
+        "id long, t string",
+    )
+    # reference: full run over (base minus updated ids) union delta,
+    # keep only pairs touching a delta id
+    merged = base.where("id != 1").unionByName(delta)
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(merged, "id", "t").collect()
+    }
+    want = {p for p in full if p[0] in (1, 100) or p[1] in (1, 100)}
+    got = {
+        (r.id_a, r.id_b)
+        for r in incremental_minhash_pairs(base, delta, "id", "t").collect()
+    }
+    assert got == want
+    # the re-crawled id 1 must be paired by its NEW content (none — it
+    # changed away from the cluster), not its old text
+    assert not any(1 in p for p in got)
