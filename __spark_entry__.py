@@ -3568,6 +3568,46 @@ def _q_incr_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_pairs(docs, delta, "id", "t")
 
 
+def _q_weighted_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-weighted integer PageRank (3 iterations, weights
+    (src+event)%5+1 summed over parallel edges) — rank split
+    proportionally to edge weight; the oracle unrolls the same
+    weighted-share iterations."""
+    from dss_plugin_nlp_analysis_spark.operators.graph import (
+        weighted_pagerank,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        (F.col("event_id") % 150).alias("dst"),
+        ((F.col("user_id") + F.col("event_id")) % 5 + 1).alias("weight"),
+    )
+    return weighted_pagerank(edges, iterations=3).select(
+        "node", F.col("rank").alias("wrank")
+    )
+
+
+def _q_decayed_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted fact scores over the multi-snapshot triples —
+    one right-shift per elapsed half-life (7 days), exact integer decay
+    summed per triple key."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import (
+        decayed_fact_scores,
+    )
+
+    t = build_triples(
+        _snapshot_pages(spark, sf_dir),
+        kg_oracle_ontology_df(spark),
+        url_col="url",
+        text_col="text",
+        lang_col="lang",
+        ts_col="warc_ts",
+        category_col=None,
+    )
+    return decayed_fact_scores(t, half_life_days=7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -3748,6 +3788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_robots": _q_meta_robots,
         "feed_items": _q_feed_items,
         "incr_minhash": _q_incr_minhash,
+        "weighted_pr": _q_weighted_pr,
+        "decayed_facts": _q_decayed_facts,
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
@@ -5849,6 +5891,45 @@ def oracle_sql() -> dict[str, str]:
             AS nofollow,
           raw AS directives
         FROM t
+    """
+    # weighted_pr: weighted-share pagerank unroll (rank*w // totw);
+    # base = (100-85)*1e9//100
+    _wp = ["""
+        WITH ev AS (
+          SELECT user_id AS src, event_id % 150 AS dst,
+                 (user_id + event_id) % 5 + 1 AS w
+          FROM events WHERE user_id != event_id % 150
+        ),
+        e AS (SELECT src, dst, sum(w)::BIGINT AS w FROM ev GROUP BY 1, 2),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        tot AS (SELECT src, sum(w)::BIGINT AS totw FROM e GROUP BY src),
+        r0 AS (SELECT node, 1000000000::BIGINT AS rank FROM nodes)"""]
+    for _i in range(1, 4):
+        _wp.append(f""",
+        i{_i} AS (SELECT e.dst AS node,
+                        sum((r.rank * e.w) // t.totw)::BIGINT AS incoming
+                 FROM e JOIN r{_i - 1} r ON r.node = e.src
+                        JOIN tot t ON t.src = e.src
+                 GROUP BY e.dst),
+        r{_i} AS (SELECT n.node,
+                        (150000000::BIGINT
+                         + (85 * coalesce(i{_i}.incoming, 0)) // 100)::BIGINT
+                          AS rank
+                 FROM nodes n LEFT JOIN i{_i} ON i{_i}.node = n.node)""")
+    _wp.append("\n        SELECT node, rank AS wrank FROM r3")
+    d["weighted_pr"] = "".join(_wp)
+    # decayed_facts: one right-shift per elapsed 7-day half-life vs the
+    # newest mention, capped at 20 halvings
+    d["decayed_facts"] = f"""
+        WITH {_SNAP_T},
+        mx AS (SELECT max(ts) AS mt FROM t),
+        aged AS (SELECT subj, pred, obj,
+                   least(((epoch(mt)::BIGINT - epoch(ts)::BIGINT)
+                          // (86400 * 7))::INT, 20) AS age
+                 FROM t CROSS JOIN mx)
+        SELECT subj, pred, obj, count(*)::BIGINT AS n_mentions,
+               sum(1000000 >> age)::BIGINT AS score
+        FROM aged GROUP BY 1, 2, 3
     """
     # incr_minhash: the dedup_minhash banding chain, pair join filtered
     # to pairs touching the delta side (ids >= 1e6 — the re-crawled

@@ -60,6 +60,7 @@ __all__ = [
     "reciprocity",
     "resource_allocation",
     "katz_centrality",
+    "weighted_pagerank",
 ]
 
 
@@ -1428,3 +1429,88 @@ def katz_centrality(
             .localCheckpoint()
         )
     return ranks.select("node", F.col("rank").alias("katz_micro"))
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str = "weight",
+    *,
+    iterations: int = 3,
+    init: int = 10**9,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Integer PageRank with edge weights: a node's rank is split across
+    its out-edges PROPORTIONALLY to weight instead of uniformly — the
+    anchor-weighted link graph (an edge backed by 500 anchor links
+    carries more authority than a footer link; feed
+    ``anchor_text_index``'s n_links as the weight).
+
+    Update rule, all int64::
+
+        share(u->v)  = (rank(u) * w(u->v)) div totw(u)
+        incoming(v)  = sum(shares into v)                    (order-free)
+        rank'(v)     = base + (damp_num * incoming) div damp_den
+
+    Parallel edges combine by SUMMING weights first; self-loops and
+    non-positive weights are dropped. ``rank * w`` must stay inside
+    int64 — callers keep ``init * max_weight`` well under 2^63 (the
+    module's documented headroom contract; with the default init=10^9
+    weights up to ~10^6 on ~10^3-node mass concentrations are safe).
+    Returns ``(node, rank)`` in integer units of ``init``.
+
+    Scale shape: identical to ``pagerank`` — the weight and totw columns
+    ride the same pre-joined edge table, lineage cut once; per iteration
+    one equi-join + one combinable sum.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .where(F.col("w") > 0)
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    totw = e.groupBy("src").agg(F.sum("w").alias("totw"))
+    e_w = e.join(totw, "src").localCheckpoint()
+    base = (damp_den - damp_num) * init // damp_den
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
+    for _ in range(iterations):
+        incoming = (
+            e_w.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(rank * w) div totw").alias("share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("share").alias("incoming"))
+        )
+        ranks = (
+            nodes.join(incoming, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"(cast({damp_num} as bigint)"
+                        f" * coalesce(incoming, cast(0 as bigint)))"
+                        f" div cast({damp_den} as bigint)"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -32,6 +32,7 @@ __all__ = [
     "transe_scores",
     "transe_ranks",
     "constraint_violations",
+    "decayed_fact_scores",
     "entity_salience",
     "triple_delta",
     "attribute_triples",
@@ -1727,3 +1728,71 @@ def constraint_violations(
         .select("subj", "pred", "obj", F.lit("functional").alias("violation"))
     )
     return shape.unionByName(functional)
+
+
+def decayed_fact_scores(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    ts_col: str = "warc_ts",
+    *,
+    half_life_days: int = 7,
+    unit: int = 1_000_000,
+    max_halvings: int = 20,
+) -> DataFrame:
+    """Recency-weighted fact confidence: each mention contributes
+    ``unit >> min(age_half_lives, max_halvings)`` — an exact integer
+    exponential decay (one right-shift per elapsed half-life, floor at
+    ``unit >> max_halvings``), summed per (subj, pred, obj).  This is
+    the temporal complement of ``triple_history``: a fact mentioned 50
+    times last year scores below one mentioned 5 times this week, which
+    is how a living KG ranks competing candidate facts before
+    ``truth_discovery`` adjudicates.
+
+    Age is whole half-lives against the newest mention timestamp in the
+    input (no wall clock — determinism); NULL-timestamp mentions are
+    excluded (age undefined). Returns ``(subj, pred, obj, n_mentions,
+    score)`` with ``score`` in integer ``unit`` ppm-style units.
+
+    Scale shape: the corpus max-ts is a single-row aggregate broadcast
+    back; everything else is a pure map plus ONE map-side-combinable
+    groupBy on the triple key. Bit-shifts are exact on every engine —
+    no doubles anywhere.
+    """
+    if half_life_days < 1:
+        raise ValueError(f"half_life_days must be >= 1, got {half_life_days}")
+    if max_halvings < 0 or max_halvings > 62:
+        raise ValueError(
+            f"max_halvings must be in [0, 62], got {max_halvings}"
+        )
+    base = (
+        triples.select(
+            F.col(subj).alias("subj"),
+            F.col(pred).alias("pred"),
+            F.col(obj).alias("obj"),
+            F.col(ts_col).alias("ts"),
+        )
+        .where(
+            F.col(subj).isNotNull()
+            & F.col(pred).isNotNull()
+            & F.col(obj).isNotNull()
+            & F.col(ts_col).isNotNull()
+        )
+    )
+    max_ts = base.agg(F.max("ts").alias("_max_ts"))
+    aged = base.crossJoin(F.broadcast(max_ts)).withColumn(
+        "_age",
+        F.floor(
+            (F.unix_timestamp("_max_ts") - F.unix_timestamp("ts"))
+            / (86400 * half_life_days)
+        ).cast("int"),
+    )
+    contrib = F.expr(
+        f"shiftright(cast({unit} as bigint),"
+        f" cast(least(_age, {max_halvings}) as int))"
+    )
+    return aged.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions"),
+        F.sum(contrib).cast("long").alias("score"),
+    )

@@ -759,3 +759,69 @@ def test_incremental_minhash_equals_full_run_delta_slice(spark):
     # the re-crawled id 1 must be paired by its NEW content (none — it
     # changed away from the cluster), not its old text
     assert not any(1 in p for p in got)
+
+
+# --------------------------------- weighted_pagerank / decayed_fact_scores
+
+
+def test_weighted_pagerank_splits_by_weight(spark):
+    from dss_plugin_nlp_analysis_spark.operators.graph import (
+        weighted_pagerank,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 1)], "src long, dst long, weight long"
+    )
+    out = {
+        r.node: r.rank for r in weighted_pagerank(e, iterations=1).collect()
+    }
+    init, base = 10**9, 15 * 10**9 // 100
+    # node 2 gets 3/4 of node 1's rank, node 3 gets 1/4
+    assert out[2] == base + 85 * (init * 3 // 4) // 100
+    assert out[3] == base + 85 * (init * 1 // 4) // 100
+    assert out[1] == base  # no in-edges
+
+
+def test_weighted_pagerank_combines_parallel_edges_and_validates(spark):
+    from dss_plugin_nlp_analysis_spark.operators.graph import (
+        weighted_pagerank,
+    )
+    import pytest as _pytest
+
+    # two parallel 1->2 edges of weight 1 == one edge of weight 2
+    e1 = spark.createDataFrame(
+        [(1, 2, 1), (1, 2, 1), (1, 3, 2)], "src long, dst long, weight long"
+    )
+    e2 = spark.createDataFrame(
+        [(1, 2, 2), (1, 3, 2)], "src long, dst long, weight long"
+    )
+    a = sorted(map(tuple, weighted_pagerank(e1, iterations=2).collect()))
+    b = sorted(map(tuple, weighted_pagerank(e2, iterations=2).collect()))
+    assert a == b
+    with _pytest.raises(ValueError, match="iterations"):
+        weighted_pagerank(e1, iterations=0)
+
+
+def test_decayed_fact_scores_halves_per_half_life(spark):
+    import datetime as dt
+
+    from dss_plugin_nlp_analysis_spark.operators.kg import decayed_fact_scores
+
+    t = spark.createDataFrame(
+        [
+            ("s", "p", "o", dt.datetime(2026, 3, 1)),   # 2 half-lives old
+            ("s", "p", "o", dt.datetime(2026, 3, 8)),   # 1 half-life old
+            ("s", "p", "o", dt.datetime(2026, 3, 15)),  # fresh
+            ("s", "p", "x", None),                      # NULL ts excluded
+        ],
+        "subj string, pred string, obj string, warc_ts timestamp",
+    )
+    out = decayed_fact_scores(t, half_life_days=7).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_mentions == 3
+    assert r.score == 1_000_000 + 500_000 + 250_000
+    with pytest.raises(ValueError, match="half_life_days"):
+        decayed_fact_scores(t, half_life_days=0)
+    with pytest.raises(ValueError, match="max_halvings"):
+        decayed_fact_scores(t, max_halvings=63)
