@@ -3608,6 +3608,22 @@ def _q_decayed_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_fact_scores(t, half_life_days=7)
 
 
+def _q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (event_type, user segment) with an integer
+    measure — one Expand into one combinable hash aggregate, gid
+    disambiguating rolled-up cells from NULL values."""
+    from dss_plugin_nlp_analysis_spark.operators.rollup import (
+        cube_aggregate,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 4).alias("seg"),
+        (F.col("event_id") % 100).alias("m"),
+    )
+    return cube_aggregate(ev, ["event_type", "seg"], measure_col="m")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -3790,6 +3806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_minhash": _q_incr_minhash,
         "weighted_pr": _q_weighted_pr,
         "decayed_facts": _q_decayed_facts,
+        "events_cube": _q_events_cube,
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
@@ -5891,6 +5908,17 @@ def oracle_sql() -> dict[str, str]:
             AS nofollow,
           raw AS directives
         FROM t
+    """
+    # events_cube: GROUP BY CUBE with the GROUPING bitmask (same
+    # leftmost-dim-most-significant encoding as Spark's grouping_id)
+    d["events_cube"] = """
+        SELECT event_type, seg,
+               GROUPING(event_type, seg)::BIGINT AS gid,
+               count(*)::BIGINT AS n_rows,
+               sum(m)::BIGINT AS measure_sum
+        FROM (SELECT event_type, user_id % 4 AS seg, event_id % 100 AS m
+              FROM events)
+        GROUP BY CUBE (event_type, seg)
     """
     # weighted_pr: weighted-share pagerank unroll (rank*w // totw);
     # base = (100-85)*1e9//100

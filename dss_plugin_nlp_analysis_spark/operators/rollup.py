@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rollup_time", "kmv_distinct", "burst_buckets", "transition_counts", "funnel_counts", "cohort_retention"]
+__all__ = ["rollup_time", "kmv_distinct", "burst_buckets", "transition_counts", "funnel_counts", "cohort_retention", "cube_aggregate"]
 
 
 def rollup_time(
@@ -338,4 +338,43 @@ def cohort_retention(
             (F.col("week") - F.col("cohort_week")).alias("week_offset"),
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def cube_aggregate(
+    df: DataFrame,
+    dims: list[str],
+    *,
+    measure_col: str | None = None,
+) -> DataFrame:
+    """Full OLAP CUBE over ``dims``: one row per cell of EVERY dimension
+    subset — the all-margins report (per type, per segment, per
+    type×segment, grand total) a dashboard layer reads without
+    re-aggregating. ``gid`` is the grouping bitmask (leftmost dim = most
+    significant bit, 1 = that dim is rolled away in this row) — the
+    standard disambiguation between a genuine NULL dimension value and a
+    rolled-up cell, which a bare NULL cannot provide.
+
+    Returns ``(dims..., gid, n_rows[, measure_sum])``; ``measure_col``
+    (when given) must be integer-summable — cast money upstream.
+
+    Scale shape: Spark plans a CUBE as ONE Expand (each input row
+    replicated 2^|dims| times with the corresponding dim-NULLing) into a
+    single map-side-combinable hash aggregate — one scan and one
+    shuffle, NOT 2^d separate jobs; the 2^d factor rides the combiner,
+    so keep |dims| small (2-4) at the 10^12-row scale, same as every
+    warehouse. Grand-total and heavy margins are single keys by nature —
+    the map-side partials are what keep them from becoming stragglers.
+    """
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    if len(dims) > 6:
+        raise ValueError(
+            f"CUBE over {len(dims)} dims expands 2^{len(dims)}x per row — cap is 6"
+        )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    if measure_col is not None:
+        aggs.append(F.sum(measure_col).cast("long").alias("measure_sum"))
+    return df.cube(*dims).agg(
+        F.grouping_id().cast("long").alias("gid"), *aggs
     )

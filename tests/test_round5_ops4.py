@@ -825,3 +825,45 @@ def test_decayed_fact_scores_halves_per_half_life(spark):
         decayed_fact_scores(t, half_life_days=0)
     with pytest.raises(ValueError, match="max_halvings"):
         decayed_fact_scores(t, max_halvings=63)
+
+
+# ----------------------------------------------------------- cube_aggregate
+
+
+def test_cube_aggregate_all_margins_and_gid(spark):
+    from dss_plugin_nlp_analysis_spark.operators.rollup import cube_aggregate
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 1, 30), (None, 1, 40)],
+        "t string, s int, m int",
+    )
+    out = {
+        (r.t, r.s, r.gid): (r.n_rows, r.measure_sum)
+        for r in cube_aggregate(df, ["t", "s"], measure_col="m").collect()
+    }
+    # 2 dims -> every subset present: grand total gid=3
+    assert out[(None, None, 3)] == (4, 100)
+    # per-t margin (s rolled away, gid bit of s = 1)
+    assert out[("a", None, 1)] == (2, 30)
+    # genuine NULL t at detail level distinguished from rollup by gid
+    assert out[(None, 1, 0)] == (1, 40)       # real NULL value
+    assert out[(None, 1, 2)] == (3, 80)       # t rolled away margin
+    with pytest.raises(ValueError, match="non-empty"):
+        cube_aggregate(df, [])
+    with pytest.raises(ValueError, match="cap is 6"):
+        cube_aggregate(df, ["t"] * 7)
+
+
+def test_cube_aggregate_plan_is_one_expand(spark):
+    from dss_plugin_nlp_analysis_spark.operators.rollup import cube_aggregate
+
+    df = spark.createDataFrame([("a", 1)], "t string, s int")
+    plan = (
+        cube_aggregate(df, ["t", "s"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one Expand into one hash aggregate — not 2^d separate scans
+    assert plan.count("Expand") == 1, plan
+    assert "HashAggregate" in plan
