@@ -3624,6 +3624,31 @@ def _q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cube_aggregate(ev, ["event_type", "seg"], measure_col="m")
 
 
+def _q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template discovery over a synthesized shop/CDN url mix:
+    /product/{d}(/review/{d}) per shard domain plus md5 object urls
+    collapsing to /obj/{h} — pure maps into one combinable groupBy."""
+    from dss_plugin_nlp_analysis_spark.operators.url import url_templates
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    shop = F.concat(
+        F.lit("https://s"),
+        (did % 8).cast("string"),
+        F.lit(".shop.example/product/"),
+        did.cast("string"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit("/review/"), (did % 7).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    url = F.when(
+        did % 5 == 0,
+        F.concat(F.lit("https://cdn.example/obj/"), F.md5(did.cast("string"))),
+    ).otherwise(shop)
+    return url_templates(docs.select(url.alias("url")), "url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -3807,6 +3832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_pr": _q_weighted_pr,
         "decayed_facts": _q_decayed_facts,
         "events_cube": _q_events_cube,
+        "url_templates": _q_url_templates,
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
@@ -5908,6 +5934,36 @@ def oracle_sql() -> dict[str, str]:
             AS nofollow,
           raw AS directives
         FROM t
+    """
+    # url_templates: same synthesis; template = path with long-hex runs
+    # -> {h} first, then digit runs -> {d} (plain string: regex braces)
+    d["url_templates"] = r"""
+        WITH u AS (
+          SELECT CASE WHEN doc_id % 5 = 0
+                      THEN 'https://cdn.example/obj/' || md5(doc_id::VARCHAR)
+                      ELSE 'https://s' || (doc_id % 8)
+                           || '.shop.example/product/' || doc_id
+                           || CASE WHEN doc_id % 3 = 0
+                                   THEN '/review/' || (doc_id % 7)
+                                   ELSE '' END
+                 END AS url
+          FROM documents
+        ),
+        t AS (SELECT
+                regexp_extract(url,
+                  '^[a-z][a-z0-9+.-]*://([^/:?#@]*@)?([^/:?#]+)', 2) AS host,
+                url,
+                regexp_replace(regexp_replace(
+                  regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/?#]*', ''),
+                  '[0-9a-f]{8,}', '{h}', 'g'), '[0-9]+', '{d}', 'g') AS template
+              FROM u),
+        d2 AS (SELECT regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+                      template, url
+               FROM t)
+        SELECT domain, template, count(*)::BIGINT AS n_urls,
+               min(url) AS sample_url
+        FROM d2 WHERE domain != ''
+        GROUP BY 1, 2 HAVING count(*) >= 2
     """
     # events_cube: GROUP BY CUBE with the GROUPING bitmask (same
     # leftmost-dim-most-significant encoding as Spark's grouping_id)

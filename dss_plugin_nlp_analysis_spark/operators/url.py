@@ -40,6 +40,7 @@ __all__ = [
     "resolve_redirects",
     "recrawl_priority",
     "crawl_schedule",
+    "url_templates",
 ]
 
 _FRAGMENT = r"#.*$"
@@ -705,4 +706,55 @@ def crawl_schedule(
                 "long"
             ),
         )
+    )
+
+
+def url_templates(
+    df: DataFrame,
+    url_col: str,
+    *,
+    min_count: int = 2,
+) -> DataFrame:
+    """URL template discovery: collapse numeric and long-hex path
+    segments to placeholders and count urls per (domain, template) —
+    how a crawler learns that ``/product/8231497`` is one TEMPLATE with
+    millions of instances (crawl-budget allocation, infinite-space trap
+    detection, URL-level dedup hints) rather than millions of unrelated
+    pages.
+
+    Template derivation (frozen, order matters):
+
+    1. canonicalize via ``normalize_url``
+    2. split off the path+query (everything after the authority)
+    3. digit runs → ``{d}``; hex runs of >= 8 chars → ``{h}`` (UUIDs,
+       content hashes; shorter hex stays literal — 'cafe' is a word)
+
+    Returns ``(domain, template, n_urls, sample_url)`` for templates
+    with ``n_urls >= min_count`` — ``sample_url`` is the minimum
+    canonical url (deterministic witness). Domain is ``url_table``'s
+    registrable-domain approximation.
+
+    Scale shape: pure per-row maps into one map-side-combinable groupBy
+    on (domain, template) — template cardinality is sublinear in urls by
+    construction (that is the point), so the aggregate output is small;
+    AQE splits the hot mega-template keys like any skewed count.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    base = url_table(df.select(F.col(url_col)), url_col, url_col)
+    path = F.regexp_replace(
+        F.col("url_norm"), r"^[a-z][a-z0-9+.-]*://[^/?#]*", ""
+    )
+    tmpl = F.regexp_replace(path, r"[0-9a-f]{8,}", "{h}")
+    tmpl = F.regexp_replace(tmpl, r"[0-9]+", "{d}")
+    rows = base.select(
+        "domain", tmpl.alias("template"), F.col("url_norm")
+    ).where(F.col("domain") != "")
+    return (
+        rows.groupBy("domain", "template")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.min("url_norm").alias("sample_url"),
+        )
+        .where(F.col("n_urls") >= min_count)
     )

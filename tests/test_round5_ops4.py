@@ -867,3 +867,51 @@ def test_cube_aggregate_plan_is_one_expand(spark):
     # one Expand into one hash aggregate — not 2^d separate scans
     assert plan.count("Expand") == 1, plan
     assert "HashAggregate" in plan
+
+
+# ------------------------------------------------------------ url_templates
+
+
+def test_url_templates_collapses_ids_and_hex(spark):
+    from dss_plugin_nlp_analysis_spark.operators.url import url_templates
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.example.com/product/123",),
+            ("https://a.example.com/product/456",),
+            ("https://a.example.com/obj/deadbeefcafe1234",),
+            ("https://a.example.com/obj/0123456789abcdef",),
+            ("https://a.example.com/about/cafe",),  # short hex stays
+            # same registrable domain as the a. host — counts together
+            ("https://b.example.com/product/9",),
+        ],
+        "url string",
+    )
+    out = {
+        (r.domain, r.template): (r.n_urls, r.sample_url)
+        for r in url_templates(df, "url").collect()
+    }
+    assert out[("example.com", "/product/{d}")] == (
+        3,
+        "https://a.example.com/product/123",
+    )
+    assert out[("example.com", "/obj/{h}")][0] == 2
+    # below min_count or unique templates absent
+    assert ("example.com", "/about/cafe") not in out
+    with pytest.raises(ValueError, match="min_count"):
+        url_templates(df, "url", min_count=0)
+
+
+def test_url_templates_uses_canonical_urls(spark):
+    from dss_plugin_nlp_analysis_spark.operators.url import url_templates
+
+    # fragment/utm variants of one template collapse together
+    df = spark.createDataFrame(
+        [
+            ("https://a.example.com/p/1?utm_source=x",),
+            ("https://a.example.com/p/2#frag",),
+        ],
+        "url string",
+    )
+    out = url_templates(df, "url").collect()
+    assert len(out) == 1 and out[0].template == "/p/{d}" and out[0].n_urls == 2
