@@ -3649,6 +3649,50 @@ def _q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_templates(docs.select(url.alias("url")), "url")
 
 
+def _q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of an integer measure per event type
+    (percentile_disc over a per-group value-space histogram — the
+    corpus is never sorted)."""
+    from dss_plugin_nlp_analysis_spark.operators.rollup import (
+        group_percentiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("event_id") % 100).alias("m")
+    )
+    return group_percentiles(ev, "event_type", "m")
+
+
+def _q_inverse_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:inverseOf discovery over a planted KG: 'likes' facts with
+    reversed 'liked_by' facts for the even half — reversed-key
+    self-equi-join + combinable counts, directional confidences."""
+    from dss_plugin_nlp_analysis_spark.operators.kg import (
+        inverse_predicates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    fwd = docs.select(
+        F.concat(F.lit("e"), (did % 20).cast("string")).alias("subj"),
+        F.lit("likes").alias("pred"),
+        F.concat(F.lit("e"), ((did * 3 + 1) % 20).cast("string")).alias(
+            "obj"
+        ),
+    )
+    rev = (
+        docs.where(did % 2 == 0)
+        .select(
+            F.concat(F.lit("e"), ((did * 3 + 1) % 20).cast("string")).alias(
+                "subj"
+            ),
+            F.lit("liked_by").alias("pred"),
+            F.concat(F.lit("e"), (did % 20).cast("string")).alias("obj"),
+        )
+    )
+    return inverse_predicates(fwd.unionByName(rev))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -3833,6 +3877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_facts": _q_decayed_facts,
         "events_cube": _q_events_cube,
         "url_templates": _q_url_templates,
+        "event_percentiles": _q_event_percentiles,
+        "inverse_preds": _q_inverse_preds,
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
@@ -5934,6 +5980,57 @@ def oracle_sql() -> dict[str, str]:
             AS nofollow,
           raw AS directives
         FROM t
+    """
+    # event_percentiles: percentile_disc via per-group value histogram +
+    # cumulative window; threshold index = ceil(p*n/100) in integers
+    d["event_percentiles"] = """
+        WITH v AS (SELECT event_type AS g, (event_id % 100)::BIGINT AS m
+                   FROM events
+                   WHERE event_type IS NOT NULL AND event_id IS NOT NULL),
+        h AS (SELECT g, m, count(*) AS c FROM v GROUP BY 1, 2),
+        cum AS (SELECT g, m, sum(c) OVER (
+                  PARTITION BY g ORDER BY m
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM h),
+        n AS (SELECT g, count(*) AS n FROM v GROUP BY g),
+        th AS (SELECT cum.g,
+                 min(CASE WHEN cum >= (50 * n + 99) // 100 THEN m END) AS p50,
+                 min(CASE WHEN cum >= (90 * n + 99) // 100 THEN m END) AS p90,
+                 min(CASE WHEN cum >= (99 * n + 99) // 100 THEN m END) AS p99
+               FROM cum JOIN n USING (g) GROUP BY cum.g)
+        SELECT g AS event_type, 50::BIGINT AS pct, p50::BIGINT AS value FROM th
+        UNION ALL
+        SELECT g, 90::BIGINT, p90::BIGINT FROM th
+        UNION ALL
+        SELECT g, 99::BIGINT, p99::BIGINT FROM th
+    """
+    # inverse_preds: reversed-pair self-join over the planted likes /
+    # liked_by KG; directional confidence in floor-ppm
+    d["inverse_preds"] = """
+        WITH fwd AS (
+          SELECT DISTINCT 'e' || (doc_id % 20)::VARCHAR AS s,
+                 'likes' AS p,
+                 'e' || ((doc_id * 3 + 1) % 20)::VARCHAR AS o
+          FROM documents
+        ),
+        rv AS (
+          SELECT DISTINCT 'e' || ((doc_id * 3 + 1) % 20)::VARCHAR AS s,
+                 'liked_by' AS p,
+                 'e' || (doc_id % 20)::VARCHAR AS o
+          FROM documents WHERE doc_id % 2 = 0
+        ),
+        t AS (SELECT * FROM (SELECT * FROM fwd UNION SELECT * FROM rv)
+              WHERE s != o),
+        j AS (SELECT a.p AS pred, b.p AS inv_pred,
+                     count(*)::BIGINT AS support
+              FROM t a JOIN t b ON b.s = a.o AND b.o = a.s
+              GROUP BY 1, 2),
+        np AS (SELECT p AS pred, count(*)::BIGINT AS n_facts
+               FROM t GROUP BY p)
+        SELECT pred, inv_pred, support, n_facts,
+               ((1000000 * support) // n_facts)::BIGINT AS confidence_ppm
+        FROM j JOIN np USING (pred)
+        WHERE support >= 1
     """
     # url_templates: same synthesis; template = path with long-hex runs
     # -> {h} first, then digit runs -> {d} (plain string: regex braces)

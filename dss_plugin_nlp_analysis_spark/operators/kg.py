@@ -33,6 +33,7 @@ __all__ = [
     "transe_ranks",
     "constraint_violations",
     "decayed_fact_scores",
+    "inverse_predicates",
     "entity_salience",
     "triple_delta",
     "attribute_triples",
@@ -1795,4 +1796,73 @@ def decayed_fact_scores(
     return aged.groupBy("subj", "pred", "obj").agg(
         F.count(F.lit(1)).cast("long").alias("n_mentions"),
         F.sum(contrib).cast("long").alias("score"),
+    )
+
+
+def inverse_predicates(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    *,
+    min_support: int = 1,
+) -> DataFrame:
+    """KG schema learning: predicate pairs (p, q) that behave as
+    INVERSES — ``(s, p, o)`` co-occurring with ``(o, q, s)`` — the rule
+    family AMIE's composition rules don't cover (``owl:inverseOf``
+    discovery: *authored_by* vs *author_of*; p = q detects SYMMETRIC
+    predicates like *married_to*).
+
+    ``support`` counts distinct (s, p, o) facts whose exact reverse
+    (o, q, s) exists; ``confidence_ppm = 10^6 · support // n_p`` is the
+    share of p-facts with a q-inverse (directional: (p, q) and (q, p)
+    are both emitted with their own confidences, since inverse coverage
+    is rarely symmetric in a noisy KG). Self-loop facts (s = o) are
+    excluded — they satisfy any inverse trivially and would inflate
+    symmetric-predicate confidence.
+
+    Returns ``(pred, inv_pred, support, n_facts, confidence_ppm)`` with
+    ``support >= min_support``.
+
+    Scale shape: one distinct projection, one self-equi-join on the
+    REVERSED (subj, obj) key (AQE skew-splits hot entity pairs), one
+    combinable count per (p, q), plus a broadcast-sized per-predicate
+    count dim joined back.
+    """
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    t = (
+        triples.select(
+            F.col(subj).alias("s"),
+            F.col(pred).alias("p"),
+            F.col(obj).alias("o"),
+        )
+        .where(
+            F.col(subj).isNotNull()
+            & F.col(pred).isNotNull()
+            & F.col(obj).isNotNull()
+        )
+        .where(F.col(subj) != F.col(obj))
+        .distinct()
+    )
+    rev = t.select(
+        F.col("o").alias("s"), F.col("p").alias("q"), F.col("s").alias("o")
+    )
+    pairs = (
+        t.join(rev, ["s", "o"])
+        .groupBy(F.col("p").alias("pred"), F.col("q").alias("inv_pred"))
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    n_p = t.groupBy(F.col("p").alias("pred")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_facts")
+    )
+    return (
+        pairs.join(n_p, "pred")
+        .withColumn(
+            "confidence_ppm",
+            F.floor(
+                (F.lit(1_000_000) * F.col("support")) / F.col("n_facts")
+            ).cast("long"),
+        )
+        .where(F.col("support") >= min_support)
     )

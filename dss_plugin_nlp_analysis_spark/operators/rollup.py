@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rollup_time", "kmv_distinct", "burst_buckets", "transition_counts", "funnel_counts", "cohort_retention", "cube_aggregate"]
+__all__ = ["rollup_time", "kmv_distinct", "burst_buckets", "transition_counts", "funnel_counts", "cohort_retention", "cube_aggregate", "group_percentiles"]
 
 
 def rollup_time(
@@ -377,4 +377,76 @@ def cube_aggregate(
         aggs.append(F.sum(measure_col).cast("long").alias("measure_sum"))
     return df.cube(*dims).agg(
         F.grouping_id().cast("long").alias("gid"), *aggs
+    )
+
+
+def group_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Exact per-group percentiles of an integer metric
+    (percentile_disc semantics: the value at sorted position
+    ``ceil(p·N/100)``) — the per-dimension latency/quality report
+    (p50/p90/p99 per event type, per language, per domain) in pure
+    integer arithmetic, bit-identical on any engine; float
+    interpolation is deliberately avoided, same stance as
+    ``textstats.quantile_buckets``.
+
+    Returns one row per (group, pct): ``(group, pct, value)``. NULL
+    metrics and NULL groups are excluded (the module's NULL-key
+    contract).
+
+    Scale shape: the corpus is never sorted — thresholds come from a
+    per-group VALUE-SPACE histogram (``groupBy(group, value).count``,
+    map-side combinable); the cumulative window runs over histogram
+    rows, bounded by the metric's value range per group, independent of
+    corpus row count. Groups are assumed dimension-like (event types,
+    languages); a group column with corpus-scale cardinality makes the
+    histogram the corpus itself — use a coarser dimension.
+    """
+    if not percentiles:
+        raise ValueError("percentiles must be non-empty")
+    for p in percentiles:
+        if not 1 <= p <= 100:
+            raise ValueError(f"percentiles must be in [1, 100], got {p}")
+    from pyspark.sql import Window
+
+    vals = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    ).where(F.col("g").isNotNull() & F.col("v").isNotNull())
+    hist = vals.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    n = vals.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    th = (
+        cum.join(n, "g")
+        .groupBy("g")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum")
+                        >= F.expr(f"({p} * n + 99) div 100"),
+                        F.col("v"),
+                    )
+                ).alias(f"_p{p}")
+                for p in percentiles
+            ]
+        )
+    )
+    stack_args = ", ".join(
+        f"cast({p} as bigint), _p{p}" for p in percentiles
+    )
+    return th.select(
+        F.col("g").alias(group_col),
+        F.expr(
+            f"stack({len(percentiles)}, {stack_args}) as (pct, value)"
+        ),
     )

@@ -915,3 +915,56 @@ def test_url_templates_uses_canonical_urls(spark):
     )
     out = url_templates(df, "url").collect()
     assert len(out) == 1 and out[0].template == "/p/{d}" and out[0].n_urls == 2
+
+
+# ------------------------------ group_percentiles / inverse_predicates
+
+
+def test_group_percentiles_disc_semantics(spark):
+    from dss_plugin_nlp_analysis_spark.operators.rollup import (
+        group_percentiles,
+    )
+
+    rows = [("a", v) for v in range(1, 11)] + [("b", 5), ("b", None), (None, 9)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        (r.g, r.pct): r.value
+        for r in group_percentiles(df, "g", "v", (50, 100)).collect()
+    }
+    # group a: n=10 -> p50 = value at ceil(5) = 5th smallest = 5
+    assert out[("a", 50)] == 5
+    assert out[("a", 100)] == 10
+    # group b: single non-NULL value; NULL group/value rows excluded
+    assert out[("b", 50)] == 5 and out[("b", 100)] == 5
+    assert not any(g is None for g, _ in out)
+    with pytest.raises(ValueError, match="non-empty"):
+        group_percentiles(df, "g", "v", ())
+    with pytest.raises(ValueError, match="in \\[1, 100\\]"):
+        group_percentiles(df, "g", "v", (0,))
+
+
+def test_inverse_predicates_directional_and_symmetric(spark):
+    from dss_plugin_nlp_analysis_spark.operators.kg import inverse_predicates
+
+    t = _triples(
+        spark,
+        [
+            ("a", "likes", "b"),
+            ("b", "liked_by", "a"),
+            ("c", "likes", "d"),           # no inverse
+            ("x", "married_to", "y"),
+            ("y", "married_to", "x"),      # symmetric
+            ("z", "likes", "z"),           # self-loop: excluded
+        ],
+    )
+    out = {
+        (r.pred, r.inv_pred): (r.support, r.n_facts, r.confidence_ppm)
+        for r in inverse_predicates(t).collect()
+    }
+    # directional: likes has 2 facts, 1 inverted -> 50%; liked_by 1/1
+    assert out[("likes", "liked_by")] == (1, 2, 500_000)
+    assert out[("liked_by", "likes")] == (1, 1, 1_000_000)
+    assert out[("married_to", "married_to")] == (2, 2, 1_000_000)
+    assert not any(p == "likes" and q == "likes" for p, q in out)
+    with pytest.raises(ValueError, match="min_support"):
+        inverse_predicates(t, min_support=0)
