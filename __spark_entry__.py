@@ -3693,6 +3693,30 @@ def _q_inverse_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverse_predicates(fwd.unionByName(rev))
 
 
+def _q_acronyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acronym alias mining over synthesized definition sites: valid
+    initial-matched pairs survive ('knowledge graph (KG)'), non-matching
+    parentheticals ('the big company (IBM)') are dropped — zipped regex
+    passes + native initials check, zero shuffle."""
+    from dss_plugin_nlp_analysis_spark.operators.mentions import (
+        mine_acronyms,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    text = F.concat(
+        F.lit("knowledge graph (KG) rank "),
+        (did % 7).cast("string"),
+        F.when(did % 4 == 0, F.lit(" united nations (UN) met"))
+        .when(did % 4 == 1, F.lit(" the big company (IBM) said"))
+        .when(did % 4 == 2, F.lit(" world health organization (WHO) warns"))
+        .otherwise(F.lit("")),
+    )
+    return mine_acronyms(
+        docs.select("doc_id", text.alias("t")), "doc_id", "t"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -3879,6 +3903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": _q_url_templates,
         "event_percentiles": _q_event_percentiles,
         "inverse_preds": _q_inverse_preds,
+        "acronyms": _q_acronyms,
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
@@ -5980,6 +6005,49 @@ def oracle_sql() -> dict[str, str]:
             AS nofollow,
           raw AS directives
         FROM t
+    """
+    # acronyms: same candidate regex; the initials check replays as a
+    # per-position unnest + bool_and, site-keyed so duplicate definition
+    # sites within one page stay distinct rows (plain string: regex
+    # braces)
+    d["acronyms"] = r"""
+        WITH s AS (
+          SELECT doc_id AS id,
+            'knowledge graph (KG) rank ' || (doc_id % 7)
+            || CASE WHEN doc_id % 4 = 0 THEN ' united nations (UN) met'
+                    WHEN doc_id % 4 = 1 THEN ' the big company (IBM) said'
+                    WHEN doc_id % 4 = 2
+                    THEN ' world health organization (WHO) warns'
+                    ELSE '' END AS t
+          FROM documents
+        ),
+        c AS (SELECT id,
+                regexp_extract_all(t,
+                  '((?:[A-Za-z]+ ){1,5})\(([A-Z]{2,5})\)', 1) AS ph,
+                regexp_extract_all(t,
+                  '((?:[A-Za-z]+ ){1,5})\(([A-Z]{2,5})\)', 2) AS ac
+              FROM s),
+        u AS (SELECT id, generate_subscripts(ph, 1) AS site,
+                     trim(unnest(ph)) AS phrase, unnest(ac) AS acr
+              FROM c),
+        w AS (SELECT id, site, acr, string_split(phrase, ' ') AS words
+              FROM u),
+        t2 AS (SELECT id, site, acr,
+                      list_slice(words, len(words) - length(acr) + 1,
+                                 len(words)) AS tail,
+                      len(words) AS nw
+               FROM w),
+        chk AS (
+          SELECT id, site, acr, tail,
+                 bool_and(upper(substr(tail[i], 1, 1))
+                          = substr(acr, i, 1)) AS ok
+          FROM t2, (SELECT unnest(generate_series(1, 5)) AS i) g
+          WHERE i <= length(acr) AND nw >= length(acr)
+          GROUP BY id, site, acr, tail
+        )
+        SELECT id, acr AS acronym,
+               lower(array_to_string(tail, ' ')) AS expansion
+        FROM chk WHERE ok
     """
     # event_percentiles: percentile_disc via per-group value histogram +
     # cumulative window; threshold index = ceil(p*n/100) in integers

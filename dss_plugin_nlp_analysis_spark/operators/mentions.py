@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["extract_dates", "extract_quotes", "resolve_pronouns", "MONTHS", "DATE_PATTERNS", "PRONOUNS"]
+__all__ = ["extract_dates", "extract_quotes", "resolve_pronouns", "MONTHS", "DATE_PATTERNS", "PRONOUNS", "mine_acronyms"]
 
 MONTHS = [
     "January", "February", "March", "April", "May", "June",
@@ -234,4 +234,60 @@ def resolve_pronouns(
         # of NULL (reproduced in tests/test_round5_ops3.py's probe note);
         # get() handles NULL and out-of-bounds as NULL
         F.get(F.col("_toks"), F.col("r.antecedent_idx") - 1).alias("antecedent"),
+    )
+
+
+# phrase of 1-5 words immediately before a parenthesized 2-5-letter
+# uppercase acronym; two passes share one pattern (module contract)
+_ACRO_PHRASE_RE = r"((?:[A-Za-z]+ ){1,5})\(([A-Z]{2,5})\)"
+
+
+def mine_acronyms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Acronym/expansion alias mining: ``"knowledge graph (KG)"`` →
+    ``(id, acronym='KG', expansion='knowledge graph')`` — the classic
+    in-document alias-pair signal that feeds the KG alias graph
+    (``canonical_map`` / ``alias_canon``) alongside anchor text and
+    hreflang: an acronym defined this way is the highest-precision
+    surface-form alias the page itself asserts.
+
+    A candidate (phrase, ACRO) survives only if the LAST ``len(ACRO)``
+    words of the phrase initial-match the acronym case-insensitively,
+    letter for letter ("United Nations (UN)" yes; "the company (IBM)"
+    no). Emitted expansion = exactly those matched words, lowercased —
+    one row per surviving definition site, duplicates within a page
+    kept (frequency is signal for the alias-graph weighting).
+
+    Scale shape: two zipped single-group regex passes over one pattern
+    + native array ops for the initials check (split/slice/zip/forall —
+    no UDF); pure map + explode, zero shuffle.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    cands = F.arrays_zip(
+        F.regexp_extract_all(text, F.lit(_ACRO_PHRASE_RE), 1).alias("phrase"),
+        F.regexp_extract_all(text, F.lit(_ACRO_PHRASE_RE), 2).alias("acr"),
+    )
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(cands).alias("c")
+    ).select(
+        "id",
+        F.split(F.trim(F.col("c.phrase")), " ").alias("words"),
+        F.col("c.acr").alias("acronym"),
+    )
+    alen = F.length("acronym")
+    wsize = F.size("words")
+    tail = F.slice(
+        F.col("words"), (wsize - alen + 1).cast("int"), alen.cast("int")
+    )
+    chars = F.split(F.col("acronym"), "")
+    ok = (wsize >= alen) & F.forall(
+        F.arrays_zip(tail.alias("w"), chars.alias("ch")),
+        lambda z: F.upper(F.substring(z["w"], 1, 1)) == z["ch"],
+    )
+    return (
+        ex.where(ok)
+        .select(
+            "id",
+            "acronym",
+            F.lower(F.array_join(tail, " ")).alias("expansion"),
+        )
     )

@@ -968,3 +968,44 @@ def test_inverse_predicates_directional_and_symmetric(spark):
     assert not any(p == "likes" and q == "likes" for p, q in out)
     with pytest.raises(ValueError, match="min_support"):
         inverse_predicates(t, min_support=0)
+
+
+# ------------------------------------------------------------ mine_acronyms
+
+
+def test_mine_acronyms_initial_match_and_duplicates(spark):
+    from dss_plugin_nlp_analysis_spark.operators.mentions import mine_acronyms
+
+    df = spark.createDataFrame(
+        [
+            (1, "the knowledge graph (KG) and knowledge graph (KG) again"),
+            (2, "the big company (IBM) said"),        # initials mismatch
+            (3, "United Nations (UN) met"),           # case-insensitive
+            (4, "tiny (A) parenthetical"),            # 1-letter: no match
+            (5, None),
+        ],
+        "doc_id long, t string",
+    )
+    out = mine_acronyms(df, "doc_id", "t").collect()
+    got = sorted((r.id, r.acronym, r.expansion) for r in out)
+    # duplicates within a page kept (frequency is alias-weight signal)
+    assert got == [
+        (1, "KG", "knowledge graph"),
+        (1, "KG", "knowledge graph"),
+        (3, "UN", "united nations"),
+    ]
+
+
+def test_mine_acronyms_takes_exact_tail_words(spark):
+    from dss_plugin_nlp_analysis_spark.operators.mentions import mine_acronyms
+
+    # phrase window is 5 words; expansion = exactly the last len(acr)
+    # initial-matching words, not the whole captured phrase
+    df = spark.createDataFrame(
+        [(1, "works at the World Health Organization (WHO) today")],
+        "doc_id long, t string",
+    )
+    out = mine_acronyms(df, "doc_id", "t").collect()
+    assert [(r.acronym, r.expansion) for r in out] == [
+        ("WHO", "world health organization")
+    ]
