@@ -3717,6 +3717,34 @@ def _q_acronyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash over REAL decoded P6 pixels (the
+    multimodal_real_decode image set): resize 9x8 → integer luma → 64
+    left-vs-right comparison bits packed as signed int64 — the oracle
+    replays resize index math, luma, and bit packing from the same
+    reconstructed pixel string."""
+    from dss_plugin_nlp_analysis_spark.operators.multimodal import (
+        image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    img = F.encode(
+        F.concat(
+            F.lit("P6\n"),
+            (F.col("doc_id") % 13 + 2).cast("string"),
+            F.lit(" "),
+            (F.col("doc_id") % 7 + 2).cast("string"),
+            F.lit("\n255\n"),
+            F.expr(
+                "substring(repeat(md5(coalesce(text, '')), 11), 1, "
+                "cast((doc_id % 13 + 2) * (doc_id % 7 + 2) * 3 as int))"
+            ),
+        ),
+        "utf-8",
+    )
+    return image_dhash(docs.select("doc_id", img.alias("img")), "doc_id", "img")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -3904,6 +3932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_percentiles": _q_event_percentiles,
         "inverse_preds": _q_inverse_preds,
         "acronyms": _q_acronyms,
+        "image_dhash": _q_image_dhash,
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
@@ -6005,6 +6034,51 @@ def oracle_sql() -> dict[str, str]:
             AS nofollow,
           raw AS directives
         FROM t
+    """
+    # image_dhash: replay resize index map (min(((2t+1)*src)//(2*size),
+    # src-1)), integer luma, and two's-complement bit packing over the
+    # reconstructed P6 pixel string
+    d["image_dhash"] = """
+        WITH img AS (
+          SELECT doc_id AS id,
+                 (doc_id % 13 + 2)::BIGINT AS w,
+                 (doc_id % 7 + 2)::BIGINT AS h,
+                 substring(repeat(md5(coalesce(text, '')), 11), 1,
+                   ((doc_id % 13 + 2) * (doc_id % 7 + 2) * 3)::INT) AS px
+          FROM documents
+        ),
+        g AS (SELECT a.x, b.y
+              FROM (SELECT unnest(generate_series(0, 7)) AS x) a,
+                   (SELECT unnest(generate_series(0, 7)) AS y) b),
+        p AS (
+          SELECT id, w, px, x, y,
+                 least(((2 * x + 1) * w) // 18, w - 1) AS sx1,
+                 least(((2 * (x + 1) + 1) * w) // 18, w - 1) AS sx2,
+                 least(((2 * y + 1) * h) // 16, h - 1) AS sy
+          FROM img CROSS JOIN g
+        ),
+        l AS (
+          SELECT id, x, y,
+            (299 * ascii(substr(px, ((sy * w + sx1) * 3 + 1)::INT, 1))
+             + 587 * ascii(substr(px, ((sy * w + sx1) * 3 + 2)::INT, 1))
+             + 114 * ascii(substr(px, ((sy * w + sx1) * 3 + 3)::INT, 1)))
+              // 1000 AS l1,
+            (299 * ascii(substr(px, ((sy * w + sx2) * 3 + 1)::INT, 1))
+             + 587 * ascii(substr(px, ((sy * w + sx2) * 3 + 2)::INT, 1))
+             + 114 * ascii(substr(px, ((sy * w + sx2) * 3 + 3)::INT, 1)))
+              // 1000 AS l2
+          FROM p
+        ),
+        hsh AS (SELECT id,
+                  sum(CASE WHEN l1 > l2 THEN
+                        CASE WHEN y * 8 + x = 63
+                             THEN (-9223372036854775807 - 1)::BIGINT
+                             ELSE (1::BIGINT << (y * 8 + x)) END
+                      ELSE 0 END)::BIGINT AS dhash
+                FROM l GROUP BY id)
+        SELECT i.id, i.w::INT AS width, (i.h)::INT AS height,
+               coalesce(hsh.dhash, 0)::BIGINT AS dhash
+        FROM img i JOIN hsh USING (id)
     """
     # acronyms: same candidate regex; the initials check replays as a
     # per-position unnest + bool_and, site-keyed so duplicate definition

@@ -49,6 +49,7 @@ __all__ = [
     "extract_features", "frame_sample_plan", "decode_channel_sums",
     "decode_audio_meta", "audio_features", "decode_video_meta",
     "sample_video_frames",
+    "image_dhash",
 ]
 
 META_SCHEMA = "id long, width int, height int, fmt string, payload_bytes int"
@@ -427,3 +428,61 @@ def sample_video_frames(
             )
 
     return df.select(id_col, bin_col).mapInPandas(sample, FRAME_SUMS_SCHEMA)
+
+
+DHASH_SCHEMA = "id long, width int, height int, dhash long"
+
+
+def image_dhash(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded pixels — the
+    image near-dup signal completing the multimodal dedup story: decode
+    (any supported container), nearest-neighbor resample to 9x8, integer
+    luma ``(299R + 587G + 114B) div 1000``, then 64 bits of
+    left-vs-right luma comparison (bit ``y*8+x`` set iff
+    ``luma[y][x] > luma[y][x+1]``). Identical images — and re-encodes /
+    mild recompressions of them — collide; group by ``dhash`` for exact
+    perceptual dedup, or band the 64 bits (the simhash_buckets pattern)
+    for Hamming-tolerant candidates.
+
+    Every stage is deterministic integer arithmetic over the decoded
+    array (the resize index map is ``min(floor((dst+0.5)·src/size),
+    src-1)`` = ``min(((2·dst+1)·src) div (2·size), src-1)`` exactly), so
+    a SQL oracle can replay the hash from reconstructed pixel bytes.
+
+    Scale shape: Arrow-batched ``mapInPandas`` over the binary column —
+    embarrassingly parallel, zero shuffle; the downstream groupBy ships
+    (id, 8-byte hash) rows only.
+    """
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from dss_plugin_nlp_analysis_spark.functions.imagecodec import (
+            decode_rgb,
+            resize_nearest,
+        )
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                arr = decode_rgb(b)
+                small = resize_nearest(arr, 9, 8).astype(np.int64)
+                luma = (
+                    299 * small[:, :, 0]
+                    + 587 * small[:, :, 1]
+                    + 114 * small[:, :, 2]
+                ) // 1000
+                # packed as SIGNED int64 two's complement: bit 63's
+                # contribution is -2^63, so the 64-bit hash fits the
+                # long column exactly (and SQL can sum the same terms
+                # without overflowing BIGINT)
+                h = 0
+                for y in range(8):
+                    for x in range(8):
+                        if luma[y, x] > luma[y, x + 1]:
+                            pos = y * 8 + x
+                            h += -(1 << 63) if pos == 63 else 1 << pos
+                rows.append((i, arr.shape[1], arr.shape[0], h))
+            yield pd.DataFrame(rows, columns=["id", "width", "height", "dhash"])
+
+    return df.select(id_col, bin_col).mapInPandas(hashes, DHASH_SCHEMA)

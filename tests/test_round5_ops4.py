@@ -1009,3 +1009,41 @@ def test_mine_acronyms_takes_exact_tail_words(spark):
     assert [(r.acronym, r.expansion) for r in out] == [
         ("WHO", "world health organization")
     ]
+
+
+# ------------------------------------------------------------- image_dhash
+
+
+def test_image_dhash_container_invariance_and_gradient(spark):
+    import numpy as np
+
+    from dss_plugin_nlp_analysis_spark.functions.imagecodec import (
+        encode_bmp,
+        encode_ppm,
+    )
+    from dss_plugin_nlp_analysis_spark.operators.multimodal import image_dhash
+
+    # horizontal gradient: every left pixel darker -> all 64 bits clear
+    grad = np.tile(np.arange(0, 160, 10, dtype=np.uint8), (8, 1))
+    arr = np.stack([grad] * 3, axis=2)
+    solid = np.full((6, 6, 3), 77, dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_ppm(arr))),
+        (2, bytearray(encode_bmp(arr))),   # same pixels, other container
+        (3, bytearray(encode_ppm(solid))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, img binary")
+    out = {r.id: r for r in image_dhash(df, "doc_id", "img").collect()}
+    # container-invariant: PPM and BMP of the same pixels hash equal
+    assert out[1].dhash == out[2].dhash
+    # ascending left-to-right means luma[x] > luma[x+1] never holds
+    assert out[1].dhash == 0
+    assert out[3].dhash == 0 and (out[3].width, out[3].height) == (6, 6)
+    # reversed gradient flips every comparison -> all 64 bits set
+    rev = np.stack([grad[:, ::-1]] * 3, axis=2)
+    df2 = spark.createDataFrame(
+        [(9, bytearray(encode_ppm(np.ascontiguousarray(rev))))],
+        "doc_id long, img binary",
+    )
+    r9 = image_dhash(df2, "doc_id", "img").collect()[0]
+    assert r9.dhash == -1  # all-ones in signed two's complement
