@@ -3745,6 +3745,38 @@ def _q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dhash(docs.select("doc_id", img.alias("img")), "doc_id", "img")
 
 
+def _q_image_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup candidates end to end: planted even/odd duplicate
+    P6 images (pixel seed and dims keyed by doc_id - doc_id%2) through
+    the REAL decoder into dHash, then 4x16-bit band LSH — the full
+    multimodal dedup pipeline in one gate."""
+    from dss_plugin_nlp_analysis_spark.operators.multimodal import (
+        dhash_candidate_pairs,
+        image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    img = F.encode(
+        F.concat(
+            F.lit("P6\n"),
+            ((F.col("doc_id") - F.col("doc_id") % 2) % 13 + 2).cast("string"),
+            F.lit(" "),
+            ((F.col("doc_id") - F.col("doc_id") % 2) % 7 + 2).cast("string"),
+            F.lit("\n255\n"),
+            F.expr(
+                "substring(repeat(md5(cast(doc_id - doc_id % 2 as string)),"
+                " 11), 1, cast(((doc_id - doc_id % 2) % 13 + 2)"
+                " * ((doc_id - doc_id % 2) % 7 + 2) * 3 as int))"
+            ),
+        ),
+        "utf-8",
+    )
+    hashes = image_dhash(
+        docs.select("doc_id", img.alias("img")), "doc_id", "img"
+    )
+    return dhash_candidate_pairs(hashes)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -3933,6 +3965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverse_preds": _q_inverse_preds,
         "acronyms": _q_acronyms,
         "image_dhash": _q_image_dhash,
+        "image_dups": _q_image_dups,
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
@@ -6035,16 +6068,19 @@ def oracle_sql() -> dict[str, str]:
           raw AS directives
         FROM t
     """
-    # image_dhash: replay resize index map (min(((2t+1)*src)//(2*size),
-    # src-1)), integer luma, and two's-complement bit packing over the
-    # reconstructed P6 pixel string
-    d["image_dhash"] = """
-        WITH img AS (
+    # image_dhash / image_dups: replay the resize index map
+    # (min(((2t+1)*src)//(2*size), src-1)), integer luma, and
+    # two's-complement bit packing over reconstructed P6 pixel strings;
+    # one chain builder so the two gates share the hash truth
+
+    def _dhash_chain(base: str, seed: str) -> str:
+        return f"""
+        img AS (
           SELECT doc_id AS id,
-                 (doc_id % 13 + 2)::BIGINT AS w,
-                 (doc_id % 7 + 2)::BIGINT AS h,
-                 substring(repeat(md5(coalesce(text, '')), 11), 1,
-                   ((doc_id % 13 + 2) * (doc_id % 7 + 2) * 3)::INT) AS px
+                 (({base}) % 13 + 2)::BIGINT AS w,
+                 (({base}) % 7 + 2)::BIGINT AS h,
+                 substring(repeat(md5({seed}), 11), 1,
+                   ((({base}) % 13 + 2) * (({base}) % 7 + 2) * 3)::INT) AS px
           FROM documents
         ),
         g AS (SELECT a.x, b.y
@@ -6075,10 +6111,29 @@ def oracle_sql() -> dict[str, str]:
                              THEN (-9223372036854775807 - 1)::BIGINT
                              ELSE (1::BIGINT << (y * 8 + x)) END
                       ELSE 0 END)::BIGINT AS dhash
-                FROM l GROUP BY id)
+                FROM l GROUP BY id)"""
+
+    d["image_dhash"] = f"""
+        WITH {_dhash_chain("doc_id", "coalesce(text, '')")}
         SELECT i.id, i.w::INT AS width, (i.h)::INT AS height,
                coalesce(hsh.dhash, 0)::BIGINT AS dhash
         FROM img i JOIN hsh USING (id)
+    """
+    _pid = "doc_id - doc_id % 2"
+    d["image_dups"] = f"""
+        WITH {_dhash_chain(_pid, f"cast({_pid} as varchar)")},
+        bk AS (
+          SELECT id, b || '|' || (((dhash >> (b * 16)) & 65535))::VARCHAR
+                   AS band_key
+          FROM hsh, (SELECT unnest(generate_series(0, 3)) AS b)
+        ),
+        small AS (SELECT band_key FROM bk GROUP BY band_key
+                  HAVING count(*) <= 1000),
+        bks AS (SELECT bk.id, bk.band_key
+                FROM bk JOIN small USING (band_key))
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM bks x JOIN bks y
+          ON x.band_key = y.band_key AND x.id < y.id
     """
     # acronyms: same candidate regex; the initials check replays as a
     # per-position unnest + bool_and, site-keyed so duplicate definition

@@ -50,6 +50,7 @@ __all__ = [
     "decode_audio_meta", "audio_features", "decode_video_meta",
     "sample_video_frames",
     "image_dhash",
+    "dhash_candidate_pairs",
 ]
 
 META_SCHEMA = "id long, width int, height int, fmt string, payload_bytes int"
@@ -486,3 +487,63 @@ def image_dhash(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["id", "width", "height", "dhash"])
 
     return df.select(id_col, bin_col).mapInPandas(hashes, DHASH_SCHEMA)
+
+
+def dhash_candidate_pairs(
+    hashes: DataFrame,
+    id_col: str = "id",
+    dhash_col: str = "dhash",
+    *,
+    bands: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Hamming-tolerant image near-dup candidates from dHash values —
+    the LSH step after ``image_dhash``, same banding logic as
+    ``simhash_buckets``: the 64-bit hash splits into ``bands`` equal bit
+    slices; images agreeing on ANY whole slice become a candidate pair
+    (with 4 bands, any pair within Hamming distance 3 is guaranteed
+    caught; verify candidates downstream if exactness matters).
+
+    Band keys are ``(shift >> 16·b) & mask`` — the mask makes arithmetic
+    and logical shifts agree even though the packed hash is signed, so
+    the keys are engine-portable. ``max_bucket_size`` drops degenerate
+    buckets (solid-color web graphics all hash to 0) before the
+    quadratic pair step — the minhash guard. Returns ``(id_a, id_b)``
+    with ``id_a < id_b``, distinct.
+    """
+    if bands < 1 or 64 % bands != 0:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = hashes.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(b),
+                        F.expr(
+                            f"shiftright({dhash_col}, {b * width}) & {mask}"
+                        ).cast("string"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    counts = banded.groupBy("band_key").agg(F.count("*").alias("_n"))
+    small = banded.join(
+        counts.where(F.col("_n") <= max_bucket_size).select("band_key"),
+        "band_key",
+    )
+    a, b = small.alias("a"), small.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )

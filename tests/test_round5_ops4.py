@@ -1047,3 +1047,43 @@ def test_image_dhash_container_invariance_and_gradient(spark):
     )
     r9 = image_dhash(df2, "doc_id", "img").collect()[0]
     assert r9.dhash == -1  # all-ones in signed two's complement
+
+
+# ---------------------------------------------------- dhash_candidate_pairs
+
+
+def test_dhash_pairs_hamming_band_guarantee(spark):
+    from dss_plugin_nlp_analysis_spark.operators.multimodal import (
+        dhash_candidate_pairs,
+    )
+
+    # a=base; b differs in 2 bits of one band (caught: 3 bands agree);
+    # c differs in one bit of EVERY band (missed: no whole band agrees)
+    a = 0x1234_5678_9ABC_DEF0
+    b = a ^ 0x3  # low band only
+    c = a ^ (1 | (1 << 16) | (1 << 32) | (1 << 48))
+    df = spark.createDataFrame(
+        [(1, a - (1 << 64) if a >= 1 << 63 else a),
+         (2, b - (1 << 64) if b >= 1 << 63 else b),
+         (3, c - (1 << 64) if c >= 1 << 63 else c)],
+        "id long, dhash long",
+    )
+    out = {(r.id_a, r.id_b) for r in dhash_candidate_pairs(df).collect()}
+    assert (1, 2) in out
+    assert (1, 3) not in out and (2, 3) not in out
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bands"):
+        dhash_candidate_pairs(df, bands=5)
+
+
+def test_dhash_pairs_negative_hash_band_keys(spark):
+    from dss_plugin_nlp_analysis_spark.operators.multimodal import (
+        dhash_candidate_pairs,
+    )
+
+    # identical NEGATIVE (bit-63-set) hashes must pair — the masked
+    # band keys are sign-safe
+    df = spark.createDataFrame([(1, -7), (2, -7)], "id long, dhash long")
+    out = dhash_candidate_pairs(df).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
