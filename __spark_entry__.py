@@ -3777,6 +3777,20 @@ def _q_image_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_candidate_pairs(hashes)
 
 
+def _q_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio energy-contour fingerprints over the REAL-decoded WAV
+    fixture (16 chunks, adjacent-energy comparison bits) — the audio
+    member of the perceptual-dedup family; the oracle replays chunk
+    partition, int64 energies, and bit packing over generate_series."""
+    from dss_plugin_nlp_analysis_spark.operators.multimodal import (
+        audio_fingerprint,
+    )
+
+    return audio_fingerprint(
+        _audio_fixture_df(spark, sf_dir), "doc_id", "audio"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -3966,6 +3980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acronyms": _q_acronyms,
         "image_dhash": _q_image_dhash,
         "image_dups": _q_image_dups,
+        "audio_fp": _q_audio_fp,
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
@@ -5252,6 +5267,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT f.id, f.n AS n_samples, f.sum_abs, f.max_abs,
                coalesce(zx.zc, 0)::BIGINT AS zero_crossings
         FROM feats f LEFT JOIN zx ON f.id = zx.id
+    """
+    # audio_fp: chunk partition (i*16)//n, int64 energies, adjacent
+    # comparison bits — same sample synthesis as audio_decode
+    d["audio_fp"] = """
+        WITH base AS (
+          SELECT doc_id AS id, (doc_id % 50 + 10)::BIGINT AS n FROM documents
+        ),
+        samples AS (
+          SELECT id, n, i.v AS i,
+                 ((id * 31 + i.v * 17) % 4096) - 2048 AS s
+          FROM base, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS v) i
+        ),
+        chunks AS (
+          SELECT id, (i * 16) // n AS c, sum(s * s)::BIGINT AS e
+          FROM samples GROUP BY 1, 2
+        ),
+        allc AS (
+          SELECT b.id, c.v AS c FROM base b,
+                 (SELECT unnest(generate_series(0, 15)) AS v) c
+        ),
+        en AS (
+          SELECT a.id, a.c, coalesce(ch.e, 0)::BIGINT AS e
+          FROM allc a LEFT JOIN chunks ch ON ch.id = a.id AND ch.c = a.c
+        ),
+        fp AS (
+          SELECT a.id,
+                 sum(CASE WHEN b.e > a.e THEN (1::BIGINT << a.c)
+                     ELSE 0 END)::BIGINT AS fingerprint
+          FROM en a JOIN en b ON b.id = a.id AND b.c = a.c + 1
+          GROUP BY a.id
+        )
+        SELECT b.id, b.n AS n_samples,
+               coalesce(fp.fingerprint, 0)::BIGINT AS fingerprint
+        FROM base b LEFT JOIN fp ON fp.id = b.id
     """
     # AVI/MJPEG frame gate: every-2nd-frame sampling over nf=id%7+2
     # frames; per-frame solid value (id*11 + f*29) % 256 decodes by the

@@ -1087,3 +1087,36 @@ def test_dhash_pairs_negative_hash_band_keys(spark):
     df = spark.createDataFrame([(1, -7), (2, -7)], "id long, dhash long")
     out = dhash_candidate_pairs(df).collect()
     assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+
+
+# -------------------------------------------------------- audio_fingerprint
+
+
+def test_audio_fingerprint_contour_and_scale_direction(spark):
+    import numpy as np
+
+    from dss_plugin_nlp_analysis_spark.functions.audiocodec import encode_wav
+    from dss_plugin_nlp_analysis_spark.operators.multimodal import (
+        audio_fingerprint,
+    )
+
+    # monotone-rising energy: every adjacent comparison true -> 15 bits
+    rising = np.repeat(np.arange(16, dtype=np.int32) * 100, 4)
+    # doubled volume: same contour, same fingerprint
+    loud = rising * 2
+    falling = rising[::-1].copy()
+    rows = [
+        (1, bytearray(encode_wav(rising, 16000, 16))),
+        (2, bytearray(encode_wav(loud, 16000, 16))),
+        (3, bytearray(encode_wav(falling, 16000, 16))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, audio binary")
+    out = {r.id: r for r in audio_fingerprint(df, "doc_id", "audio").collect()}
+    assert out[1].fingerprint == (1 << 15) - 1
+    assert out[2].fingerprint == out[1].fingerprint  # volume-invariant contour
+    assert out[3].fingerprint == 0
+    assert out[1].n_samples == 64
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="windows"):
+        audio_fingerprint(df, "doc_id", "audio", windows=1)
