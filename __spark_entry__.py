@@ -3045,6 +3045,15 @@ def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_video_frames,
     )
 
+    return sample_video_frames(
+        _video_fixture_df(spark, sf_dir), "doc_id", "video", every=2
+    )
+
+
+def _video_fixture_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document AVI/MJPEG stream: nf = doc_id%7+2 solid baseline-JPEG
+    frames of value (doc_id*11 + f*29) mod 256 at (doc_id%9+4) x
+    (doc_id%5+4) — shared by the video_frames and video_scenes gates."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
@@ -3073,8 +3082,22 @@ def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 avis.append(encode_avi_mjpeg(frames, w, h))
             yield pd.DataFrame({"doc_id": ids, "video": avis})
 
-    vids_df = docs.mapInPandas(gen, "doc_id long, video binary")
-    return sample_video_frames(vids_df, "doc_id", "video", every=2)
+    return docs.mapInPandas(gen, "doc_id long, video binary")
+
+
+def _q_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the REAL-decoded sampled frames: lag of
+    integer frame intensity per video, delta as ppm of full scale —
+    container walk, JPEG decode, AND the cut logic all gate the hash."""
+    from dss_plugin_nlp_analysis_spark.operators.multimodal import (
+        sample_video_frames,
+        video_scene_changes,
+    )
+
+    frames = sample_video_frames(
+        _video_fixture_df(spark, sf_dir), "doc_id", "video", every=2
+    )
+    return video_scene_changes(frames, min_delta_ppm=50_000)
 
 
 def _q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3981,6 +4004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": _q_image_dhash,
         "image_dups": _q_image_dups,
         "audio_fp": _q_audio_fp,
+        "video_scenes": _q_video_scenes,
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
@@ -5331,6 +5355,27 @@ def oracle_sql() -> dict[str, str]:
                (w * h * d)::BIGINT AS sum_g,
                (w * h * d)::BIGINT AS sum_b
         FROM dec
+    """
+    # video_scenes: the video_frames closed form + per-video lag; with
+    # solid frames I = w*h*d exactly ((299+587+114)//1000 folds away)
+    d["video_scenes"] = f"""
+        WITH vf AS ({d['video_frames']}),
+        i AS (SELECT id, frame_idx, width, height,
+                     (299 * sum_r + 587 * sum_g + 114 * sum_b) // 1000 AS iv
+              FROM vf),
+        lagd AS (
+          SELECT id, frame_idx, width, height, iv,
+                 lag(iv) OVER (PARTITION BY id ORDER BY frame_idx) AS piv,
+                 lag(frame_idx) OVER (PARTITION BY id ORDER BY frame_idx)
+                   AS prev_idx
+          FROM i
+        )
+        SELECT id, frame_idx::INT AS frame_idx, prev_idx::INT AS prev_idx,
+               (abs(iv - piv) * 1000000 // (255 * width * height))::BIGINT
+                 AS delta_ppm,
+               (abs(iv - piv) * 1000000 // (255 * width * height)
+                 >= 50000)::INT AS is_change
+        FROM lagd WHERE piv IS NOT NULL
     """
     # MP4 box gate: the fixture's deterministic mvhd/tkhd fields
     d["video_meta"] = """

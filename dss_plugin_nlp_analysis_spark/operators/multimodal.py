@@ -52,6 +52,7 @@ __all__ = [
     "image_dhash",
     "dhash_candidate_pairs",
     "audio_fingerprint",
+    "video_scene_changes",
 ]
 
 META_SCHEMA = "id long, width int, height int, fmt string, payload_bytes int"
@@ -601,3 +602,61 @@ def audio_fingerprint(
             yield pd.DataFrame(rows, columns=["id", "n_samples", "fingerprint"])
 
     return df.select(id_col, bin_col).mapInPandas(fp, AUDIO_FP_SCHEMA)
+
+
+def video_scene_changes(
+    frames: DataFrame, *, min_delta_ppm: int = 100_000
+) -> DataFrame:
+    """Scene-cut detection over sampled-frame statistics — the shot
+    segmentation a video training pipeline runs after
+    ``sample_video_frames``: consecutive sampled frames whose mean
+    intensity jumps by more than ``min_delta_ppm`` of full scale mark a
+    cut (solid-color/graphics intros, slide changes, hard cuts; a
+    content-aware histogram comparator drops in on the same lag shape).
+
+    Per frame (with a predecessor): intensity ``I = (299·sum_r +
+    587·sum_g + 114·sum_b) div 1000`` (the luma weights over per-frame
+    channel sums), ``delta_ppm = |I − I_prev| · 10^6 div (255·w·h)``
+    (fraction of the frame's full-scale intensity range), ``is_change =
+    delta_ppm >= min_delta_ppm``. First sampled frame of each video
+    emits no row (no predecessor).
+
+    Scale shape: one window partitioned BY VIDEO over the sampled-frame
+    rows — per-key width is frames-kept-per-video (the ``every``-th
+    sampling already bounded it), never the corpus.
+    """
+    if not 0 <= min_delta_ppm <= 1_000_000:
+        raise ValueError(
+            f"min_delta_ppm must be in [0, 10^6], got {min_delta_ppm}"
+        )
+    from pyspark.sql import Window
+
+    intensity = F.floor(
+        (
+            299 * F.col("sum_r")
+            + 587 * F.col("sum_g")
+            + 114 * F.col("sum_b")
+        )
+        / 1000
+    )
+    w = Window.partitionBy("id").orderBy("frame_idx")
+    cur = frames.select(
+        "id", "frame_idx", "width", "height", intensity.alias("_i")
+    )
+    lagged = cur.select(
+        "*",
+        F.lag("_i").over(w).alias("_pi"),
+        F.lag("frame_idx").over(w).alias("prev_idx"),
+    ).where(F.col("_pi").isNotNull())
+    delta = F.floor(
+        F.abs(F.col("_i") - F.col("_pi"))
+        * 1_000_000
+        / (255 * F.col("width") * F.col("height"))
+    ).cast("long")
+    return lagged.select(
+        "id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("prev_idx").cast("int").alias("prev_idx"),
+        delta.alias("delta_ppm"),
+        (delta >= min_delta_ppm).cast("int").alias("is_change"),
+    )

@@ -1120,3 +1120,39 @@ def test_audio_fingerprint_contour_and_scale_direction(spark):
 
     with _pytest.raises(ValueError, match="windows"):
         audio_fingerprint(df, "doc_id", "audio", windows=1)
+
+
+# ------------------------------------------------------ video_scene_changes
+
+
+def test_video_scene_changes_lag_and_threshold(spark):
+    from dss_plugin_nlp_analysis_spark.operators.multimodal import (
+        video_scene_changes,
+    )
+
+    # 4x4 frames: sums are w*h*value (solid); cut between frame 2 and 4
+    rows = [
+        (1, 0, 4, 4, 16 * 10, 16 * 10, 16 * 10),
+        (1, 2, 4, 4, 16 * 12, 16 * 12, 16 * 12),   # small drift
+        (1, 4, 4, 4, 16 * 200, 16 * 200, 16 * 200),  # hard cut
+        (2, 0, 4, 4, 16 * 5, 16 * 5, 16 * 5),       # single frame: no row
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, frame_idx int, width int, height int,"
+        " sum_r long, sum_g long, sum_b long",
+    )
+    out = {
+        (r.id, r.frame_idx): r
+        for r in video_scene_changes(df, min_delta_ppm=100_000).collect()
+    }
+    assert set(out) == {(1, 2), (1, 4)}
+    drift, cut = out[(1, 2)], out[(1, 4)]
+    assert drift.prev_idx == 0 and drift.is_change == 0
+    # delta = |200-12|*16 luma units over 255*16 full scale
+    assert cut.delta_ppm == (188 * 16 * 1_000_000) // (255 * 16)
+    assert cut.is_change == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_delta_ppm"):
+        video_scene_changes(df, min_delta_ppm=-1)
