@@ -3814,6 +3814,36 @@ def _q_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO-style preference pairs per topic bucket: cluster = doc_id%40,
+    score = text length — best-vs-worst extreme pair via min(struct),
+    one combinable groupBy, min_gap 5."""
+    from dss_plugin_nlp_analysis_spark.operators.trainprep import (
+        preference_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 40).alias("cluster"),
+        F.col("doc_id").alias("id"),
+        F.length(F.coalesce("text", F.lit(""))).alias("score"),
+    )
+    return preference_pairs(docs, "cluster", "id", "score", min_gap=5)
+
+
+def _q_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist pass: broadcast token dim joined on the
+    exploded lowercased tokens (never a giant alternation regex);
+    any-hit drop (max_bad_ppm=0)."""
+    from dss_plugin_nlp_analysis_spark.operators.webclean import (
+        badword_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return badword_filter(
+        docs, "doc_id", "text", ["slow", "error", "crash"], max_bad_ppm=0
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -4005,6 +4035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dups": _q_image_dups,
         "audio_fp": _q_audio_fp,
         "video_scenes": _q_video_scenes,
+        "preference_pairs": _q_preference_pairs,
+        "badwords": _q_badwords,
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
@@ -5355,6 +5387,56 @@ def oracle_sql() -> dict[str, str]:
                (w * h * d)::BIGINT AS sum_g,
                (w * h * d)::BIGINT AS sum_b
         FROM dec
+    """
+    # preference_pairs: best/worst extremes per cluster via min/max with
+    # id tie-breaks (argmin windows replayed as row_number = 1)
+    d["preference_pairs"] = """
+        WITH v AS (
+          SELECT doc_id % 40 AS cluster, doc_id AS id,
+                 length(coalesce(text, ''))::BIGINT AS score
+          FROM documents
+        ),
+        best AS (SELECT cluster, id AS chosen_id, score AS chosen_score
+                 FROM (SELECT *, row_number() OVER (
+                         PARTITION BY cluster ORDER BY score DESC, id) AS rn
+                       FROM v) WHERE rn = 1),
+        worst AS (SELECT cluster, id AS rejected_id, score AS rejected_score
+                  FROM (SELECT *, row_number() OVER (
+                          PARTITION BY cluster ORDER BY score, id) AS rn
+                        FROM v) WHERE rn = 1),
+        n AS (SELECT cluster, count(*) AS n FROM v GROUP BY cluster)
+        SELECT b.cluster, chosen_id, rejected_id, chosen_score,
+               rejected_score,
+               (chosen_score - rejected_score)::BIGINT AS gap
+        FROM best b JOIN worst w ON w.cluster = b.cluster
+             JOIN n ON n.cluster = b.cluster
+        WHERE n.n >= 2 AND chosen_score - rejected_score >= 5
+    """
+    # badwords: broadcast token-dim join over exploded lowercased tokens
+    d["badwords"] = r"""
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 unnest(string_split(trim(regexp_replace(
+                   lower(coalesce(text, '')), '\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents
+        ),
+        tk AS (SELECT id, tok FROM toks WHERE tok != ''),
+        per_doc AS (SELECT id, count(*)::BIGINT AS n_tokens
+                    FROM tk GROUP BY id),
+        bad AS (SELECT id, count(*)::BIGINT AS n_bad FROM tk
+                WHERE tok IN ('slow', 'error', 'crash') GROUP BY id),
+        j AS (
+          SELECT d.doc_id AS id,
+                 coalesce(p.n_tokens, 0) AS n_tokens,
+                 coalesce(b.n_bad, 0) AS n_bad
+          FROM documents d
+          LEFT JOIN per_doc p ON p.id = d.doc_id
+          LEFT JOIN bad b ON b.id = d.doc_id
+        )
+        SELECT id, n_tokens, n_bad,
+               ((1000000 * n_bad) // greatest(n_tokens, 1))::BIGINT AS bad_ppm,
+               ((1000000 * n_bad) // greatest(n_tokens, 1) <= 0)::INT AS keep
+        FROM j
     """
     # video_scenes: the video_frames closed form + per-video lag; with
     # solid frames I = w*h*d exactly ((299+587+114)//1000 folds away)

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from .dedup import exploded_shingles, normalized_text
 
-__all__ = ["skipgram_pairs", "pack_sequences", "dsir_weights", "ict_pairs", "fim_transform", "span_corruption"]
+__all__ = ["skipgram_pairs", "pack_sequences", "dsir_weights", "ict_pairs", "fim_transform", "span_corruption", "preference_pairs"]
 
 
 def skipgram_pairs(
@@ -478,4 +478,68 @@ def span_corruption(
         F.col("_nb").alias("n_spans"),
         inp.alias("input"),
         F.array_join(target_parts, " ").alias("target"),
+    )
+
+
+def preference_pairs(
+    scored: DataFrame,
+    cluster_col: str,
+    id_col: str,
+    score_col: str,
+    *,
+    min_gap: int = 1,
+) -> DataFrame:
+    """DPO/RLHF-style preference-pair synthesis from quality scores:
+    within each cluster of comparable documents (a near-dup cluster, a
+    prompt group, a topic bucket), pair the best-scored member as
+    ``chosen`` against the worst as ``rejected`` — the weak-supervision
+    preference data a reward/DPO stage trains on when no human labels
+    exist (quality-score gaps as implicit preferences).
+
+    chosen = (max score, tie → min id); rejected = (min score, tie →
+    min id) — both pure min(struct) aggregates, so the pair is a
+    deterministic function of the input. Single-member clusters and
+    pairs with ``gap < min_gap`` emit nothing (no signal); NULL scores
+    and NULL cluster keys are excluded. chosen == rejected cannot
+    happen for emitted rows (gap >= min_gap >= 1 forces distinct
+    scores).
+
+    Returns ``(cluster, chosen_id, rejected_id, chosen_score,
+    rejected_score, gap)``.
+
+    Scale shape: ONE map-side-combinable groupBy on the cluster key —
+    the best/worst extremes need no window and no per-cluster sort; a
+    caller wanting all k·(k-1) within-cluster pairs instead accepts the
+    quadratic blowup explicitly (this operator deliberately emits the
+    extreme pair only).
+    """
+    if min_gap < 1:
+        raise ValueError(f"min_gap must be >= 1, got {min_gap}")
+    rows = scored.select(
+        F.col(cluster_col).alias("cluster"),
+        F.col(id_col).alias("id"),
+        F.col(score_col).cast("long").alias("score"),
+    ).where(F.col("cluster").isNotNull() & F.col("score").isNotNull())
+    agg = rows.groupBy("cluster").agg(
+        F.min(
+            F.struct((-F.col("score")).alias("ns"), F.col("id").alias("id"))
+        ).alias("_best"),
+        F.min(
+            F.struct(F.col("score").alias("s"), F.col("id").alias("id"))
+        ).alias("_worst"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        agg.where(F.col("_n") >= 2)
+        .select(
+            "cluster",
+            F.col("_best.id").alias("chosen_id"),
+            F.col("_worst.id").alias("rejected_id"),
+            (-F.col("_best.ns")).cast("long").alias("chosen_score"),
+            F.col("_worst.s").cast("long").alias("rejected_score"),
+            (-F.col("_best.ns") - F.col("_worst.s"))
+            .cast("long")
+            .alias("gap"),
+        )
+        .where(F.col("gap") >= min_gap)
     )

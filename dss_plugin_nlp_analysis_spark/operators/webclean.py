@@ -39,6 +39,7 @@ __all__ = [
     "mojibake_profile",
     "MOJIBAKE_TABLE",
     "TERMINAL_PUNCT",
+    "badword_filter",
 ]
 
 TERMINAL_PUNCT = (".", "!", "?", '"')
@@ -381,4 +382,84 @@ def mojibake_profile(
         total.cast("int").alias("n_mojibake"),
         fixed.alias("fixed"),
         (fixed != t).alias("changed"),
+    )
+
+
+def badword_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    words: list[str],
+    *,
+    max_bad_ppm: int = 0,
+) -> DataFrame:
+    """C4-style blocklist filtering: flag documents containing blocklist
+    TOKENS (whitespace-token exact match on the lowercased text — the
+    scalable, false-positive-safe form: 'assess' never matches 'ass';
+    multi-word entries are matched as token phrases by the caller via
+    ``tagger``/``automaton`` when needed, this operator is the
+    single-token hot path the original C4 badwords pass is).
+
+    Returns every input row as ``(id, n_tokens, n_bad, bad_ppm, keep)``
+    with ``bad_ppm = 10^6 · n_bad div max(n_tokens, 1)`` and ``keep = 1``
+    iff ``bad_ppm <= max_bad_ppm`` (default 0: C4's any-hit drop). NULL
+    text counts zero tokens and keeps.
+
+    Scale shape: the blocklist ships as a broadcast dimension joined on
+    the exploded token — NOT a giant alternation regex (a 10^4-entry
+    regex de-optimizes the whole scan; a hash join on tokens doesn't) —
+    then one map-side-combinable count per doc and a join back to the
+    (id) spine. The blocklist is dimension-sized by definition.
+    """
+    if max_bad_ppm < 0 or max_bad_ppm > 1_000_000:
+        raise ValueError(
+            f"max_bad_ppm must be in [0, 10^6], got {max_bad_ppm}"
+        )
+    if not words:
+        raise ValueError("words must be non-empty")
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(w.lower(),) for w in sorted(set(words))], "tok string"
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(
+                F.trim(
+                    F.regexp_replace(
+                        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                        r"\s+",
+                        " ",
+                    )
+                ),
+                " ",
+            )
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+    per_doc = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    bad = (
+        toks.join(F.broadcast(dim), "tok")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+    )
+    spine = df.select(F.col(id_col).alias("id"))
+    out = (
+        spine.join(per_doc, "id", "left")
+        .join(bad, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_bad", F.lit(0)).cast("long").alias("n_bad"),
+        )
+    )
+    ppm = F.floor(
+        (F.lit(1_000_000) * F.col("n_bad"))
+        / F.greatest(F.col("n_tokens"), F.lit(1))
+    ).cast("long")
+    return out.select(
+        "id",
+        "n_tokens",
+        "n_bad",
+        ppm.alias("bad_ppm"),
+        (ppm <= max_bad_ppm).cast("int").alias("keep"),
     )

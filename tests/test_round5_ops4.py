@@ -1156,3 +1156,70 @@ def test_video_scene_changes_lag_and_threshold(spark):
 
     with _pytest.raises(ValueError, match="min_delta_ppm"):
         video_scene_changes(df, min_delta_ppm=-1)
+
+
+# --------------------------------------- preference_pairs / badword_filter
+
+
+def test_preference_pairs_extremes_and_gap(spark):
+    from dss_plugin_nlp_analysis_spark.operators.trainprep import (
+        preference_pairs,
+    )
+
+    rows = [
+        ("c1", 1, 10), ("c1", 2, 50), ("c1", 3, 50),  # tie at top: min id
+        ("c2", 4, 7), ("c2", 5, 9),                   # gap 2 < min_gap 5
+        ("c3", 6, 100),                               # single member
+        (None, 7, 1), ("c4", 8, None),                # NULL key/score out
+        ("c4", 9, 3), ("c4", 10, 30),
+    ]
+    df = spark.createDataFrame(rows, "cluster string, id long, score long")
+    out = {
+        r.cluster: r
+        for r in preference_pairs(
+            df, "cluster", "id", "score", min_gap=5
+        ).collect()
+    }
+    assert set(out) == {"c1", "c4"}
+    assert (out["c1"].chosen_id, out["c1"].rejected_id) == (2, 1)
+    assert (out["c1"].chosen_score, out["c1"].rejected_score, out["c1"].gap) == (
+        50,
+        10,
+        40,
+    )
+    assert (out["c4"].chosen_id, out["c4"].rejected_id) == (10, 9)
+    with pytest.raises(ValueError, match="min_gap"):
+        preference_pairs(df, "cluster", "id", "score", min_gap=0)
+
+
+def test_badword_filter_exact_tokens_and_threshold(spark):
+    from dss_plugin_nlp_analysis_spark.operators.webclean import (
+        badword_filter,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the scan was SLOW and slow again"),
+            (2, "slowly is a different token"),   # substring never matches
+            (3, None),
+            (4, "ok text here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: r for r in badword_filter(df, "doc_id", "text", ["slow"]).collect()
+    }
+    assert (out[1].n_bad, out[1].keep) == (2, 0)  # case-folded, both hits
+    assert (out[2].n_bad, out[2].keep) == (0, 1)
+    assert (out[3].n_tokens, out[3].keep) == (0, 1)  # NULL text keeps
+    # ppm threshold: 2 bad of 7 tokens = 285714 ppm
+    assert out[1].bad_ppm == 285_714
+    lax = {
+        r.id: r.keep
+        for r in badword_filter(
+            df, "doc_id", "text", ["slow"], max_bad_ppm=300_000
+        ).collect()
+    }
+    assert lax[1] == 1
+    with pytest.raises(ValueError, match="non-empty"):
+        badword_filter(df, "doc_id", "text", [])
