@@ -3844,6 +3844,28 @@ def _q_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search for 'table scan' over the documents
+    table — per-token postings self-joined on pos+1 adjacency, never a
+    corpus regex; count per matching doc."""
+    from dss_plugin_nlp_analysis_spark.operators.invindex import (
+        phrase_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, "doc_id", "text", "table scan")
+
+
+def _q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step user journeys ((ts, event_id)-ordered consecutive
+    event types) — one per-user window pass with two leads, combinable
+    count, TakeOrdered top-20."""
+    from dss_plugin_nlp_analysis_spark.operators.rollup import event_paths
+
+    ev = load_table(spark, sf_dir, "events")
+    return event_paths(ev, steps=3, top_k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -4037,6 +4059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_scenes": _q_video_scenes,
         "preference_pairs": _q_preference_pairs,
         "badwords": _q_badwords,
+        "phrase_search": _q_phrase_search,
+        "event_paths": _q_event_paths,
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
@@ -5387,6 +5411,39 @@ def oracle_sql() -> dict[str, str]:
                (w * h * d)::BIGINT AS sum_g,
                (w * h * d)::BIGINT AS sum_b
         FROM dec
+    """
+    # phrase_search: positional postings + pos+1 adjacency join (bases
+    # differ — Spark 0-, DuckDB 1-indexed — but only differences matter)
+    d["phrase_search"] = f"""
+        WITH tk AS (
+          SELECT doc_id AS id,
+                 unnest(string_split({_NORM}, ' ')) AS tok,
+                 generate_subscripts(string_split({_NORM}, ' '), 1) AS pos
+          FROM documents
+        ),
+        a AS (SELECT id, pos FROM tk WHERE tok = 'table'),
+        b AS (SELECT id, pos FROM tk WHERE tok = 'scan')
+        SELECT a.id, count(*)::BIGINT AS n_matches
+        FROM a JOIN b ON b.id = a.id AND b.pos = a.pos + 1
+        GROUP BY a.id
+    """
+    # event_paths: two leads per user in (ts, event_id) order, top-20
+    # with the same lexicographic tie-break
+    d["event_paths"] = """
+        WITH e AS (SELECT user_id AS u, event_type AS t, ts, event_id
+                   FROM events
+                   WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        s AS (SELECT u, t AS step_1,
+                     lead(t, 1) OVER (PARTITION BY u ORDER BY ts, event_id)
+                       AS step_2,
+                     lead(t, 2) OVER (PARTITION BY u ORDER BY ts, event_id)
+                       AS step_3
+              FROM e)
+        SELECT step_1, step_2, step_3, count(*)::BIGINT AS n_paths
+        FROM s WHERE step_3 IS NOT NULL
+        GROUP BY 1, 2, 3
+        ORDER BY n_paths DESC, step_1, step_2, step_3
+        LIMIT 20
     """
     # preference_pairs: best/worst extremes per cluster via min/max with
     # id tie-breaks (argmin windows replayed as row_number = 1)

@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 
 from dss_plugin_nlp_analysis_spark.operators.dedup import exploded_shingles
 
-__all__ = ["inverted_index", "bm25_topk"]
+__all__ = ["inverted_index", "bm25_topk"    "phrase_search",
+]
 
 
 def inverted_index(
@@ -155,4 +156,59 @@ def bm25_topk(
         .agg(F.sum("c").alias("score_micro"))
         .orderBy(F.col("score_micro").desc(), F.col("id"))
         .limit(k)
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: str,
+) -> DataFrame:
+    """Positional phrase search: documents containing the EXACT token
+    sequence ``phrase`` (whitespace tokens of the normalized text, same
+    tokenization as ``inverted_index``) with the match count — the
+    adjacency query a bag-of-words index cannot answer ("table scan"
+    must not match "scan the table"), the standard positional-postings
+    upgrade of the IR stack here (inverted_index → bm25 → phrase).
+
+    Returns ``(id, n_matches)`` for matching documents only. Matching
+    is via per-token positional postings self-joined on ``pos_{k+1} =
+    pos_k + 1`` — k-1 equi-joins for a k-token phrase, each keyed on
+    (id, position), never a regex over the corpus (the join form prunes
+    to the phrase's rarest token first under AQE and reuses any
+    materialized postings table; the regex form rescans every byte).
+
+    Scale shape: postings are (id, pos) rows filtered to the phrase's
+    tokens BEFORE the joins (predicate pushdown into the scan); all
+    joins share the id key. Single-token phrases reduce to a postings
+    count.
+    """
+    toks = [t for t in phrase.lower().split() if t]
+    if not toks:
+        raise ValueError("phrase must contain at least one token")
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+        )
+    )
+    posting = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(norm, " ")).alias("pos", "tok"),
+        )
+        .where(F.col("tok").isin(toks))
+    )
+    cur = posting.where(F.col("tok") == toks[0]).select(
+        "id", F.col("pos").alias("p0")
+    )
+    for k, t in enumerate(toks[1:], start=1):
+        nxt = posting.where(F.col("tok") == t).select(
+            "id", F.col("pos").alias(f"p{k}")
+        )
+        cur = cur.join(nxt, "id").where(
+            F.col(f"p{k}") == F.col(f"p{k-1}") + 1
+        )
+    return cur.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches")
     )

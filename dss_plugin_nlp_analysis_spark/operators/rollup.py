@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rollup_time", "kmv_distinct", "burst_buckets", "transition_counts", "funnel_counts", "cohort_retention", "cube_aggregate", "group_percentiles"]
+__all__ = ["rollup_time", "kmv_distinct", "burst_buckets", "transition_counts", "funnel_counts", "cohort_retention", "cube_aggregate", "group_percentiles", "event_paths"]
 
 
 def rollup_time(
@@ -450,3 +450,60 @@ def group_percentiles(
             f"stack({len(percentiles)}, {stack_args}) as (pct, value)"
         ),
     )
+
+
+def event_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    *,
+    steps: int = 3,
+    top_k: int | None = None,
+) -> DataFrame:
+    """k-step journey mining: counts of CONSECUTIVE event-type sequences
+    per user ((a, b, c) for steps=3) — the higher-order extension of
+    ``transition_counts`` that surfaces whole flows (signup → purchase →
+    error) instead of single hops; the per-sequence counts feed funnel
+    design and next-k-action models.
+
+    Ordering within a user is (ts, seq) — the same deterministic
+    tie-break as ``transition_counts``. Returns ``(step_1..step_k,
+    n_paths)``, optionally truncated to the ``top_k`` most frequent
+    (ties broken by the path's lexicographic order, deterministic).
+
+    Scale shape: one window partitioned BY USER (bounded by events-per-
+    user) computing k-1 leads in a single pass, then one map-side-
+    combinable count on the sequence key. ``top_k`` uses a single
+    ORDER BY + LIMIT — Spark executes it as a TakeOrdered (per-partition
+    top-k then a k-row merge), never a full global sort materialization.
+    """
+    if steps < 2:
+        raise ValueError(f"steps must be >= 2, got {steps}")
+    if top_k is not None and top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    from pyspark.sql import Window
+
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("step_1"),
+        F.col(ts_col).alias("_ts"),
+        F.col(seq_col).alias("_seq"),
+    ).where(F.col("u").isNotNull() & F.col("step_1").isNotNull())
+    w2 = Window.partitionBy("u").orderBy("_ts", "_seq")
+    cols = [F.col("step_1")]
+    cur = base
+    for k in range(2, steps + 1):
+        cur = cur.withColumn(f"step_{k}", F.lead("step_1", k - 1).over(w2))
+        cols.append(F.col(f"step_{k}"))
+    full = cur.where(F.col(f"step_{steps}").isNotNull())
+    out = full.groupBy(*[f"step_{k}" for k in range(1, steps + 1)]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths")
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("n_paths").desc(),
+            *[F.col(f"step_{k}") for k in range(1, steps + 1)],
+        ).limit(top_k)
+    return out

@@ -1223,3 +1223,62 @@ def test_badword_filter_exact_tokens_and_threshold(spark):
     assert lax[1] == 1
     with pytest.raises(ValueError, match="non-empty"):
         badword_filter(df, "doc_id", "text", [])
+
+
+# --------------------------------------------- phrase_search / event_paths
+
+
+def test_phrase_search_adjacency_and_counts(spark):
+    from dss_plugin_nlp_analysis_spark.operators.invindex import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "a table scan then a table scan again"),
+            (2, "scan the table"),          # wrong order: no match
+            (3, "table  SCAN"),             # case + whitespace normalize
+            (4, "tablescan"),               # fused token: no match
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: r.n_matches
+        for r in phrase_search(df, "doc_id", "text", "Table Scan").collect()
+    }
+    assert out == {1: 2, 3: 1}
+    # single-token phrase = occurrence count
+    one = {
+        r.id: r.n_matches
+        for r in phrase_search(df, "doc_id", "text", "table").collect()
+    }
+    assert one[1] == 2 and one[2] == 1
+    with pytest.raises(ValueError, match="phrase"):
+        phrase_search(df, "doc_id", "text", "   ")
+
+
+def test_event_paths_order_and_topk(spark):
+    import datetime as dt
+
+    from dss_plugin_nlp_analysis_spark.operators.rollup import event_paths
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, "a", t0, 1), (1, "b", t0, 2), (1, "c", t0, 3), (1, "d", t0, 4),
+        (2, "a", t0, 1), (2, "b", t0, 2), (2, "c", t0, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    out = {
+        (r.step_1, r.step_2, r.step_3): r.n_paths
+        for r in event_paths(df, steps=3).collect()
+    }
+    # user 1 contributes abc and bcd; user 2 abc — sequences never cross
+    # users
+    assert out == {("a", "b", "c"): 2, ("b", "c", "d"): 1}
+    top1 = event_paths(df, steps=3, top_k=1).collect()
+    assert [(r.step_1, r.step_2, r.step_3, r.n_paths) for r in top1] == [
+        ("a", "b", "c", 2)
+    ]
+    with pytest.raises(ValueError, match="steps"):
+        event_paths(df, steps=1)
