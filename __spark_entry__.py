@@ -3866,6 +3866,57 @@ def _q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_paths(ev, steps=3, top_k=20)
 
 
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: 3-way
+    customer⋈orders⋈lineitem with segment + date filters, revenue per
+    order, top 10 — the classic multi-join OLAP plan (broadcast dim,
+    shuffled fact join, TakeOrdered) over the TPC-H-ish tables."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    j = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    g = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    return g.orderBy(
+        F.col("revenue").desc(), F.col("l_orderkey")
+    ).limit(10)
+
+
+def _q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-confusion report: declared lang vs marker-langid
+    prediction per doc — the QA pass that catches mislabeled crawl
+    metadata before per-language routing trusts it."""
+    from dss_plugin_nlp_analysis_spark.operators.textstats import (
+        marker_langid,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = marker_langid(docs, "doc_id", "text")
+    return pred.join(
+        docs.select(F.col("doc_id").alias("id"), F.col("lang").alias("declared")),
+        "id",
+    ).select(
+        "id",
+        "declared",
+        F.col("pred_lang").alias("detected"),
+        "marker_hits",
+        (F.col("declared") == F.col("pred_lang")).cast("int").alias("agree"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -4061,6 +4112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "badwords": _q_badwords,
         "phrase_search": _q_phrase_search,
         "event_paths": _q_event_paths,
+        "tpch_q3": _q_tpch_q3,
+        "lang_mismatch": _q_lang_mismatch,
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
@@ -5411,6 +5464,31 @@ def oracle_sql() -> dict[str, str]:
                (w * h * d)::BIGINT AS sum_g,
                (w * h * d)::BIGINT AS sum_b
         FROM dec
+    """
+    # tpch_q3: the classic shipping-priority join; revenue rounded to
+    # cents like lineitem_pricing, top-10 tie-broken by orderkey
+    d["tpch_q3"] = """
+        SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                 AS revenue
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """
+    # lang_mismatch: the langid_markers oracle as a subquery joined back
+    # to the declared lang column
+    d["lang_mismatch"] = f"""
+        SELECT l.id, d.lang AS declared, l.pred_lang AS detected,
+               l.marker_hits,
+               (d.lang = l.pred_lang)::INT AS agree
+        FROM ({d['langid_markers']}) l
+        JOIN documents d ON d.doc_id = l.id
     """
     # phrase_search: positional postings + pos+1 adjacency join (bases
     # differ — Spark 0-, DuckDB 1-indexed — but only differences matter)
