@@ -808,3 +808,72 @@ def test_crawl_schedule_single_domain_window(spark):
     assert plan.count("Window") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_preference_pairs_no_window(spark):
+    from dss_plugin_nlp_analysis_spark.operators.trainprep import (
+        preference_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [("c", 1, 5), ("c", 2, 9)], "cluster string, id long, score long"
+    )
+    plan = plan_of(preference_pairs(df, "cluster", "id", "score"))
+    # extremes via min(struct) aggregates — the line_dedup pattern
+    # (struct-min plans as SortAggregate, still map-side combinable)
+    assert "Window" not in plan, plan
+    assert "Aggregate" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_badword_filter_broadcast_dim_join(spark, docs):
+    from dss_plugin_nlp_analysis_spark.operators.webclean import (
+        badword_filter,
+    )
+
+    plan = plan_of(badword_filter(docs, "doc_id", "text", ["slow", "error"]))
+    # blocklist rides a broadcast hash join, not a giant regex; no python
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_minhash_no_cartesian(spark):
+    from dss_plugin_nlp_analysis_spark.operators.dedup import (
+        incremental_minhash_pairs,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a b c d"), (2, "b c d e")], "id long, t string"
+    )
+    delta = spark.createDataFrame([(3, "a b c d")], "id long, t string")
+    plan = plan_of(incremental_minhash_pairs(base, delta, "id", "t"))
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_phrase_search_equi_joins_only(spark, docs):
+    from dss_plugin_nlp_analysis_spark.operators.invindex import (
+        phrase_search,
+    )
+
+    plan = plan_of(phrase_search(docs, "doc_id", "text", "table scan"))
+    assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_event_paths_single_user_window(spark):
+    import datetime as dt
+
+    from dss_plugin_nlp_analysis_spark.operators.rollup import event_paths
+
+    df = spark.createDataFrame(
+        [(1, "a", dt.datetime(2026, 1, 1), 1)],
+        "user_id long, event_type string, ts timestamp, event_id long",
+    )
+    plan = plan_of(event_paths(df, steps=3))
+    # k-1 leads share ONE window pass
+    assert plan.count("Window") == 1, plan
+    assert "BatchEvalPython" not in plan
