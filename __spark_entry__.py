@@ -3917,6 +3917,34 @@ def _q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_er_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter linkage scoring over synthetic candidate pairs
+    with three agreement fields (taxid heavy, name medium, city light;
+    NULL city = missing comparison) — pure per-row weight arithmetic
+    plus the two-threshold link/possible/nonlink rule."""
+    from dss_plugin_nlp_analysis_spark.operators.er import (
+        score_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pairs = docs.select(
+        did.alias("pair_id"),
+        (did % 2).cast("int").alias("name_agree"),
+        F.when(did % 3 == 0, F.lit(1))
+        .when(did % 3 == 1, F.lit(0))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("city_agree"),
+        (did % 5 == 0).cast("int").alias("taxid_agree"),
+    )
+    return score_candidate_pairs(
+        pairs,
+        [("name_agree", 20, 15), ("city_agree", 5, 3), ("taxid_agree", 40, 35)],
+        upper=30,
+        lower=0,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -4114,6 +4142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_paths": _q_event_paths,
         "tpch_q3": _q_tpch_q3,
         "lang_mismatch": _q_lang_mismatch,
+        "er_scores": _q_er_scores,
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
@@ -5464,6 +5493,34 @@ def oracle_sql() -> dict[str, str]:
                (w * h * d)::BIGINT AS sum_g,
                (w * h * d)::BIGINT AS sum_b
         FROM dec
+    """
+    # er_scores: the same per-field weight CASE chain + two-threshold
+    # decision rule
+    d["er_scores"] = """
+        WITH p AS (
+          SELECT doc_id AS pair_id,
+                 (doc_id % 2)::INT AS name_agree,
+                 CASE WHEN doc_id % 3 = 0 THEN 1
+                      WHEN doc_id % 3 = 1 THEN 0 END::INT AS city_agree,
+                 (doc_id % 5 = 0)::INT AS taxid_agree
+          FROM documents
+        ),
+        s AS (
+          SELECT *,
+                 (CASE WHEN name_agree = 1 THEN 20
+                       WHEN name_agree = 0 THEN -15 ELSE 0 END
+                  + CASE WHEN city_agree = 1 THEN 5
+                         WHEN city_agree = 0 THEN -3 ELSE 0 END
+                  + CASE WHEN taxid_agree = 1 THEN 40
+                         WHEN taxid_agree = 0 THEN -35 ELSE 0 END
+                 )::BIGINT AS score
+          FROM p
+        )
+        SELECT pair_id, name_agree, city_agree, taxid_agree, score,
+               CASE WHEN score >= 30 THEN 'link'
+                    WHEN score >= 0 THEN 'possible'
+                    ELSE 'nonlink' END AS decision
+        FROM s
     """
     # tpch_q3: the classic shipping-priority join; revenue rounded to
     # cents like lineitem_pricing, top-10 tie-broken by orderkey

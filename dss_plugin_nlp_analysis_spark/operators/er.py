@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["normalize_name", "blocked_name_matches"]
+__all__ = ["normalize_name", "blocked_name_matches", "score_candidate_pairs"]
 
 
 def normalize_name(col: Column) -> Column:
@@ -84,4 +84,56 @@ def blocked_name_matches(
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .where(F.col("dist") <= F.lit(max_dist))
         .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )
+
+
+def score_candidate_pairs(
+    pairs: DataFrame,
+    fields: list[tuple[str, int, int]],
+    *,
+    upper: int,
+    lower: int,
+) -> DataFrame:
+    """Fellegi-Sunter-style record-linkage scoring: given candidate
+    pairs carrying per-field AGREEMENT flags (0/1 columns a comparison
+    stage produced — exact, normalized, or fuzzy-thresholded upstream),
+    score each pair with integer log-odds-style weights and classify by
+    the two-threshold rule: ``link`` / ``possible`` (clerical-review
+    band) / ``nonlink``.
+
+    ``fields`` is ``[(flag_col, agree_weight, disagree_weight), ...]``:
+    agreement on a field ADDS ``agree_weight``, disagreement SUBTRACTS
+    ``disagree_weight`` (both non-negative by contract — pass the
+    log-ratio magnitudes; a rare-field agreement like tax-id carries a
+    large agree weight, a common-field agreement like country a small
+    one). NULL flags contribute 0 (the missing-comparison convention).
+
+    Returns the input columns plus ``(score, decision)``. Pure per-row
+    arithmetic — zero shuffle on top of the candidate-pair input; the
+    weights ride the plan as literals (they are model parameters, not
+    data).
+    """
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    if lower > upper:
+        raise ValueError(f"lower ({lower}) must be <= upper ({upper})")
+    score: Column | None = None
+    for col, aw, dw in fields:
+        if aw < 0 or dw < 0:
+            raise ValueError(
+                f"weights must be non-negative, got ({aw}, {dw}) for {col!r}"
+            )
+        term = (
+            F.when(F.col(col) == 1, F.lit(aw))
+            .when(F.col(col) == 0, F.lit(-dw))
+            .otherwise(F.lit(0))
+        )
+        score = term if score is None else score + term
+    assert score is not None
+    out = pairs.withColumn("score", score.cast("long"))
+    return out.withColumn(
+        "decision",
+        F.when(F.col("score") >= upper, F.lit("link"))
+        .when(F.col("score") >= lower, F.lit("possible"))
+        .otherwise(F.lit("nonlink")),
     )

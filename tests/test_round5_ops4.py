@@ -1282,3 +1282,43 @@ def test_event_paths_order_and_topk(spark):
     ]
     with pytest.raises(ValueError, match="steps"):
         event_paths(df, steps=1)
+
+
+# ------------------------------------------------------ score_candidate_pairs
+
+
+def test_er_scoring_weights_nulls_and_thresholds(spark):
+    from dss_plugin_nlp_analysis_spark.operators.er import (
+        score_candidate_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, 1),     # both agree: 20 + 40 = 60 -> link
+            (2, 1, None),  # NULL taxid contributes 0: 20 -> possible
+            (3, 0, 0),     # both disagree: -15 - 35 = -50 -> nonlink
+            (4, 0, 1),     # -15 + 40 = 25 -> possible
+        ],
+        "pair_id long, name_agree int, taxid_agree int",
+    )
+    out = {
+        r.pair_id: (r.score, r.decision)
+        for r in score_candidate_pairs(
+            df, [("name_agree", 20, 15), ("taxid_agree", 40, 35)],
+            upper=30, lower=0,
+        ).collect()
+    }
+    assert out[1] == (60, "link")
+    assert out[2] == (20, "possible")
+    assert out[3] == (-50, "nonlink")
+    assert out[4] == (25, "possible")
+    with pytest.raises(ValueError, match="non-empty"):
+        score_candidate_pairs(df, [], upper=1, lower=0)
+    with pytest.raises(ValueError, match="lower"):
+        score_candidate_pairs(
+            df, [("name_agree", 1, 1)], upper=0, lower=1
+        )
+    with pytest.raises(ValueError, match="non-negative"):
+        score_candidate_pairs(
+            df, [("name_agree", -1, 1)], upper=1, lower=0
+        )
