@@ -3945,6 +3945,29 @@ def _q_er_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractive TextRank over the derived-sentence view (' merge ' →
+    '. ' boundaries, the sentence_split trick): shared-token sentence
+    graph, 2 integer weighted-PageRank iterations, top-1 per doc — the
+    oracle unrolls the identical iterations per (doc, sentence) key."""
+    from dss_plugin_nlp_analysis_spark.operators.textstats import (
+        textrank_sentences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sents = F.split(
+        F.replace(F.trim(F.col("text")), F.lit(" merge "), F.lit(". ")),
+        r"\. ",
+    )
+    return textrank_sentences(
+        docs.select("doc_id", sents.alias("sents")),
+        "doc_id",
+        "sents",
+        iterations=2,
+        top_k=1,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -4143,6 +4166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": _q_tpch_q3,
         "lang_mismatch": _q_lang_mismatch,
         "er_scores": _q_er_scores,
+        "textrank": _q_textrank,
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
@@ -5493,6 +5517,56 @@ def oracle_sql() -> dict[str, str]:
                (w * h * d)::BIGINT AS sum_g,
                (w * h * d)::BIGINT AS sum_b
         FROM dec
+    """
+    # textrank: the sentence graph + two unrolled weighted-PageRank
+    # iterations per (doc, sentence) key; base = 15*1e6//100
+    d["textrank"] = """
+        WITH sents AS (
+          SELECT doc_id AS id, generate_subscripts(l, 1) - 1 AS sidx,
+                 unnest(l) AS sent
+          FROM (SELECT doc_id,
+                       string_split(replace(trim(text), ' merge ', '. '),
+                                    '. ') AS l
+                FROM documents)
+        ),
+        t2 AS (SELECT DISTINCT id, sidx, tok FROM (
+                 SELECT id, sidx, unnest(string_split(sent, ' ')) AS tok
+                 FROM sents) WHERE tok != ''),
+        e AS (SELECT a.id, a.sidx AS sa, b.sidx AS sb, count(*) AS w
+              FROM t2 a JOIN t2 b ON b.id = a.id AND b.tok = a.tok
+                                  AND a.sidx != b.sidx
+              GROUP BY 1, 2, 3),
+        tw AS (SELECT id, sa, sum(w) AS totw FROM e GROUP BY 1, 2),
+        r0 AS (SELECT id, sidx, 1000000::BIGINT AS rank FROM sents),
+        i1 AS (SELECT e.id, e.sb AS sidx,
+                      sum((r.rank * e.w) // t.totw)::BIGINT AS inc
+               FROM e JOIN r0 r ON r.id = e.id AND r.sidx = e.sa
+                      JOIN tw t ON t.id = e.id AND t.sa = e.sa
+               GROUP BY 1, 2),
+        r1 AS (SELECT s.id, s.sidx,
+                      (150000::BIGINT
+                       + (85 * coalesce(i1.inc, 0)) // 100)::BIGINT AS rank
+               FROM sents s LEFT JOIN i1
+                 ON i1.id = s.id AND i1.sidx = s.sidx),
+        i2 AS (SELECT e.id, e.sb AS sidx,
+                      sum((r.rank * e.w) // t.totw)::BIGINT AS inc
+               FROM e JOIN r1 r ON r.id = e.id AND r.sidx = e.sa
+                      JOIN tw t ON t.id = e.id AND t.sa = e.sa
+               GROUP BY 1, 2),
+        r2 AS (SELECT s.id, s.sidx,
+                      (150000::BIGINT
+                       + (85 * coalesce(i2.inc, 0)) // 100)::BIGINT AS rank
+               FROM sents s LEFT JOIN i2
+                 ON i2.id = s.id AND i2.sidx = s.sidx),
+        rk AS (SELECT r2.id, r2.sidx, r2.rank, s.sent,
+                      row_number() OVER (
+                        PARTITION BY r2.id
+                        ORDER BY r2.rank DESC, r2.sidx) AS pos
+               FROM r2 JOIN sents s
+                 ON s.id = r2.id AND s.sidx = r2.sidx)
+        SELECT id, pos::INT AS pos, sidx::INT AS sent_idx,
+               sent AS sentence, rank AS rank_micro
+        FROM rk WHERE pos <= 1
     """
     # er_scores: the same per-field weight CASE chain + two-threshold
     # decision rule

@@ -41,6 +41,7 @@ __all__ = [
     "hashed_linear_score",
     "rake_keywords",
     "readability_scores",
+    "textrank_sentences",
 ]
 
 # small fixed stopword list (order matters nowhere; frozen for oracles)
@@ -1218,4 +1219,114 @@ def readability_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .otherwise(F.lit(0).cast("long"))
         .alias("fk_grade_micro"),
+    )
+
+
+def textrank_sentences(
+    df: DataFrame,
+    id_col: str,
+    sents_col: str,
+    *,
+    iterations: int = 2,
+    top_k: int = 1,
+    init: int = 1_000_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Extractive TextRank summarization (Mihalcea & Tarau 2004):
+    within each document, sentences form a graph weighted by shared
+    DISTINCT tokens; integer weighted PageRank (the ``graph.pagerank``
+    int64 formulation — order-free sums + floor division, so the whole
+    summary is oracle-checkable) ranks them; the ``top_k`` per document
+    are the summary. ``sents_col`` is ``array<string>`` (the caller
+    picks the sentence splitter — the tagger's sentencizer or a cheap
+    split).
+
+    Ties break by (rank desc, sentence index asc) — earlier sentence
+    wins, the standard extractive convention. Sentences sharing no
+    token with any other get no incoming mass and rank at the damped
+    base (still eligible: a single-sentence document summarizes to
+    itself). Returns ``(id, pos, sent_idx, sentence, rank_micro)`` with
+    ``pos`` in [1, top_k].
+
+    Scale shape: everything is keyed by (document, sentence) — the
+    token equi-join, the per-iteration rank join, and the final
+    row_number all partition by the document, so per-key width is the
+    document's sentence count (tens), never the corpus. A stopword-
+    heavy corpus should drop stopwords upstream (they create dense
+    near-uniform graphs — quality, not scale, suffers).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    from pyspark.sql import Window
+
+    sents = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(sents_col)).alias("sidx", "sent"),
+    )
+    toks = sents.select(
+        "id",
+        "sidx",
+        F.explode(F.array_distinct(F.split(F.col("sent"), " "))).alias("tok"),
+    ).where(F.col("tok") != "")
+    a = toks.select("id", F.col("sidx").alias("sa"), "tok")
+    b = toks.select("id", F.col("sidx").alias("sb"), "tok")
+    edges = (
+        a.join(b, ["id", "tok"])
+        .where(F.col("sa") != F.col("sb"))
+        .groupBy("id", "sa", "sb")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    totw = edges.groupBy("id", "sa").agg(F.sum("w").alias("totw"))
+    e_w = edges.join(totw, ["id", "sa"])
+    base = (damp_den - damp_num) * init // damp_den
+    ranks = sents.select(
+        "id", "sidx", F.lit(init).cast("long").alias("rank")
+    )
+    for _ in range(iterations):
+        incoming = (
+            e_w.join(
+                ranks.select(
+                    "id", F.col("sidx").alias("sa"), F.col("rank")
+                ),
+                ["id", "sa"],
+            )
+            .select(
+                "id",
+                F.col("sb").alias("sidx"),
+                F.expr("(rank * w) div totw").alias("share"),
+            )
+            .groupBy("id", "sidx")
+            .agg(F.sum("share").alias("incoming"))
+        )
+        ranks = sents.select("id", "sidx").join(
+            incoming, ["id", "sidx"], "left"
+        ).select(
+            "id",
+            "sidx",
+            (
+                F.lit(base).cast("long")
+                + F.expr(
+                    f"(cast({damp_num} as bigint)"
+                    f" * coalesce(incoming, cast(0 as bigint)))"
+                    f" div cast({damp_den} as bigint)"
+                )
+            ).alias("rank"),
+        )
+    w = Window.partitionBy("id").orderBy(
+        F.col("rank").desc(), F.col("sidx")
+    )
+    return (
+        ranks.join(sents, ["id", "sidx"])
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= top_k)
+        .select(
+            "id",
+            F.col("pos").cast("int").alias("pos"),
+            F.col("sidx").cast("int").alias("sent_idx"),
+            F.col("sent").alias("sentence"),
+            F.col("rank").alias("rank_micro"),
+        )
     )

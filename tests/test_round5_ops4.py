@@ -1322,3 +1322,46 @@ def test_er_scoring_weights_nulls_and_thresholds(spark):
         score_candidate_pairs(
             df, [("name_agree", -1, 1)], upper=1, lower=0
         )
+
+
+# --------------------------------------------------------- textrank_sentences
+
+
+def test_textrank_central_sentence_wins(spark):
+    from dss_plugin_nlp_analysis_spark.operators.textstats import (
+        textrank_sentences,
+    )
+
+    # s1 shares tokens with both s0 and s2; s0 and s2 share nothing —
+    # s1 is the hub and must rank first
+    df = spark.createDataFrame(
+        [(1, ["alpha beta", "beta gamma", "gamma delta"]),
+         (2, ["lonely sentence"])],
+        "doc_id long, sents array<string>",
+    )
+    out = textrank_sentences(df, "doc_id", "sents", top_k=3).collect()
+    doc1 = sorted((r for r in out if r.id == 1), key=lambda r: r.pos)
+    assert doc1[0].sent_idx == 1 and doc1[0].sentence == "beta gamma"
+    # single-sentence doc summarizes to itself at the damped base
+    doc2 = [r for r in out if r.id == 2]
+    assert len(doc2) == 1 and doc2[0].sentence == "lonely sentence"
+    assert doc2[0].rank_micro == 150_000
+
+
+def test_textrank_tie_breaks_to_earlier_sentence(spark):
+    from dss_plugin_nlp_analysis_spark.operators.textstats import (
+        textrank_sentences,
+    )
+
+    # two identical sentences: symmetric graph, equal ranks -> earlier
+    # index wins
+    df = spark.createDataFrame(
+        [(1, ["same words here", "same words here"])],
+        "doc_id long, sents array<string>",
+    )
+    r = textrank_sentences(df, "doc_id", "sents", top_k=1).collect()[0]
+    assert r.sent_idx == 0 and r.pos == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="top_k"):
+        textrank_sentences(df, "doc_id", "sents", top_k=0)
