@@ -3968,6 +3968,26 @@ def _q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_homoglyphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homoglyph spoof detection: planted Cyrillic-е variants of every
+    fifth site domain collide with their Latin originals post-skeleton
+    — one translate call + a combinable variant count."""
+    from dss_plugin_nlp_analysis_spark.operators.url import (
+        homoglyph_domains,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = F.concat(
+        F.lit("site"), (did % 25).cast("string"), F.lit(".example")
+    )
+    spoof = F.concat(
+        F.lit("sit\u0435"), (did % 25).cast("string"), F.lit(".example")
+    )
+    dom = F.when(did % 5 == 0, spoof).otherwise(base)
+    return homoglyph_domains(docs.select(dom.alias("domain")), "domain")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_match": _q_tag_match,
@@ -4167,6 +4187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mismatch": _q_lang_mismatch,
         "er_scores": _q_er_scores,
         "textrank": _q_textrank,
+        "homoglyphs": _q_homoglyphs,
         "node2vec_walks": _q_node2vec,
         "scc": _q_scc,
         "semantic_dedup": _q_semantic_dedup,
@@ -5517,6 +5538,30 @@ def oracle_sql() -> dict[str, str]:
                (w * h * d)::BIGINT AS sum_g,
                (w * h * d)::BIGINT AS sum_b
         FROM dec
+    """
+    # homoglyphs: the ONE translate table interpolated from the
+    # operator's constants (cannot drift); spoof char = U+0435
+    from dss_plugin_nlp_analysis_spark.operators.url import (
+        HOMOGLYPH_FROM as _HG_FROM,
+        HOMOGLYPH_TO as _HG_TO,
+    )
+
+    d["homoglyphs"] = f"""
+        WITH doms AS (
+          SELECT DISTINCT
+            CASE WHEN doc_id % 5 = 0
+                 THEN 'sit' || chr(1077) || (doc_id % 25) || '.example'
+                 ELSE 'site' || (doc_id % 25) || '.example' END AS domain
+          FROM documents
+        ),
+        s AS (SELECT domain,
+                     translate(domain, '{_HG_FROM}', '{_HG_TO}') AS skeleton
+              FROM doms),
+        c AS (SELECT skeleton, count(*)::BIGINT AS n_variants
+              FROM s GROUP BY skeleton)
+        SELECT s.domain, s.skeleton,
+               (s.domain != s.skeleton)::INT AS is_spoof, c.n_variants
+        FROM s JOIN c USING (skeleton)
     """
     # textrank: the sentence graph + two unrolled weighted-PageRank
     # iterations per (doc, sentence) key; base = 15*1e6//100

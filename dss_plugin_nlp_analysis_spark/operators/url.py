@@ -41,6 +41,9 @@ __all__ = [
     "recrawl_priority",
     "crawl_schedule",
     "url_templates",
+    "homoglyph_domains",
+    "HOMOGLYPH_FROM",
+    "HOMOGLYPH_TO",
 ]
 
 _FRAGMENT = r"#.*$"
@@ -757,4 +760,54 @@ def url_templates(
             F.min("url_norm").alias("sample_url"),
         )
         .where(F.col("n_urls") >= min_count)
+    )
+
+
+# Unicode confusables (public confusablesSummary subset): Cyrillic and
+# Greek letters whose glyphs are indistinguishable from Basic Latin in
+# most fonts — the homoglyph domain-spoofing alphabet. One flat
+# translate table (code-point to code-point) on both engines.
+HOMOGLYPH_FROM = (
+    "\u0430\u0435\u043e\u0440\u0441\u0445\u0443"  # Cyrillic a e o p c x y
+    "\u0456\u0455\u0458"                          # Cyrillic i s j
+    "\u0251\u03bf\u03c1"                          # Latin alpha, Greek o rho
+)
+HOMOGLYPH_TO = "aeopcxyisjaop"
+
+
+def homoglyph_domains(
+    df: DataFrame,
+    domain_col: str,
+) -> DataFrame:
+    """Homoglyph spoof detection over domains: map confusable Cyrillic/
+    Greek code points to their Latin skeletons and find collision sets —
+    distinct domains whose skeletons coincide ('exаmple.com' with a
+    Cyrillic а spoofing 'example.com') — the phishing/link-spam QA pass
+    a web-KG runs before trusting cross-domain signals (mirror
+    detection, anchor votes, PageRank) that a spoofer inflates.
+
+    Returns one row per input domain: ``(domain, skeleton, is_spoof,
+    n_variants)`` — ``is_spoof = 1`` iff the skeleton differs from the
+    domain (confusables present), ``n_variants`` = distinct domains
+    sharing the skeleton (>1 = a collision set worth review; the
+    all-Latin member is usually the spoof target).
+
+    Scale shape: skeleton is ONE ``translate`` call (code-point table,
+    identical on any engine) — pure map; the variant count is one
+    map-side-combinable distinct-count per skeleton joined back by the
+    same key.
+    """
+    dom = F.lower(F.trim(F.col(domain_col).cast("string")))
+    skel = F.translate(dom, HOMOGLYPH_FROM, HOMOGLYPH_TO)
+    base = df.select(dom.alias("domain"), skel.alias("skeleton")).where(
+        F.col("domain").isNotNull() & (F.col("domain") != "")
+    ).distinct()
+    counts = base.groupBy("skeleton").agg(
+        F.count(F.lit(1)).cast("long").alias("n_variants")
+    )
+    return base.join(counts, "skeleton").select(
+        "domain",
+        "skeleton",
+        (F.col("domain") != F.col("skeleton")).cast("int").alias("is_spoof"),
+        "n_variants",
     )
