@@ -2483,7 +2483,14 @@ def _q_truth_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".example/p"), d.cast("string"),
         ).alias("source"),
     )
-    return truth_discovery(facts)
+    # DOUBLE casts: the DuckDB oracle's window sum() yields HUGEINT, which
+    # reaches pandas as float64 — match that dtype on the Spark side so the
+    # driver's value hash compares 666666.0 against 666666.0, not 666666
+    # (values are identical either way; CORRECTNESS_r05 diagnosed the
+    # int64-vs-float64 hash mismatch)
+    return truth_discovery(facts).withColumn(
+        "total_docs", F.col("total_docs").cast("double")
+    ).withColumn("support_ppm", F.col("support_ppm").cast("double"))
 
 
 def _q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2682,7 +2689,11 @@ def _q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # budget = 60% of the corpus so the big strata hit the water level
     # and the small strata fit whole (both branches exercised)
     n = docs.count()
-    return corpus_mixture(docs, "lang", budget=(n * 3) // 5)
+    # DOUBLE cast: the oracle's sum(sq) is HUGEINT -> pandas float64 (same
+    # dtype-hash fix as truth_discovery)
+    return corpus_mixture(docs, "lang", budget=(n * 3) // 5).withColumn(
+        "temp_weight_ppm", F.col("temp_weight_ppm").cast("double")
+    )
 
 
 def _synth_triples(spark: SparkSession, sf_dir: str) -> DataFrame:

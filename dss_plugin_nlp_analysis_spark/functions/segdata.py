@@ -19,9 +19,7 @@ tests/python/unit/test_spacy_tokenizer.py:33-47) is preserved.
 
 from __future__ import annotations
 
-__all__ = ["BUILTIN_WORDS"
-    "builtin_freqs",
-]
+__all__ = ["BUILTIN_WORDS", "builtin_freqs"]
 
 # Simplified Chinese: frequent multi-character words (modern vocabulary).
 _ZH_WORDS = (

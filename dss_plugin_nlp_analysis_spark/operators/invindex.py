@@ -26,8 +26,7 @@ from pyspark.sql import functions as F
 
 from dss_plugin_nlp_analysis_spark.operators.dedup import exploded_shingles
 
-__all__ = ["inverted_index", "bm25_topk"    "phrase_search",
-]
+__all__ = ["inverted_index", "bm25_topk", "phrase_search"]
 
 
 def inverted_index(

@@ -30,6 +30,13 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "\0NAN"
+        # integral floats canonicalize to the int form: DuckDB HUGEINT
+        # results reach the DRIVER as pandas float64 but this mirror's
+        # fetchall() as Python int, so queries that deliberately emit
+        # DOUBLE on the Spark side to match the driver's float64 hash
+        # (truth_discovery, corpus_mixture) must compare equal here too
+        if v.is_integer():
+            return str(int(v))
         return f"{v:.6f}"
     return str(v)
 
