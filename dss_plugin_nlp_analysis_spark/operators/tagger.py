@@ -25,6 +25,7 @@ Reference parity map:
 from __future__ import annotations
 
 import json
+import re
 from collections.abc import Iterator
 from dataclasses import dataclass
 
@@ -94,6 +95,90 @@ COLUMN_DESCRIPTIONS = {
 }
 
 
+# "plain words" screen for the kernel fast path: a cleaned document of
+# ASCII-alnum words joined by single spaces tokenizes to exactly
+# ``clean.split(" ")`` (no space tokens, no punctuation), contains no
+# sentence-break token (alnum is never in SENTENCE_PUNCT_CHARS and never
+# punct), and is normalization-identity for every option lattice point
+# except lowercasing (handled by the lowercase-only variant) — so the whole
+# tokenize -> sentencize -> normalize pipeline collapses to one split and
+# one automaton probe. Equivalence with the generic path is pinned by
+# tests/test_round6_fastpath.py (monkeypatched never-matching screen).
+_FAST_WORDS_RE = re.compile(r"[A-Za-z0-9]+(?: [A-Za-z0-9]+)*")
+_FAST_WORDS_LOWER_RE = re.compile(r"[a-z0-9]+(?: [a-z0-9]+)*")
+
+
+def _resolve_payload(
+    compiled: CompiledOntology, keys: list, ts: int, te: int,
+    payloads: tuple, lang_profiles: dict
+) -> int:
+    """Duplicate-keyword tie rule shared by both kernel paths."""
+    if compiled.options.link_entities and len(payloads) > 1:
+        # context-window scoring (SEMANTICS.md §8): overlap between the
+        # sentence's other tokens and each candidate tag's other keywords;
+        # ties keep add order
+        context = set(keys[:ts]) | set(keys[te:])
+        return max(
+            payloads,
+            key=lambda p: (len(context & lang_profiles.get(p, frozenset())), -p),
+        )
+    # dup-keyword resolution: EntityRuler keeps the first-added pattern,
+    # the no-category dict keeps the last (SEMANTICS.md §5)
+    return payloads[0] if compiled.has_category else payloads[-1]
+
+
+def _process_simple_doc(
+    compiled: CompiledOntology, clean: str, lang: str
+) -> tuple[list[str], list[dict]]:
+    """Fast path for documents that pass the plain-words screen: the doc is
+    one sentence, its tokens are ``clean.split(" ")`` verbatim, offsets are
+    prefix sums — no tokenizer, no sentencizer, no per-sentence re-scan."""
+    opts = compiled.options
+    parts = clean.split(" ")
+    keys = (
+        lemmatize_tokens(parts, compiled.lemma_tables.get(lang, {}))
+        if opts.lemmatization
+        else parts
+    )
+    hits = compiled.automaton_for(lang).find_all(keys)
+    sentences = [clean]
+    if not hits:
+        return sentences, []
+    if compiled.has_category:
+        hits = filter_leftmost_longest(hits)
+    starts: list[int] = []
+    ends: list[int] = []
+    pos = 0
+    for p in parts:
+        starts.append(pos)
+        pos += len(p)
+        ends.append(pos)
+        pos += 1
+    lang_profiles = compiled.profiles.get(lang, {})
+    matches: list[dict] = []
+    for ts, te, payloads in hits:
+        idx = (
+            _resolve_payload(compiled, keys, ts, te, payloads, lang_profiles)
+            if len(payloads) > 1
+            else payloads[0]
+        )
+        tag, category = compiled.payloads[idx]
+        cs, ce = starts[ts], ends[te - 1]
+        matches.append(
+            {
+                "sent_idx": 0,
+                "tok_start": ts,
+                "tok_end": te,
+                "char_start": cs,
+                "char_end": ce,
+                "tag": tag,
+                "category": category,
+                "keyword": clean[cs:ce],
+            }
+        )
+    return sentences, matches
+
+
 def process_document(
     compiled: CompiledOntology, text: str | None, lang: str
 ) -> tuple[list[str], list[dict]]:
@@ -107,6 +192,9 @@ def process_document(
     if not clean:
         return [], []
     opts = compiled.options
+    fast_re = _FAST_WORDS_LOWER_RE if opts.ignore_case else _FAST_WORDS_RE
+    if fast_re.fullmatch(clean):
+        return _process_simple_doc(compiled, clean, lang)
     doc_tokens = tokenize_raw(clean, lang)  # plain (text, start, end, is_space)
     spans = sentence_token_spans(doc_tokens)
     auto = compiled.automaton_for(lang)
@@ -139,19 +227,11 @@ def process_document(
             hits = filter_leftmost_longest(hits)
         lang_profiles = compiled.profiles.get(lang, {})
         for ts, te, payloads in hits:
-            if opts.link_entities and len(payloads) > 1:
-                # context-window scoring (SEMANTICS.md §8): overlap between
-                # the sentence's other tokens and each candidate tag's
-                # other keywords; ties keep add order
-                context = set(keys[:ts]) | set(keys[te:])
-                idx = max(
-                    payloads,
-                    key=lambda p: (len(context & lang_profiles.get(p, frozenset())), -p),
-                )
-            else:
-                # dup-keyword resolution: EntityRuler keeps the first-added
-                # pattern, the no-category dict keeps the last (SEMANTICS.md §5)
-                idx = payloads[0] if compiled.has_category else payloads[-1]
+            idx = (
+                _resolve_payload(compiled, keys, ts, te, payloads, lang_profiles)
+                if len(payloads) > 1
+                else payloads[0]
+            )
             tag, category = compiled.payloads[idx]
             cs, ce = starts[ts], ends[te - 1]
             matches.append(
@@ -193,6 +273,101 @@ def _tagging_udf(compiled_ref, default_lang: str, skip_unknown: bool):
             yield pd.DataFrame({"sentences": sents_out, "matches": matches_out})
 
     return extract
+
+
+def _per_match_rows_udf(compiled_ref, default_lang: str, skip_unknown: bool,
+                        has_category: bool):
+    """Fused extract+format UDF for ``one_row_per_match``: emits the final
+    deduped (category?, tag, keyword, sentence) rows per document so the
+    JVM side is a single codegen'd ``explode_outer`` — no interpreted
+    ``transform``/``array_distinct``/``element_at`` higher-order chain over
+    the matches array (measured ~0.8 s of the 3 s flagship wall at 500k
+    docs on local[32]). Dedup mirrors ``format_per_match`` exactly:
+    ordered keep-first over the whole projected row (SEMANTICS.md §7 DIV).
+    """
+    fields = (["category"] if has_category else []) + ["tag", "keyword", "sentence"]
+    schema = T.ArrayType(
+        T.StructType([T.StructField(f, T.StringType()) for f in fields])
+    )
+
+    @F.pandas_udf(schema)
+    def fmt(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        compiled: CompiledOntology = getattr(compiled_ref, "value", compiled_ref)
+        known = set(compiled.patterns)
+        for text_s, lang_s in it:
+            rows_out: list[list[tuple]] = []
+            for text, lang in zip(text_s, lang_s):
+                lang = lang if isinstance(lang, str) and lang else default_lang
+                if lang not in known:
+                    if skip_unknown:
+                        rows_out.append([])
+                        continue
+                    raise ValueError(f"Unsupported language code: '{lang}'")
+                sentences, matches = process_document(compiled, text, lang)
+                if not matches:
+                    rows_out.append([])
+                    continue
+                rows: list[tuple] = []
+                seen: set[tuple] = set()
+                if has_category:
+                    for mt in matches:
+                        row = (mt["category"], mt["tag"], mt["keyword"],
+                               sentences[mt["sent_idx"]])
+                        if row not in seen:
+                            seen.add(row)
+                            rows.append(row)
+                else:
+                    for mt in matches:
+                        row = (mt["tag"], mt["keyword"], sentences[mt["sent_idx"]])
+                        if row not in seen:
+                            seen.add(row)
+                            rows.append(row)
+                rows_out.append(rows)
+            yield pd.Series(rows_out)
+
+    return fmt
+
+
+def _doc_json_direct_udf(compiled_ref, default_lang: str, skip_unknown: bool,
+                         has_category: bool):
+    """Fused extract+format UDF for ``one_row_per_doc_json``: builds the
+    JSON strings in the same Python pass as extraction (one JVM↔Python
+    crossing instead of two, and the sentences/matches struct never ships
+    back). Byte format identical to ``_doc_json_udf``."""
+    build_no_cat, build_cat = _doc_json_builders()
+    if not has_category:
+        schema = T.StructType([T.StructField("tag_json_full", T.StringType())])
+    else:
+        schema = T.StructType(
+            [
+                T.StructField("tag_json_categories", T.StringType()),
+                T.StructField("tag_json_full", T.StringType()),
+            ]
+        )
+
+    @F.pandas_udf(schema)
+    def fmt(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
+        compiled: CompiledOntology = getattr(compiled_ref, "value", compiled_ref)
+        known = set(compiled.patterns)
+        for text_s, lang_s in it:
+            rows = []
+            for text, lang in zip(text_s, lang_s):
+                lang = lang if isinstance(lang, str) and lang else default_lang
+                if lang not in known:
+                    if skip_unknown:
+                        matches, sentences = [], []
+                    else:
+                        raise ValueError(f"Unsupported language code: '{lang}'")
+                else:
+                    sentences, matches = process_document(compiled, text, lang)
+                if has_category:
+                    cats, full = build_cat(matches, sentences)
+                    rows.append({"tag_json_categories": cats, "tag_json_full": full})
+                else:
+                    rows.append({"tag_json_full": build_no_cat(matches, sentences)})
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return fmt
 
 
 @dataclass
@@ -327,9 +502,9 @@ def format_per_doc(
     return out.drop(res)
 
 
-def _doc_json_udf(has_category: bool):
-    """one_row_per_doc_json: per-doc dict assembly + json.dumps — byte
-    format mirrors the reference (ensure_ascii=False, ", " separators)."""
+def _doc_json_builders():
+    """Per-doc JSON assembly shared by the fused and two-pass json UDFs —
+    byte format mirrors the reference (ensure_ascii=False, ", " separators)."""
 
     def build_no_cat(matches, sentences) -> str | None:
         full: dict[str, dict] = {}
@@ -370,6 +545,15 @@ def _doc_json_udf(has_category: bool):
             json.dumps(cats, ensure_ascii=False),
             json.dumps(full, ensure_ascii=False),
         )
+
+    return build_no_cat, build_cat
+
+
+def _doc_json_udf(has_category: bool):
+    """one_row_per_doc_json over an already-extracted result struct (kept
+    for the compositional ``extract_mentions`` + formatter path; the
+    ``tag_documents`` entry uses the fused ``_doc_json_direct_udf``)."""
+    build_no_cat, build_cat = _doc_json_builders()
 
     if not has_category:
         schema = T.StructType([T.StructField("tag_json_full", T.StringType())])
@@ -464,9 +648,6 @@ def tag_documents(
         rows, languages, options, has_category, lemma_lookup_dir
     )
     res = "_tagging"
-    tagged = extract_mentions(
-        docs_df, compiled, text_col, lang_col, language, res, skip_unknown
-    )
 
     input_cols = docs_df.columns
     categories = None
@@ -500,12 +681,34 @@ def tag_documents(
         for c, fin in zip(categories, finals):
             names[f"tag_list_{c}"] = fin
 
+    # per_match and json run a FUSED extract+format UDF (formatting done in
+    # the same Python pass; JVM side is a codegen'd explode/projection with
+    # no interpreted higher-order functions and no second Python crossing);
+    # per_doc keeps the compositional extract_mentions + native formatter.
+    spark = docs_df.sparkSession
+    lang_expr = F.col(lang_col) if lang_col else F.lit(language)
     if output_format == "one_row_per_match":
-        out = format_per_match(tagged, res, has_category, names)
+        ref = spark.sparkContext.broadcast(compiled)
+        udf = _per_match_rows_udf(ref, language, skip_unknown, has_category)
+        out = docs_df.withColumn(
+            "_match", F.explode_outer(udf(F.col(text_col), lang_expr))
+        )
+        fields = (["category"] if has_category else []) + ["tag", "keyword", "sentence"]
+        for b, f in zip(base_names, fields):
+            out = out.withColumn(names[b], F.col("_match")[f])
+        out = out.drop("_match")
     elif output_format == "one_row_per_doc":
+        tagged = extract_mentions(
+            docs_df, compiled, text_col, lang_col, language, res, skip_unknown
+        )
         out = format_per_doc(tagged, res, has_category, names, categories)
     else:
-        out = format_per_doc_json(tagged, res, has_category, names)
+        ref = spark.sparkContext.broadcast(compiled)
+        udf = _doc_json_direct_udf(ref, language, skip_unknown, has_category)
+        out = docs_df.withColumn("_json", udf(F.col(text_col), lang_expr))
+        for c in base_names:
+            out = out.withColumn(names[c], F.col("_json")[c])
+        out = out.drop("_json")
     out = out.select(*ordered_with_new_after(out.columns, finals, text_col))
     # attach human descriptions as column metadata (S5; base.py:72-77)
     comments = {}
