@@ -56,10 +56,20 @@ def _brute_rank_topk(
     row_number with ties broken by neighbor id. ``c`` must carry
     ``neighbor_id``/``_cv`` (plus any extra output columns), ``q``
     ``query_id``/``_qv``."""
+    # hoist the double cast and the L2 norm to per-ROW projections before
+    # the cross join: each is evaluated once per corpus/query row instead
+    # of once per (corpus × query) pair (the higher-order aggregate folds
+    # evaluate interpreted, so per-pair norms dominated the query wall).
+    # The norm value and the dot fold are the same expressions over the
+    # same doubles, so sim is bit-identical to the unhoisted form.
+    c = c.withColumn("_cv", F.col("_cv").cast("array<double>")).withColumn(
+        "_cn", l2_norm(F.col("_cv"))
+    )
+    q = q.withColumn("_qv", F.col("_qv").cast("array<double>")).withColumn(
+        "_qn", l2_norm(F.col("_qv"))
+    )
     scored = c.crossJoin(F.broadcast(q)).where(pair_filter)
-    sim = cosine(
-        F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")
-    ).alias("sim")
+    sim = (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("sim")
     ranked = scored.select(
         *[x for x in out_cols if x != "rank"], sim
     ).withColumn(

@@ -154,18 +154,17 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("id"),
         F.posexplode(_lines(F.col(text_col))).alias("pos", "line"),
     )
-    # distinct output names on the aggregated side: `firsts` derives from
-    # `lines`, so joining on same-named columns trips the ambiguous-self-
-    # join analyzer check
-    firsts = lines.groupBy(F.col("line").alias("first_line")).agg(
+    # the min-struct aggregate IS the survivor set — each distinct line's
+    # winning (id, pos) — so no join back to `lines` is needed (the old
+    # lines ⋈ firsts equi-join matched exactly one row per distinct line
+    # and recomputed the whole explode pipeline as its probe side; removing
+    # it drops 2 of 4 Exchanges, measured 1.5 -> 1.1 s at 100k docs)
+    firsts = lines.groupBy("line").agg(
         F.min(F.struct("id", "pos")).alias("first")
     )
-    survivors = lines.join(
-        firsts,
-        (F.col("line") == F.col("first_line"))
-        & (F.col("id") == F.col("first.id"))
-        & (F.col("pos") == F.col("first.pos")),
-    ).select("id", "pos", "line")
+    survivors = firsts.select(
+        F.col("first.id").alias("id"), F.col("first.pos").alias("pos"), "line"
+    )
     rebuilt = survivors.groupBy("id").agg(
         F.array_join(
             F.transform(
