@@ -26,7 +26,10 @@ def clean_linebreaks(text: str | None) -> str:
     """
     if not text:
         return ""
-    kept = [line.strip() for line in text.splitlines() if line]
+    lines = text.splitlines()
+    if len(lines) == 1:  # dominant single-line case: no list/join churn
+        return lines[0].strip()
+    kept = [line.strip() for line in lines if line]
     return "\n".join(kept)
 
 

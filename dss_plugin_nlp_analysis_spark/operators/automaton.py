@@ -98,14 +98,14 @@ class TokenAutomaton:
         (start, end) order. ``payload_ids`` is in pattern-add order — the
         consumer picks first (EntityRuler tie rule), last (dict-overwrite
         rule), or scores all (entity linking)."""
-        vocab = self._vocab
+        vget = self._vocab.get
         goto = self._goto
         fail = self._fail
         out = self._out
         hits: list[tuple[int, int, tuple[int, ...]]] = []
         node = 0
         for i, tok in enumerate(tokens):
-            tid = vocab.get(tok)
+            tid = vget(tok)
             if tid is None:
                 node = 0
                 continue

@@ -170,12 +170,14 @@ def _banded_small_keys(
         F.explode(
             F.array(
                 *[
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            F.lit(b),
-                            *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)],
-                        )
+                    # the raw "b|s..|s.." concat IS the band key: grouping/
+                    # joining on it yields exactly the md5-key buckets (the
+                    # concat is injective over the fixed-width hex windows)
+                    # while skipping the hash and shuffling 11 bytes, not 32
+                    F.concat_ws(
+                        "|",
+                        F.lit(b),
+                        *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)],
                     )
                     for b in range(bands)
                 ]
@@ -231,12 +233,14 @@ def minhash_candidate_pairs(
         F.explode(
             F.array(
                 *[
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            F.lit(b),
-                            *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)],
-                        )
+                    # the raw "b|s..|s.." concat IS the band key: grouping/
+                    # joining on it yields exactly the md5-key buckets (the
+                    # concat is injective over the fixed-width hex windows)
+                    # while skipping the hash and shuffling 11 bytes, not 32
+                    F.concat_ws(
+                        "|",
+                        F.lit(b),
+                        *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)],
                     )
                     for b in range(bands)
                 ]

@@ -17,10 +17,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.functions import arrow_udf
+from pyspark.sql.pandas.types import to_arrow_type
 
 from ..functions.langsupport import validate_languages
 from ..functions.textnorm import normalize_text
@@ -124,13 +126,15 @@ def _triple_rows_udf(compiled_ref, default_lang: str, skip_unknown: bool):
     text resolved in Python (same values as the former
     transform+element_at over the extraction struct)."""
 
-    @F.pandas_udf(_TRIPLE_ROWS_SCHEMA)
-    def fmt(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+    arrow_type = to_arrow_type(_TRIPLE_ROWS_SCHEMA)
+
+    @arrow_udf(_TRIPLE_ROWS_SCHEMA)
+    def fmt(it: Iterator[tuple[pa.Array, pa.Array]]) -> Iterator[pa.Array]:
         compiled: CompiledOntology = getattr(compiled_ref, "value", compiled_ref)
         known = set(compiled.patterns)
-        for text_s, lang_s in it:
+        for text_a, lang_a in it:
             rows_out: list[list[tuple]] = []
-            for text, lang in zip(text_s, lang_s):
+            for text, lang in zip(text_a.to_pylist(), lang_a.to_pylist()):
                 lang = lang if isinstance(lang, str) and lang else default_lang
                 if lang not in known:
                     if skip_unknown:
@@ -150,7 +154,7 @@ def _triple_rows_udf(compiled_ref, default_lang: str, skip_unknown: bool):
                         for m in matches
                     ]
                 )
-            yield pd.Series(rows_out)
+            yield pa.array(rows_out, type=arrow_type)
 
     return fmt
 

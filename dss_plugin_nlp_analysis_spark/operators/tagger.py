@@ -30,9 +30,12 @@ from collections.abc import Iterator
 from dataclasses import dataclass
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.functions import arrow_udf
+from pyspark.sql.pandas.types import to_arrow_type
 
 from ..functions.langsupport import validate_languages
 from ..functions.lemmas import lemmatize_tokens
@@ -253,13 +256,17 @@ def _tagging_udf(compiled_ref, default_lang: str, skip_unknown: bool):
     """Arrow-batched extraction UDF. ``compiled_ref`` is a Broadcast or a
     plain CompiledOntology (duck-typed via ``.value``)."""
 
-    @F.pandas_udf(TAGGING_SCHEMA)
-    def extract(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
+    out_type = to_arrow_type(TAGGING_SCHEMA)
+    sents_type = out_type.field("sentences").type
+    matches_type = out_type.field("matches").type
+
+    @arrow_udf(TAGGING_SCHEMA)
+    def extract(it: Iterator[tuple[pa.Array, pa.Array]]) -> Iterator[pa.Array]:
         compiled: CompiledOntology = getattr(compiled_ref, "value", compiled_ref)
         known = set(compiled.patterns)
-        for text_s, lang_s in it:
+        for text_a, lang_a in it:
             sents_out, matches_out = [], []
-            for text, lang in zip(text_s, lang_s):
+            for text, lang in zip(text_a.to_pylist(), lang_a.to_pylist()):
                 lang = lang if isinstance(lang, str) and lang else default_lang
                 if lang not in known:
                     if skip_unknown:
@@ -270,7 +277,13 @@ def _tagging_udf(compiled_ref, default_lang: str, skip_unknown: bool):
                 sentences, matches = process_document(compiled, text, lang)
                 sents_out.append(sentences)
                 matches_out.append(matches)
-            yield pd.DataFrame({"sentences": sents_out, "matches": matches_out})
+            yield pa.StructArray.from_arrays(
+                [
+                    pa.array(sents_out, type=sents_type),
+                    pa.array(matches_out, type=matches_type),
+                ],
+                fields=list(out_type),
+            )
 
     return extract
 
@@ -289,14 +302,15 @@ def _per_match_rows_udf(compiled_ref, default_lang: str, skip_unknown: bool,
     schema = T.ArrayType(
         T.StructType([T.StructField(f, T.StringType()) for f in fields])
     )
+    arrow_type = to_arrow_type(schema)
 
-    @F.pandas_udf(schema)
-    def fmt(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+    @arrow_udf(schema)
+    def fmt(it: Iterator[tuple[pa.Array, pa.Array]]) -> Iterator[pa.Array]:
         compiled: CompiledOntology = getattr(compiled_ref, "value", compiled_ref)
         known = set(compiled.patterns)
-        for text_s, lang_s in it:
+        for text_a, lang_a in it:
             rows_out: list[list[tuple]] = []
-            for text, lang in zip(text_s, lang_s):
+            for text, lang in zip(text_a.to_pylist(), lang_a.to_pylist()):
                 lang = lang if isinstance(lang, str) and lang else default_lang
                 if lang not in known:
                     if skip_unknown:
@@ -323,7 +337,7 @@ def _per_match_rows_udf(compiled_ref, default_lang: str, skip_unknown: bool,
                             seen.add(row)
                             rows.append(row)
                 rows_out.append(rows)
-            yield pd.Series(rows_out)
+            yield pa.array(rows_out, type=arrow_type)
 
     return fmt
 
@@ -345,13 +359,16 @@ def _doc_json_direct_udf(compiled_ref, default_lang: str, skip_unknown: bool,
             ]
         )
 
-    @F.pandas_udf(schema)
-    def fmt(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
+    arrow_type = to_arrow_type(schema)
+
+    @arrow_udf(schema)
+    def fmt(it: Iterator[tuple[pa.Array, pa.Array]]) -> Iterator[pa.Array]:
         compiled: CompiledOntology = getattr(compiled_ref, "value", compiled_ref)
         known = set(compiled.patterns)
-        for text_s, lang_s in it:
-            rows = []
-            for text, lang in zip(text_s, lang_s):
+        for text_a, lang_a in it:
+            cats_out: list[str | None] = []
+            full_out: list[str | None] = []
+            for text, lang in zip(text_a.to_pylist(), lang_a.to_pylist()):
                 lang = lang if isinstance(lang, str) and lang else default_lang
                 if lang not in known:
                     if skip_unknown:
@@ -362,10 +379,15 @@ def _doc_json_direct_udf(compiled_ref, default_lang: str, skip_unknown: bool,
                     sentences, matches = process_document(compiled, text, lang)
                 if has_category:
                     cats, full = build_cat(matches, sentences)
-                    rows.append({"tag_json_categories": cats, "tag_json_full": full})
+                    cats_out.append(cats)
+                    full_out.append(full)
                 else:
-                    rows.append({"tag_json_full": build_no_cat(matches, sentences)})
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+                    full_out.append(build_no_cat(matches, sentences))
+            cols = ([cats_out] if has_category else []) + [full_out]
+            yield pa.StructArray.from_arrays(
+                [pa.array(c, type=pa.string()) for c in cols],
+                fields=list(arrow_type),
+            )
 
     return fmt
 
