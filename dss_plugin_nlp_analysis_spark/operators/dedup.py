@@ -159,9 +159,14 @@ def _banded_small_keys(
     of ``minhash_candidate_pairs`` and ``incremental_minhash_pairs``."""
     rows_per_band = num_hashes // bands
     ex = exploded_shingles(df, id_col, text_col, n).withColumn("h", F.md5("g"))
+    # numeric minima: min over a STRING buffer forces SortAggregate (two
+    # full sorts of the exploded shingle rows); fixed-width lowercase hex
+    # sorts identically to its numeric value ('0'-'9' < 'a'-'f' in ASCII),
+    # so min(conv(window,16,10)) selects exactly the same per-seed minima
+    # while the int buffer keeps the aggregation a hash aggregate
     sig = ex.groupBy("id").agg(
         *[
-            F.min(F.substring("h", 1 + 4 * i, 4)).alias(f"s{i}")
+            F.min(F.conv(F.substring("h", 1 + 4 * i, 4), 16, 10).cast("int")).alias(f"s{i}")
             for i in range(num_hashes)
         ]
     )
@@ -222,9 +227,14 @@ def minhash_candidate_pairs(
     """
     rows_per_band = num_hashes // bands
     ex = exploded_shingles(df, id_col, text_col, n).withColumn("h", F.md5("g"))
+    # numeric minima: min over a STRING buffer forces SortAggregate (two
+    # full sorts of the exploded shingle rows); fixed-width lowercase hex
+    # sorts identically to its numeric value ('0'-'9' < 'a'-'f' in ASCII),
+    # so min(conv(window,16,10)) selects exactly the same per-seed minima
+    # while the int buffer keeps the aggregation a hash aggregate
     sig = ex.groupBy("id").agg(
         *[
-            F.min(F.substring("h", 1 + 4 * i, 4)).alias(f"s{i}")
+            F.min(F.conv(F.substring("h", 1 + 4 * i, 4), 16, 10).cast("int")).alias(f"s{i}")
             for i in range(num_hashes)
         ]
     )

@@ -111,6 +111,7 @@ _TRIPLE_ROWS_SCHEMA = T.ArrayType(
     T.StructType(
         [
             T.StructField("pred", T.StringType()),
+            T.StructField("obj", T.StringType()),
             T.StructField("keyword", T.StringType()),
             T.StructField("sentence", T.StringType()),
             T.StructField("sent_idx", T.IntegerType()),
@@ -120,17 +121,22 @@ _TRIPLE_ROWS_SCHEMA = T.ArrayType(
 )
 
 
-def _triple_rows_udf(compiled_ref, default_lang: str, skip_unknown: bool):
+def _triple_rows_udf(payload_ref, default_lang: str, skip_unknown: bool):
     """Arrow-batched fused extract+project UDF for ``build_triples``: one
-    (pred, keyword, sentence, sent_idx, category) row per match, sentence
-    text resolved in Python (same values as the former
-    transform+element_at over the extraction struct)."""
+    (pred, obj, keyword, sentence, sent_idx, category) row per match,
+    sentence text resolved in Python and the tag→canonical-node map
+    applied inline (``payload_ref.value`` is ``(compiled, cmap|None)``;
+    ``obj = cmap.get(tag, tag)`` is exactly the former broadcast left
+    join + coalesce, with the join node gone from the plan)."""
 
     arrow_type = to_arrow_type(_TRIPLE_ROWS_SCHEMA)
 
     @arrow_udf(_TRIPLE_ROWS_SCHEMA)
     def fmt(it: Iterator[tuple[pa.Array, pa.Array]]) -> Iterator[pa.Array]:
-        compiled: CompiledOntology = getattr(compiled_ref, "value", compiled_ref)
+        compiled, cmap = getattr(payload_ref, "value", payload_ref)
+        if cmap is None:
+            cmap = {}
+        cget = cmap.get
         known = set(compiled.patterns)
         for text_a, lang_a in it:
             rows_out: list[list[tuple]] = []
@@ -146,6 +152,7 @@ def _triple_rows_udf(compiled_ref, default_lang: str, skip_unknown: bool):
                     [
                         (
                             m["tag"],
+                            cget(m["tag"], m["tag"]),
                             m["keyword"],
                             sentences[m["sent_idx"]],
                             m["sent_idx"],
@@ -207,16 +214,21 @@ def build_triples(
     if repartition_by_url:
         docs_df = docs_df.repartition(repartition_by_url, F.xxhash64(F.col(url_col)))
 
-    # fused extract+project UDF: the per-match (pred, keyword, sentence,
-    # sent_idx, category) rows are assembled in the same Python pass as
-    # extraction, so the JVM side is one codegen'd explode — the previous
-    # interpreted transform-over-matches (with element_at sentence
-    # resolution) is gone, and the sentences array never ships back
+    # fused extract+project UDF: the per-match (pred, obj, keyword,
+    # sentence, sent_idx, category) rows are assembled in the same Python
+    # pass as extraction, so the JVM side is one codegen'd explode — the
+    # previous interpreted transform-over-matches (with element_at
+    # sentence resolution) is gone, the sentences array never ships back,
+    # and the tag→canonical map (driver-computed, ontology-sized) rides
+    # the same broadcast instead of a broadcast-join dimension: the
+    # triples plan has ZERO joins and zero exchanges (beyond an optional
+    # explicit repartition)
+    cmap = canonical_map(rows) if canonicalize else None
     udf = _triple_rows_udf(
-        spark.sparkContext.broadcast(compiled), language, skip_unknown
+        spark.sparkContext.broadcast((compiled, cmap)), language, skip_unknown
     )
     lang_expr = F.col(lang_col) if lang_col else F.lit(language)
-    exploded = docs_df.select(
+    out = docs_df.select(
         F.col(url_col).alias("subj"),
         (F.col(lang_col) if lang_col else F.lit(language)).alias("lang"),
         (F.col(ts_col) if ts_col else F.lit(None).cast("timestamp")).alias("warc_ts"),
@@ -224,6 +236,7 @@ def build_triples(
     ).select(
         "subj",
         F.col("m")["pred"].alias("pred"),
+        F.col("m")["obj"].alias("obj"),
         F.col("m")["keyword"].alias("keyword"),
         F.col("m")["sentence"].alias("sentence"),
         F.col("m")["sent_idx"].alias("sent_idx"),
@@ -231,16 +244,6 @@ def build_triples(
         "lang",
         "warc_ts",
     )
-    if canonicalize:
-        cmap = canonical_map(rows)
-        dim = spark.createDataFrame(
-            list(cmap.items()), "pred string, obj string"
-        )
-        out = exploded.join(F.broadcast(dim), "pred", "left").withColumn(
-            "obj", F.coalesce(F.col("obj"), F.col("pred"))
-        )
-    else:
-        out = exploded.withColumn("obj", F.col("pred"))
     return out.select(*TRIPLE_COLUMNS)
 
 

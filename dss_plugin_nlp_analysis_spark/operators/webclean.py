@@ -154,17 +154,41 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("id"),
         F.posexplode(_lines(F.col(text_col))).alias("pos", "line"),
     )
-    # the min-struct aggregate IS the survivor set — each distinct line's
-    # winning (id, pos) — so no join back to `lines` is needed (the old
+    # the min aggregate IS the survivor set — each distinct line's winning
+    # (id, pos) — so no join back to `lines` is needed (the old
     # lines ⋈ firsts equi-join matched exactly one row per distinct line
     # and recomputed the whole explode pipeline as its probe side; removing
     # it drops 2 of 4 Exchanges, measured 1.5 -> 1.1 s at 100k docs)
-    firsts = lines.groupBy("line").agg(
-        F.min(F.struct("id", "pos")).alias("first")
-    )
-    survivors = firsts.select(
-        F.col("first.id").alias("id"), F.col("first.pos").alias("pos"), "line"
-    )
+    id_type = dict(df.dtypes).get(id_col)
+    if id_type in ("tinyint", "smallint", "int", "bigint"):
+        # integral ids: pack (id, pos) into one DECIMAL(38,0) so the min
+        # has a fixed-width buffer and stays a HashAggregate — min over a
+        # STRUCT buffer forces SortAggregate, i.e. two full sorts of the
+        # exploded lines. key = id*2^31 + pos preserves the (id, pos)
+        # lexicographic order exactly (pos < 2^31 always: a document's
+        # line count is bounded by its 2 GiB string length), including
+        # negative ids; decimal(38) holds ±2^63*2^31 without overflow.
+        # Equivalence incl. negative/±2^62 ids pinned in
+        # tests/test_round6_plans.py.
+        big = F.lit(2 ** 31).cast("decimal(38,0)")
+        key = F.col("id").cast("decimal(38,0)") * big + F.col("pos")
+        packed = lines.groupBy("line").agg(F.min(key).alias("_k"))
+        kid = F.floor(F.col("_k") / big)
+        survivors = packed.select(
+            kid.cast(id_type).alias("id"),
+            (F.col("_k") - kid.cast("decimal(38,0)") * big).cast("int").alias("pos"),
+            "line",
+        )
+    else:
+        # any orderable id type (string doc ids are standard in web
+        # corpora): lexicographic struct min — correct for every type,
+        # at the cost of a sort-based aggregate
+        firsts = lines.groupBy("line").agg(
+            F.min(F.struct("id", "pos")).alias("first")
+        )
+        survivors = firsts.select(
+            F.col("first.id").alias("id"), F.col("first.pos").alias("pos"), "line"
+        )
     rebuilt = survivors.groupBy("id").agg(
         F.array_join(
             F.transform(

@@ -45,15 +45,17 @@ def test_per_doc_json_zero_shuffle(spark, docs):
     assert "Exchange" not in plan_of(out)
 
 
-def test_triples_only_broadcast_exchange(spark, docs):
+def test_triples_zero_shuffle_zero_join(spark, docs):
+    # r6: the tag→canonical map rides the extraction UDF's broadcast and
+    # is applied inline, so the triples plan has NO join of any kind and
+    # no exchange — strictly stronger than the former broadcast-join pin
     t = build_triples(
         docs, kg_oracle_ontology_df(spark), url_col="doc_id", lang_col="lang",
         ts_col=None, category_col=None, languages=LANGS,
     )
     plan = plan_of(t)
-    assert "BroadcastHashJoin" in plan
-    # the only exchange is the broadcast of the tiny canonical dimension
-    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
 
 
 def test_scan_column_pruning(spark, docs):

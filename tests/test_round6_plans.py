@@ -48,6 +48,55 @@ def test_line_dedup_single_reassembly_join(spark):
     assert plan.count("PosExplode") + plan.count("posexplode") <= 2, plan
 
 
+def test_line_dedup_packed_min_matches_python_reference(spark):
+    """The decimal-packed winner selection (integral ids) must agree with
+    a pure-Python first-occurrence reference on an adversarial id space:
+    negative, zero, ±2^62, and values straddling the 2^31 packing radix."""
+    import random
+
+    from dss_plugin_nlp_analysis_spark.operators.webclean import line_dedup
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "common line", "x"]
+    ids = [-(2 ** 62) - 5, -17, -1, 0, 1, 3, 2 ** 62 + 11, 2 ** 31, 2 ** 31 - 1]
+    ids += [rng.randint(-(10 ** 18), 10 ** 18) for _ in range(40)]
+    rows = [
+        (i, "\n".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in ids
+    ]
+    # python reference: winner per distinct line = min (id, pos) over the
+    # trimmed non-empty lines (pos = index within the filtered list)
+    winners: dict[str, tuple[int, int]] = {}
+    doc_lines = {}
+    for i, t in rows:
+        kept = [s for s in (x.strip() for x in t.split("\n")) if s]
+        doc_lines[i] = kept
+        for pos, line in enumerate(kept):
+            if line not in winners or (i, pos) < winners[line]:
+                winners[line] = (i, pos)
+    expected = sorted(
+        (
+            i,
+            "\n".join(
+                line
+                for pos, line in enumerate(doc_lines[i])
+                if winners[line] == (i, pos)
+            ),
+        )
+        for i in ids
+    )
+    num = spark.createDataFrame(rows, "id long, t string")
+    got = sorted(
+        (int(r["id"]), r["clean_text"]) for r in line_dedup(num, "id", "t").collect()
+    )
+    assert got == expected
+    # and the packed path's winner aggregate is hash-based (the only
+    # remaining sort-aggregate territory is the per-id array_sort rebuild)
+    plan = plan_of(line_dedup(num, "id", "t"))
+    assert "Join" in plan  # reassembly join still present
+    assert plan.count("SortAggregate") == 0, plan
+
+
 def test_brute_topk_broadcast_join_only(spark):
     from dss_plugin_nlp_analysis_spark.operators.similarity import cosine_topk
 
