@@ -431,8 +431,18 @@ def cosine_dup_pairs(
       bucket are lost. Requires ``dim``.
     - ``use_lsh=False`` scores all pairs exactly — the oracle baseline;
       its crossJoin is quadratic and only for modest inputs."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # per-row double cast + L2 norm BEFORE the pair step (same hoist as
+    # _brute_rank_topk): the interpreted norm fold runs N times instead of
+    # N² (exact mode) / per-candidate (LSH mode); dot/(na*nb) is the same
+    # expression tree over the same doubles, so cos_sim is bit-identical
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+    ).withColumn("_na", l2_norm(F.col("_va")))
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+    ).withColumn("_nb", l2_norm(F.col("_vb")))
     if use_lsh:
         ab = hyperplane_buckets(a, "_va", num_planes, seed, dim, tables=tables) \
             .withColumn("bucket", F.explode_outer("bucket"))
@@ -445,7 +455,7 @@ def cosine_dup_pairs(
         )
     else:
         cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
-    sim = cosine(F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>"))
+    sim = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
         cand.withColumn("cos_sim", sim)
         .where(F.col("cos_sim") >= threshold)
