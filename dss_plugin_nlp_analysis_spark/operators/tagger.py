@@ -524,6 +524,27 @@ def format_per_doc(
     return out.drop(res)
 
 
+def _slots_json(full: dict) -> str:
+    """Serialize {tag: {"count": int, "sentences": [str], "keywords":
+    [str]}} exactly as ``json.dumps(full, ensure_ascii=False)`` would
+    (insertion order, ", "/": " separators) but ~3x faster: the value
+    shape is static, so only the C string escaper is invoked per string —
+    byte-for-byte equality is fuzz-pinned in tests/test_round6_fastpath.py.
+    """
+    parts = []
+    for tag, slot in full.items():
+        s = ", ".join(map(_esc_json, slot["sentences"]))
+        k = ", ".join(map(_esc_json, slot["keywords"]))
+        parts.append(
+            f'{_esc_json(tag)}: {{"count": {slot["count"]},'
+            f' "sentences": [{s}], "keywords": [{k}]}}'
+        )
+    return "{" + ", ".join(parts) + "}"
+
+
+_esc_json = json.encoder.encode_basestring  # dumps' own ensure_ascii=False escaper
+
+
 def _doc_json_builders():
     """Per-doc JSON assembly shared by the fused and two-pass json UDFs —
     byte format mirrors the reference (ensure_ascii=False, ", " separators)."""
@@ -542,7 +563,7 @@ def _doc_json_builders():
                     slot["sentences"].append(sent)
                 if kw not in slot["keywords"]:
                     slot["keywords"].append(kw)
-        return json.dumps(full, ensure_ascii=False) if full else None
+        return _slots_json(full) if full else None
 
     def build_cat(matches, sentences) -> tuple[str | None, str | None]:
         cats: dict[str, list] = {}
@@ -563,10 +584,14 @@ def _doc_json_builders():
                     slot["keywords"].append(kw)
         if not full:
             return None, None
-        return (
-            json.dumps(cats, ensure_ascii=False),
-            json.dumps(full, ensure_ascii=False),
+        cats_parts = ", ".join(
+            f'{_esc_json(c)}: [{", ".join(map(_esc_json, tags))}]'
+            for c, tags in cats.items()
         )
+        full_parts = ", ".join(
+            f"{_esc_json(c)}: {_slots_json(by_tag)}" for c, by_tag in full.items()
+        )
+        return "{" + cats_parts + "}", "{" + full_parts + "}"
 
     return build_no_cat, build_cat
 

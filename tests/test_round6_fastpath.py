@@ -82,6 +82,78 @@ def test_fast_path_matches_generic(monkeypatch, opts, has_cat):
         assert f == s, f"fast/generic divergence on {d!r}:\n fast={f}\n slow={s}"
 
 
+def test_manual_json_serializer_matches_json_dumps():
+    """_slots_json / the cat builders must be byte-identical to
+    json.dumps(..., ensure_ascii=False) on adversarial strings."""
+    import json
+
+    from dss_plugin_nlp_analysis_spark.operators.tagger import _doc_json_builders
+
+    build_no_cat, build_cat = _doc_json_builders()
+    nasty = [
+        "plain", 'quo"te', "back\\slash", "tab\there", "new\nline",
+        "unicode é 中文 🎉", "ctrl\x01\x1f", "", "sp ace", " sep",
+    ]
+    rng = __import__("random").Random(5)
+    for trial in range(50):
+        matches = []
+        sentences = [rng.choice(nasty) + str(i) for i in range(4)]
+        for _ in range(rng.randint(1, 10)):
+            matches.append(
+                {
+                    "tag": rng.choice(nasty),
+                    "keyword": rng.choice(nasty),
+                    "category": rng.choice(nasty[:4]),
+                    "sent_idx": rng.randrange(4),
+                }
+            )
+
+        # reference: the original dict assembly + json.dumps
+        def ref_no_cat(ms, ss):
+            full = {}
+            for mt in ms:
+                tag, kw = mt["tag"], mt["keyword"]
+                sent = ss[mt["sent_idx"]]
+                slot = full.get(tag)
+                if slot is None:
+                    full[tag] = {"count": 1, "sentences": [sent], "keywords": [kw]}
+                else:
+                    slot["count"] += 1
+                    if sent not in slot["sentences"]:
+                        slot["sentences"].append(sent)
+                    if kw not in slot["keywords"]:
+                        slot["keywords"].append(kw)
+            return json.dumps(full, ensure_ascii=False) if full else None
+
+        def ref_cat(ms, ss):
+            cats, full = {}, {}
+            for mt in ms:
+                tag, kw, cat = mt["tag"], mt["keyword"], mt["category"]
+                sent = ss[mt["sent_idx"]]
+                by_tag = full.setdefault(cat, {})
+                slot = by_tag.get(tag)
+                if slot is None:
+                    by_tag[tag] = {"count": 1, "sentences": [sent], "keywords": [kw]}
+                    cats.setdefault(cat, []).append(tag)
+                else:
+                    slot["count"] += 1
+                    if sent not in slot["sentences"]:
+                        slot["sentences"].append(sent)
+                    if kw not in slot["keywords"]:
+                        slot["keywords"].append(kw)
+            if not full:
+                return None, None
+            return (
+                json.dumps(cats, ensure_ascii=False),
+                json.dumps(full, ensure_ascii=False),
+            )
+
+        assert build_no_cat(matches, sentences) == ref_no_cat(matches, sentences)
+        assert build_cat(matches, sentences) == ref_cat(matches, sentences)
+    assert build_no_cat([], []) is None
+    assert build_cat([], []) == (None, None)
+
+
 def test_screen_fires_on_plain_words():
     compiled = compile_ontology(
         [("t", "spark", None)], ["en"], TagOptions(), False
