@@ -981,9 +981,11 @@ def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rollup_time(
         ev, "sec", "micros", {"5m": 300, "1h": 3600}, key_col="event_type"
     )
+    # DOUBLE cast on the sum: DuckDB sum(BIGINT) is HUGEINT -> pandas
+    # float64 (same dtype-hash class as truth_discovery; never sampled yet)
     return out.select(
         "gran", "bucket_start", F.col("key").alias("event_type"),
-        "n", F.col("sum_value").alias("sum_micros"),
+        "n", F.col("sum_value").cast("double").alias("sum_micros"),
         F.col("min_value").alias("min_micros"),
         F.col("max_value").alias("max_micros"),
     )
@@ -1488,7 +1490,13 @@ def _q_burst_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id") % 50 < 10, F.to_date(F.lit("2026-03-01"))
         ).otherwise(F.to_date("ts")).alias("day"),
     )
-    return burst_buckets(ev, "event_type", "day")
+    # TIMESTAMP cast: the oracle's DATE bucket reaches the driver's pandas
+    # as datetime64 (midnight), while a Spark DateType arrives as
+    # datetime.date — same value, different string render (the
+    # truth_discovery hash class; this query has never been driver-sampled,
+    # so align the dtype before rotation reaches it)
+    out = burst_buckets(ev, "event_type", "day")
+    return out.withColumn("bucket", F.col("bucket").cast("timestamp"))
 
 
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2,6 +2,7 @@
 on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count,
 column names, and order-insensitive values."""
 
+import datetime
 import math
 
 import duckdb
@@ -38,6 +39,17 @@ def canon(v):
         if v.is_integer():
             return str(int(v))
         return f"{v:.6f}"
+    # midnight naive datetimes canonicalize to the date form: a DATE column
+    # surfaces as datetime.date via this mirror's fetchall()/collect() but
+    # as a midnight datetime64 via the DRIVER's pandas path, so queries
+    # that deliberately emit TIMESTAMP on the Spark side to match the
+    # driver's render (burst_days) must compare equal to the oracle's DATE
+    if (
+        isinstance(v, datetime.datetime)
+        and v.tzinfo is None
+        and (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0)
+    ):
+        return v.date().isoformat()
     return str(v)
 
 
